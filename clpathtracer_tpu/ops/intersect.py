@@ -165,7 +165,10 @@ def nearest_hit_bruteforce(scene, orig, dir, t_min_eps: float = 0.0):
     ok, t, u, v = moller_trumbore(v0[None], v1[None], v2[None], o, d)
     big = jnp.float32(3.4e38)
     t_masked = jnp.where(ok & (t > t_min_eps), t, big)
-    best = jnp.argmin(t_masked, axis=1)  # first minimum → lowest tri index
+    # reference tie rule `t <= minHit` (src/kernel.cl:344): on exact-equal t
+    # the LATER candidate wins — take the last argmin, not the first
+    nf_all = t_masked.shape[1]
+    best = (nf_all - 1) - jnp.argmin(t_masked[:, ::-1], axis=1)
     n = orig.shape[0]
     rows = jnp.arange(n)
     best_t = t_masked[rows, best]

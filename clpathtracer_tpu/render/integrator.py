@@ -1,0 +1,257 @@
+"""The rendering integrator: scene + camera → image, as one pure function.
+
+Replaces the reference's frame machinery (CLExecute's arg registry + NDRange
+enqueue + clFinish, src/CLState.c:204-219) with a jitted function of pytrees.
+Three shading modes:
+
+* "normal"  — reference-parity: first hit → normals-as-color
+  (src/kernel.cl:395-397), miss → white (src/kernel.cl:421 with col=0,
+  str=1). This is the mode golden-image tests compare bit-for-bit.
+* "mirror"  — the reference's *intended* multi-bounce mirror shading, which
+  is unreachable dead code there (src/kernel.cl:399-417 after the early
+  return): blend col=(1-str)·col + str·normalColor, str·=0.2, reflect with
+  1e-4 origin offset, recurse; miss/depth-exhaust → blend toward white.
+* "path"    — a physically-based Lambertian path tracer with per-face
+  albedo/emission, cosine-weighted hemisphere sampling and stratified
+  subpixel jitter — the multi-bounce diffuse integrator the BASELINE
+  configs require (config[1]); entirely new capability.
+
+`use_tree=False` is the flat linear-scan intersector (BASELINE config[0]);
+`use_tree=True` goes through the wavefront kd traversal (ops/traverse.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from clpathtracer_tpu.core import vecmath as vm
+from clpathtracer_tpu.core.camera import (
+    cam_matrix, generate_rays, generate_rays_jittered)
+from clpathtracer_tpu.ops.intersect import (
+    hit_sphere, moller_trumbore, nearest_hit_bruteforce)
+from clpathtracer_tpu.ops.traverse import PackedTris, traverse
+from clpathtracer_tpu.render.shading import (
+    cosine_sample_hemisphere, normal_color, resolve_sphere_hits,
+    resolve_tri_hits)
+
+BIG = jnp.float32(3.4e38)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static render configuration (hashable → jit static argument).
+
+    Replaces the reference's compile-time #defines and GameProperties
+    struct (SURVEY.md §5 config tiers).
+    """
+
+    width: int = 256
+    height: int = 256
+    mode: str = "normal"       # normal | mirror | path
+    bounces: int = 2           # reference launches trace_ray(depth=2)
+    spp: int = 1               # samples per pixel (path mode)
+    use_tree: bool = True
+    tri_block: int = 4         # must divide the tree's leaf padding
+    background: float = 1.0    # miss shade (reference blends toward white)
+    bounce_eps: float = 1e-4   # reflection origin offset (src/kernel.cl:401)
+    max_iters: int = 4096      # traversal safety cap
+
+
+# ---------------------------------------------------------------------------
+# intersection dispatch
+# ---------------------------------------------------------------------------
+
+
+def intersect_scene(scene, tree, orig, dir, opts: RenderOptions):
+    """Nearest hit against triangles (+ spheres). Returns dict with
+    hit [N] bool, t [N], tri [N] (-1 if none), u/v [N], sphere [N] (-1 if
+    the nearest hit is not a sphere)."""
+    n = orig.shape[0]
+    if opts.use_tree and tree is not None and scene.num_tris > 0:
+        v0, v1, v2 = scene.tri_verts()
+        packed = PackedTris.pack(tree, v0, v1, v2)
+        rec = traverse(tree, packed, orig, dir,
+                       tri_block=opts.tri_block, max_iters=opts.max_iters)
+        out = {"hit": rec["hit"], "t": rec["t"], "tri": rec["tri"],
+               "u": rec["u"], "v": rec["v"]}
+    elif scene.num_tris > 0:
+        rec = nearest_hit_bruteforce(scene, orig, dir)
+        out = {"hit": rec["hit"], "t": rec["t"],
+               "tri": jnp.where(rec["hit"], rec["prim_id"], -1),
+               "u": rec["u"], "v": rec["v"]}
+        # brute-force oracle folds spheres in via prim_id ≥ F; normalize to
+        # the (tri, sphere) split below
+        nf = scene.num_tris
+        is_sph = out["tri"] >= nf
+        out["sphere"] = jnp.where(is_sph, out["tri"] - nf, -1)
+        out["tri"] = jnp.where(is_sph, -1, out["tri"])
+        return out
+    else:
+        out = {"hit": jnp.zeros((n,), bool), "t": jnp.full((n,), BIG),
+               "tri": jnp.full((n,), -1, jnp.int32),
+               "u": jnp.zeros((n,)), "v": jnp.zeros((n,))}
+
+    out["sphere"] = jnp.full((n,), -1, jnp.int32)
+    if scene.num_spheres > 0:
+        sok, st = hit_sphere(scene.sphere_pos[None], scene.sphere_radius[None],
+                             orig[:, None, :], dir[:, None, :])
+        st = jnp.where(sok, st, BIG)
+        sbest = jnp.argmin(st, axis=1)
+        s_t = st[jnp.arange(n), sbest]
+        wins = s_t < out["t"]
+        out["t"] = jnp.where(wins, s_t, out["t"])
+        out["hit"] = out["hit"] | (s_t < BIG)
+        out["tri"] = jnp.where(wins, -1, out["tri"])
+        out["sphere"] = jnp.where(wins, sbest.astype(jnp.int32), -1)
+        out["u"] = jnp.where(wins, 0.0, out["u"])
+        out["v"] = jnp.where(wins, 0.0, out["v"])
+    return out
+
+
+def _surface(scene, rec, orig, dir):
+    """Merge triangle/sphere attribute resolution for a hit record."""
+    point = orig + rec["t"][:, None] * dir
+    tri_at = resolve_tri_hits(scene, rec["tri"], rec["u"], rec["v"])
+    if scene.num_spheres > 0:
+        sph_at = resolve_sphere_hits(scene, rec["sphere"], point)
+        is_sph = (rec["sphere"] >= 0)[:, None]
+        normal = jnp.where(is_sph, sph_at["normal"], tri_at["normal"])
+        albedo = jnp.where(is_sph, sph_at["albedo"], tri_at["albedo"])
+        emission = jnp.where(is_sph, sph_at["emission"], tri_at["emission"])
+    else:
+        normal, albedo, emission = (
+            tri_at["normal"], tri_at["albedo"], tri_at["emission"])
+    return point, normal, albedo, emission
+
+
+# ---------------------------------------------------------------------------
+# shading modes
+# ---------------------------------------------------------------------------
+
+
+def shade_normal(scene, tree, orig, dir, opts: RenderOptions):
+    """Reference-parity: hit → (normal+1)/2, miss → white."""
+    rec = intersect_scene(scene, tree, orig, dir, opts)
+    _, normal, _, _ = _surface(scene, rec, orig, dir)
+    bg = jnp.full_like(normal, opts.background)
+    return jnp.where(rec["hit"][:, None], normal_color(normal), bg)
+
+
+def shade_mirror(scene, tree, orig, dir, opts: RenderOptions):
+    """The reference's intended mirror-bounce shading, made reachable.
+
+    Per bounce (src/kernel.cl:399-417): col = (1-str)·col + str·normColor;
+    str ·= 0.2; reflect about the normal with a 1e-4 offset. On miss or
+    depth exhaustion: col = (1-str)·col + str·background
+    (src/kernel.cl:421).
+    """
+    n = orig.shape[0]
+    col = jnp.zeros((n, 3))
+    strength = jnp.ones((n,))
+    alive = jnp.ones((n,), bool)
+    o, d = orig, dir
+    for _ in range(opts.bounces):
+        rec = intersect_scene(scene, tree, o, d, opts)
+        point, normal, _, _ = _surface(scene, rec, o, d)
+        hit = rec["hit"] & alive
+        nc = normal_color(normal)
+        col = jnp.where(hit[:, None],
+                        (1.0 - strength[:, None]) * col + strength[:, None] * nc,
+                        col)
+        strength = jnp.where(hit, strength * 0.2, strength)
+        newdir = vm.reflect(d, normal)
+        o = jnp.where(hit[:, None], point + newdir * opts.bounce_eps, o)
+        d = jnp.where(hit[:, None], newdir, d)
+        # rays that were alive but missed: finalize with background blend
+        missed = alive & ~rec["hit"]
+        col = jnp.where(missed[:, None],
+                        (1.0 - strength[:, None]) * col
+                        + strength[:, None] * opts.background,
+                        col)
+        alive = alive & rec["hit"]
+    # depth exhausted for still-alive rays (reference depth==0 branch)
+    col = jnp.where(alive[:, None],
+                    (1.0 - strength[:, None]) * col
+                    + strength[:, None] * opts.background,
+                    col)
+    return col
+
+
+def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
+    """Lambertian path tracing with emissive surfaces.
+
+    radiance += throughput · emission at each hit; throughput ·= albedo;
+    new direction cosine-sampled about the shading normal (flipped to face
+    the incoming ray).
+    """
+    n = orig.shape[0]
+    radiance = jnp.zeros((n, 3))
+    throughput = jnp.ones((n, 3))
+    alive = jnp.ones((n,), bool)
+    o, d = orig, dir
+    for b in range(opts.bounces):
+        rec = intersect_scene(scene, tree, o, d, opts)
+        point, normal, albedo, emission = _surface(scene, rec, o, d)
+        # face-forward normal
+        normal = jnp.where(vm.dot(normal, d)[:, None] > 0, -normal, normal)
+        hit = rec["hit"] & alive
+        radiance = radiance + jnp.where(
+            hit[:, None], throughput * emission, 0.0)
+        throughput = jnp.where(hit[:, None], throughput * albedo, throughput)
+        # miss → background radiance (sky), then die
+        missed = alive & ~rec["hit"]
+        radiance = radiance + jnp.where(
+            missed[:, None], throughput * opts.background, 0.0)
+        alive = hit
+        key, sub = jax.random.split(key)
+        u12 = jax.random.uniform(sub, (n, 2))
+        newdir = cosine_sample_hemisphere(normal, u12[:, 0], u12[:, 1])
+        o = jnp.where(hit[:, None], point + normal * opts.bounce_eps, o)
+        d = jnp.where(hit[:, None], newdir, d)
+    return radiance
+
+
+# ---------------------------------------------------------------------------
+# top level
+# ---------------------------------------------------------------------------
+
+
+def render_rays(scene, tree, orig, dir, opts: RenderOptions, key=None):
+    if opts.mode == "normal":
+        return shade_normal(scene, tree, orig, dir, opts)
+    if opts.mode == "mirror":
+        return shade_mirror(scene, tree, orig, dir, opts)
+    if opts.mode == "path":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return shade_path(scene, tree, orig, dir, opts, key)
+    raise ValueError(f"unknown mode {opts.mode!r}")
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def render_image(scene, camera, opts: RenderOptions, tree=None, key=None):
+    """Render an [H, W, 3] image. The whole frame is one XLA program —
+    the analogue of the reference's per-frame CLExecute NDRange launch."""
+    cam_inv = cam_matrix(camera, opts.height)
+    if opts.mode == "path" and opts.spp > 1:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        n = opts.width * opts.height
+        keys = jax.random.split(key, opts.spp)
+
+        def one_sample(k):
+            kj, ks = jax.random.split(k)
+            jitter = jax.random.uniform(kj, (1, n, 2))
+            o, d = generate_rays_jittered(cam_inv, opts.width, opts.height,
+                                          jitter)
+            return render_rays(scene, tree, o[0], d[0], opts, ks)
+
+        img = jax.lax.map(one_sample, keys).mean(axis=0)
+    else:
+        orig, dir = generate_rays(cam_inv, opts.width, opts.height)
+        img = render_rays(scene, tree, orig, dir, opts, key)
+    return img.reshape(opts.height, opts.width, 3)

@@ -1,0 +1,203 @@
+"""Golden-image tests: render_image vs an independent pure-numpy renderer.
+
+The numpy oracle below re-implements the reference pipeline (camera
+unprojection + nearest-hit + normal shading) with plain loops/numpy —
+sharing no code with the framework — so agreement is meaningful
+(BASELINE config[0]: 64x64 Cornell box, image allclose).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clpathtracer_tpu.accel.sah import build_kd_tree
+from clpathtracer_tpu.core.camera import Camera
+from clpathtracer_tpu.render.integrator import RenderOptions, render_image
+from clpathtracer_tpu.scene.procedural import cornell_box, icosphere
+
+
+def numpy_reference_render(scene, pos, fwd, fov, near, far, w, h):
+    """Independent numpy implementation of the reference's pipeline:
+    cam matrix chain (src/camera.c), unprojection ray-gen
+    (src/kernel.cl:443-456), Moller-Trumbore nearest hit with backface cull
+    (src/kernel.cl:227-255), normal-viz shading (src/kernel.cl:395-397,
+    smooth normals :359-362), miss → white (:421)."""
+    fwd = np.asarray(fwd, np.float64); fwd /= np.linalg.norm(fwd)
+    left = np.array([fwd[2], 0, -fwd[0]]); left /= np.linalg.norm(left)
+    up = np.cross(fwd, left)
+    view = np.eye(4)
+    view[0, :3], view[1, :3], view[2, :3] = left, up, fwd
+    view[:3, 3] = view[:3, :3] @ (-np.asarray(pos, np.float64))
+    c = 1 / np.tan(fov / 2)
+    proj = np.zeros((4, 4))
+    proj[0, 0] = proj[1, 1] = c
+    proj[2, 2] = -(far + near) / (near - far)
+    proj[2, 3] = 2 * far * near / (near - far)
+    proj[3, 2] = 1
+    dev = np.diag([h / 2, h / 2, 1, 1])
+    M = np.linalg.inv(dev @ proj @ view)
+
+    def xform(p):
+        q = M @ np.append(p, 1.0)
+        return q[:3] / q[3]
+
+    origin = M[:3, 2] / M[3, 2]
+
+    verts = np.asarray(scene.verts, np.float64)
+    faces = np.asarray(scene.faces)
+    normals = np.asarray(scene.normals, np.float64)
+
+    img = np.ones((h, w, 3))
+    for y in range(h):
+        for x in range(w):
+            ncp = xform([x - w / 2, y - h / 2, -1.0])
+            fcp = xform([x - w / 2, y - h / 2, 1.0])
+            d = fcp - ncp
+            d /= np.linalg.norm(d)
+            best_t, best = np.inf, None
+            for fi in range(faces.shape[0]):
+                i0, i1, i2 = faces[fi, :, 0]
+                v0, v1, v2 = verts[i0], verts[i1], verts[i2]
+                e1, e2 = v1 - v0, v2 - v0
+                pvec = np.cross(d, e2)
+                det = e1 @ pvec
+                if det <= 0:
+                    continue
+                tvec = origin - v0
+                u = (tvec @ pvec) / det
+                if u < 0 or u > 1:
+                    continue
+                qvec = np.cross(tvec, e1)
+                vv = (d @ qvec) / det
+                if vv < 0 or u + vv > 1:
+                    continue
+                t = (e2 @ qvec) / det
+                if t <= 0 or t > best_t:
+                    continue
+                best_t = t
+                if faces[fi, 0, 1] >= 0:
+                    n0 = normals[faces[fi, 0, 1]]
+                    n1 = normals[faces[fi, 1, 1]]
+                    n2 = normals[faces[fi, 2, 1]]
+                    n = (1 - u - vv) * n0 + u * n1 + vv * n2
+                else:
+                    n = np.cross(e1, e2)
+                n = n / np.linalg.norm(n)
+                best = n
+            if best is not None:
+                img[y, x] = (best + 1) / 2
+    return img
+
+
+class TestGoldenCornell:
+    def test_bruteforce_matches_numpy_oracle(self):
+        scene = cornell_box(light=False)
+        cam = Camera.create(position=[0.0, 0.0, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+        opts = RenderOptions(width=64, height=64, mode="normal",
+                             use_tree=False)
+        img = np.asarray(render_image(scene, cam, opts))
+        ref = numpy_reference_render(scene, [0, 0, -1.0], [0, 0, 1],
+                                     float(cam.fov), 0.1, 1.0, 64, 64)
+        # f32 vs f64 at triangle edges: compare with a small pixel budget
+        close = np.isclose(img, ref, atol=2e-3).all(axis=-1)
+        assert close.mean() > 0.995, f"{(~close).sum()} pixels differ"
+
+    def test_tree_matches_bruteforce_image(self):
+        scene = cornell_box(light=False)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+        img_bf = np.asarray(render_image(
+            scene, cam, RenderOptions(width=64, height=64, mode="normal",
+                                      use_tree=False)))
+        img_kd = np.asarray(render_image(
+            scene, cam, RenderOptions(width=64, height=64, mode="normal",
+                                      use_tree=True), tree=tree))
+        close = np.isclose(img_bf, img_kd, atol=2e-3).all(axis=-1)
+        assert close.mean() > 0.998, f"{(~close).sum()} pixels differ"
+
+
+class TestGoldenIcosphere:
+    def test_smooth_normals_image(self):
+        scene = icosphere(2)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+        img = np.asarray(render_image(
+            scene, cam, RenderOptions(width=48, height=48, mode="normal"),
+            tree=tree))
+        ref = numpy_reference_render(scene, [0, 0, -1.0], [0, 0, 1],
+                                     float(cam.fov), 0.1, 1.0, 48, 48)
+        close = np.isclose(img, ref, atol=5e-3).all(axis=-1)
+        assert close.mean() > 0.99, f"{(~close).sum()} pixels differ"
+
+    def test_sphere_center_normal_faces_camera(self):
+        scene = icosphere(3)
+        cam = Camera.create(position=[0.0, 0.0, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+        img = np.asarray(render_image(
+            scene, cam,
+            RenderOptions(width=32, height=32, mode="normal",
+                          use_tree=False)))
+        # pixel (16,16) has offset exactly (0,0) (reference pixel grid uses
+        # x - W/2): smooth normal ≈ (0,0,-1) → color ≈ (.5,.5,0)
+        np.testing.assert_allclose(img[16, 16], [0.5, 0.5, 0.0], atol=0.02)
+
+
+class TestModes:
+    def _setup(self):
+        scene = cornell_box()
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+        return scene, tree, cam
+
+    def test_mirror_mode_differs_from_normal_and_finite(self):
+        scene, tree, cam = self._setup()
+        opts_n = RenderOptions(width=32, height=32, mode="normal")
+        opts_m = RenderOptions(width=32, height=32, mode="mirror", bounces=3)
+        img_n = np.asarray(render_image(scene, cam, opts_n, tree=tree))
+        img_m = np.asarray(render_image(scene, cam, opts_m, tree=tree))
+        assert np.isfinite(img_m).all()
+        assert np.abs(img_n - img_m).max() > 0.01
+
+    def test_mirror_one_bounce_blend(self):
+        """bounces=1: col = 0.8*normColor + 0.2*1 exactly (str 1→0.2)."""
+        scene, tree, cam = self._setup()
+        img_n = np.asarray(render_image(
+            scene, cam, RenderOptions(width=32, height=32, mode="normal"),
+            tree=tree))
+        img_m = np.asarray(render_image(
+            scene, cam,
+            RenderOptions(width=32, height=32, mode="mirror", bounces=1),
+            tree=tree))
+        want = 0.8 * img_n + 0.2 * 1.0
+        # hit pixels only (miss pixels are 1.0 in both)
+        np.testing.assert_allclose(img_m, want, atol=1e-5)
+
+    def test_path_mode_light_illuminates(self):
+        scene, tree, cam = self._setup()
+        opts = RenderOptions(width=32, height=32, mode="path", bounces=3,
+                             spp=8, background=0.0)
+        img = np.asarray(render_image(
+            scene, cam, opts, key=jax.random.PRNGKey(1), tree=tree))
+        assert np.isfinite(img).all()
+        assert img.max() > 0.05  # light reaches the film
+        assert img.min() >= 0.0
+
+    def test_path_deterministic_given_key(self):
+        scene, tree, cam = self._setup()
+        opts = RenderOptions(width=16, height=16, mode="path", bounces=2,
+                             spp=4, background=0.0)
+        a = np.asarray(render_image(scene, cam, opts,
+                                    key=jax.random.PRNGKey(7), tree=tree))
+        b = np.asarray(render_image(scene, cam, opts,
+                                    key=jax.random.PRNGKey(7), tree=tree))
+        np.testing.assert_array_equal(a, b)
