@@ -75,7 +75,12 @@ def camera_transform(cam: Camera) -> jnp.ndarray:
     rot = jnp.stack([left, up, f], axis=0)  # [3, 3]
     trans = jnp.matmul(rot, neg_pos, precision=jax.lax.Precision.HIGHEST)  # [3]
     top = jnp.concatenate([rot, trans[:, None]], axis=1)  # [3, 4]
-    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=top.dtype)
+    # bottom row built from traced values (zeros_like/ones_like), not a
+    # literal array: a literal here becomes a hoisted jaxpr constant, which
+    # jax 0.9 mishandles on multi-device meshes (lost const buffers on the
+    # cached-execution path)
+    z = jnp.zeros_like(f[0])
+    bottom = jnp.stack([z, z, z, jnp.ones_like(z)])[None, :]
     return jnp.concatenate([top, bottom], axis=0)
 
 

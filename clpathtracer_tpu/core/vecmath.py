@@ -8,6 +8,7 @@ camera vector on the host and a [N_RAYS, 3] wavefront on device.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -29,11 +30,16 @@ def normalize(a: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
 
     Matches the reference's behavior (divide by the exact length,
     src/vector.c vec_normalize) when eps=0; pass eps>0 for a guarded
-    version safe under jax.grad at zero vectors.
+    version safe under jax.grad at zero vectors. The guard uses the
+    double-where pattern: the excluded branch must see a SAFE denominator
+    (1.0), or its backward computes -1/n2^2 → inf at underflow and
+    0 * inf = NaN poisons every upstream gradient.
     """
     if eps:
         n2 = length_squared(a)
-        return a * jnp.where(n2 > 0, jnp.sqrt(1.0 / jnp.maximum(n2, eps)), 0.0)[..., None]
+        ok = n2 > eps
+        inv_len = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, n2, 1.0)), 0.0)
+        return a * inv_len[..., None]
     return a / length(a)[..., None]
 
 

@@ -1,0 +1,76 @@
+"""Differentiable rendering: detached-topology hit resolution.
+
+The reference has no gradients at all (it's an interactive C/OpenCL viewer);
+this module supplies the differentiable-rendering axis the new framework
+adds on top of the reference's capability surface (BASELINE north star:
+pixel gradients vs finite differences allclose @ 1e-3).
+
+Strategy — "detach the discrete, differentiate the continuous":
+
+* WHICH triangle a ray hits (the traversal's integer output) is a discrete
+  function of the scene: piecewise-constant, gradient zero almost
+  everywhere. We compute it under `lax.stop_gradient` with the fast
+  wavefront kd traversal (ops/traverse.py), whose `lax.while_loop` is not
+  reverse-differentiable anyway.
+* Given the hit topology (tri id), the hit point/depth/barycentrics are
+  SMOOTH functions of ray origin/direction and the triangle's vertex
+  positions. We re-resolve them with one differentiable Möller–Trumbore
+  per ray against its winning triangle — gradients flow to camera
+  parameters (through ray gen) and to `scene.verts` / normals / materials
+  (through shading).
+
+This yields exact interior gradients (correct wherever the hit topology is
+locally constant — the standard differentiable-rasterization/path-tracing
+decomposition). Visibility-edge gradients (silhouette terms) are a
+measure-zero set that finite differences at interior pixels never see; the
+FD test harness (tests/test_grad.py) checks interior pixels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from clpathtracer_tpu.ops.intersect import moller_trumbore, nearest_hit_bruteforce
+from clpathtracer_tpu.ops.traverse import PackedTris, traverse
+
+BIG = 3.4e38  # plain float: avoids a hoisted jaxpr constant
+
+
+def intersect_diff(scene, tree, orig, dir, tri_block: int = 4,
+                   max_iters: int = 4096):
+    """Nearest triangle hit with differentiable t/u/v and detached topology.
+
+    Returns dict(hit [N] bool, tri [N] i32, t [N], u [N], v [N]) where t/u/v
+    carry gradients w.r.t. (orig, dir, scene.verts) and hit/tri do not.
+    """
+    sg = jax.lax.stop_gradient
+    if tree is not None:
+        v0, v1, v2 = scene.tri_verts()
+        packed = PackedTris.pack(tree, sg(v0), sg(v1), sg(v2))
+        rec = traverse(tree, packed, sg(orig), sg(dir),
+                       tri_block=tri_block, max_iters=max_iters)
+        tri = rec["tri"]
+        hit = rec["hit"]
+    else:
+        rec = nearest_hit_bruteforce(
+            sg(scene), sg(orig), sg(dir))
+        tri = jnp.where(rec["hit"], rec["prim_id"], -1)
+        hit = rec["hit"]
+
+    # differentiable re-resolve at the (detached) winning triangle; missed
+    # rays resolve against real row-0 geometry (finite values — the guarded
+    # inverse-determinant in moller_trumbore keeps everything non-NaN) and
+    # are masked out, so no NaN can leak into the backward pass
+    v0, v1, v2 = scene.tri_verts()
+    safe = jnp.maximum(tri, 0)
+    ok, t, u, v = moller_trumbore(v0[safe], v1[safe], v2[safe], orig, dir)
+    return {
+        "hit": hit,
+        "tri": tri,
+        "t": jnp.where(hit, t, BIG),
+        "u": jnp.where(hit, u, 0.0),
+        "v": jnp.where(hit, v, 0.0),
+    }

@@ -163,7 +163,7 @@ def nearest_hit_bruteforce(scene, orig, dir, t_min_eps: float = 0.0):
     o = orig[:, None, :]
     d = dir[:, None, :]
     ok, t, u, v = moller_trumbore(v0[None], v1[None], v2[None], o, d)
-    big = jnp.float32(3.4e38)
+    big = 3.4e38  # plain float: avoids a hoisted jaxpr constant
     t_masked = jnp.where(ok & (t > t_min_eps), t, big)
     # reference tie rule `t <= minHit` (src/kernel.cl:344): on exact-equal t
     # the LATER candidate wins — take the last argmin, not the first

@@ -36,7 +36,9 @@ from flax import struct
 
 from clpathtracer_tpu.ops.intersect import moller_trumbore, traverse_aabb, hit_aabb
 
-BIG = jnp.float32(3.4e38)
+# plain float (weak-typed f32 when used): a jnp scalar here becomes a
+# hoisted jaxpr constant, which jax 0.9 mishandles on multi-device meshes
+BIG = 3.4e38
 # reference early-exit slack (src/kernel.cl:381)
 EXIT_EPS = 0.001
 

@@ -38,7 +38,7 @@ from clpathtracer_tpu.render.shading import (
     cosine_sample_hemisphere, normal_color, resolve_sphere_hits,
     resolve_tri_hits)
 
-BIG = jnp.float32(3.4e38)
+BIG = 3.4e38  # plain float: avoids a hoisted jaxpr constant
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +59,8 @@ class RenderOptions:
     background: float = 1.0    # miss shade (reference blends toward white)
     bounce_eps: float = 1e-4   # reflection origin offset (src/kernel.cl:401)
     max_iters: int = 4096      # traversal safety cap
+    differentiable: bool = False  # detached-topology hits (diff/grad.py) so
+    #   jax.grad flows through t/u/v to camera, verts and materials
 
 
 # ---------------------------------------------------------------------------
@@ -71,7 +73,13 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions):
     hit [N] bool, t [N], tri [N] (-1 if none), u/v [N], sphere [N] (-1 if
     the nearest hit is not a sphere)."""
     n = orig.shape[0]
-    if opts.use_tree and tree is not None and scene.num_tris > 0:
+    if opts.differentiable and scene.num_tris > 0:
+        from clpathtracer_tpu.diff.grad import intersect_diff
+        out = intersect_diff(
+            scene, tree if opts.use_tree else None, orig, dir,
+            tri_block=opts.tri_block, max_iters=opts.max_iters)
+        out = dict(out)
+    elif opts.use_tree and tree is not None and scene.num_tris > 0:
         v0, v1, v2 = scene.tri_verts()
         packed = PackedTris.pack(tree, v0, v1, v2)
         rec = traverse(tree, packed, orig, dir,

@@ -1,0 +1,138 @@
+"""Differentiable-rendering tests: jax.grad vs central finite differences.
+
+BASELINE north star: pixel gradients w.r.t. camera pose, vertex positions
+and materials must match finite differences (the reference has no gradient
+capability at all — this axis is new). FD is only valid where the hit
+topology is locally constant, so every loss below averages an interior
+pixel crop away from silhouettes/edges.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clpathtracer_tpu.accel.sah import build_kd_tree
+from clpathtracer_tpu.core.camera import Camera
+from clpathtracer_tpu.diff.fd import fd_grad
+from clpathtracer_tpu.render.integrator import RenderOptions, render_image
+from clpathtracer_tpu.scene.procedural import cornell_box, icosphere
+
+
+def _tree_for(scene, tri_block=4):
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    return build_kd_tree(tv, tri_block=tri_block)
+
+
+class TestCameraGrad:
+    """d(loss)/d(camera position): smooth-normal icosphere, central crop."""
+
+    @pytest.mark.parametrize("use_tree", [False, True])
+    def test_position_grad_matches_fd(self, use_tree):
+        scene = icosphere(2)
+        tree = _tree_for(scene) if use_tree else None
+        opts = RenderOptions(width=24, height=24, mode="normal",
+                             use_tree=use_tree, differentiable=True)
+
+        def loss_fn(pos):
+            cam = Camera.create(position=pos, forward=[0.0, 0.0, 1.0])
+            img = render_image(scene, cam, opts, tree=tree)
+            # central crop: strictly inside the sphere's projection
+            return jnp.mean(img[9:15, 9:15])
+
+        pos0 = jnp.array([0.0, 0.0, -1.0], jnp.float32)
+        g = jax.grad(loss_fn)(pos0)
+        fd = fd_grad(lambda p: loss_fn(jnp.asarray(p, jnp.float32)),
+                     np.array(pos0, np.float64), eps=1e-3)
+        assert np.isfinite(np.asarray(g)).all()
+        np.testing.assert_allclose(np.asarray(g), fd, rtol=0.05, atol=2e-4)
+
+
+class TestVertexGrad:
+    """d(loss)/d(vertex position): flat-shaded wall normal tilts as the
+    vertex moves — smooth in the triangle interior."""
+
+    def test_vertex_grad_matches_fd(self):
+        scene = cornell_box(light=False)
+        tree = _tree_for(scene)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        opts = RenderOptions(width=24, height=24, mode="normal",
+                             use_tree=True, differentiable=True)
+
+        # vertex 0 = back-wall corner (-1,-1,2); crop pixels strictly inside
+        # one of the back wall's triangles
+        def loss_fn(v0):
+            verts = scene.verts.at[0].set(v0)
+            s = scene.with_verts(verts)
+            img = render_image(s, cam, opts, tree=tree)
+            return jnp.mean(img[10:13, 10:13])
+
+        v0 = scene.verts[0]
+        g = jax.grad(loss_fn)(v0)
+        fd = fd_grad(lambda v: loss_fn(jnp.asarray(v, jnp.float32)),
+                     np.array(v0, np.float64), eps=1e-3)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(fd).max() > 1e-4  # the test must actually test something
+        np.testing.assert_allclose(np.asarray(g), fd, rtol=0.05, atol=2e-4)
+
+
+class TestMaterialGrad:
+    """d(loss)/d(albedo, emission) through the path integrator (linear in
+    both at one bounce → FD is exact up to float noise)."""
+
+    def test_albedo_emission_grad_matches_fd(self):
+        scene = cornell_box(light=True)
+        tree = _tree_for(scene)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        opts = RenderOptions(width=16, height=16, mode="path", bounces=2,
+                             spp=1, background=0.0, use_tree=True,
+                             differentiable=True)
+        key = jax.random.PRNGKey(3)
+
+        def loss_fn(params):
+            s = scene.replace(albedo=params["albedo"],
+                              emission=params["emission"])
+            img = render_image(s, cam, opts, tree=tree, key=key)
+            return jnp.mean(img)
+
+        params = {"albedo": scene.albedo, "emission": scene.emission}
+        g = jax.grad(loss_fn)(params)
+        # FD over a few scalar entries only (full FD would be 2*F*3 renders)
+        jl = jax.jit(lambda a_val, e_val: loss_fn({
+            "albedo": scene.albedo.at[0, 0].set(a_val),
+            "emission": scene.emission.at[10, 1].set(e_val)}))
+        eps = 1e-2
+        a0 = float(scene.albedo[0, 0]); e0 = float(scene.emission[10, 1])
+        fd_a = (jl(a0 + eps, e0) - jl(a0 - eps, e0)) / (2 * eps)
+        fd_e = (jl(a0, e0 + eps) - jl(a0, e0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g["albedo"][0, 0]), float(fd_a),
+                                   rtol=0.05, atol=3e-4)
+        np.testing.assert_allclose(float(g["emission"][10, 1]), float(fd_e),
+                                   rtol=0.05, atol=3e-4)
+
+
+class TestTreeVsBruteforceGrad:
+    """The kd-tree path and the linear-scan path must produce the SAME
+    gradients (same math, different intersector)."""
+
+    def test_grad_consistency(self):
+        scene = icosphere(2)
+        tree = _tree_for(scene)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+
+        def make_loss(use_tree):
+            opts = RenderOptions(width=16, height=16, mode="normal",
+                                 use_tree=use_tree, differentiable=True)
+
+            def loss_fn(verts):
+                s = scene.with_verts(verts)
+                img = render_image(s, cam, opts,
+                                   tree=tree if use_tree else None)
+                return jnp.mean(img[6:10, 6:10])
+            return loss_fn
+
+        g_bf = jax.grad(make_loss(False))(scene.verts)
+        g_kd = jax.grad(make_loss(True))(scene.verts)
+        np.testing.assert_allclose(np.asarray(g_bf), np.asarray(g_kd),
+                                   rtol=1e-4, atol=1e-6)
