@@ -7,6 +7,15 @@ on a large random-triangle scene (BASELINE config[3] shape; north-star
 target 2e8 rays/s/chip at 1M tris). The reference publishes no numbers
 (SURVEY.md §6), so vs_baseline is measured against the BASELINE.json
 north-star target.
+
+Timing notes for the tunneled-TPU environment this runs in:
+* scene/tree construction is pinned to the host CPU backend (eager ops on
+  the remote device round-trip a network tunnel),
+* `block_until_ready` does not reliably block through the tunnel, so each
+  timed rep materializes a jitted scalar reduction of the image — the
+  device must finish the full render to produce it,
+* the tunnel round-trip latency is measured with a trivial jitted op and
+  subtracted.
 """
 
 import json
@@ -17,11 +26,17 @@ import time
 import numpy as np
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     scene_tris = int(os.environ.get("BENCH_TRIS", 1_000_000))
     width = int(os.environ.get("BENCH_W", 512))
     height = int(os.environ.get("BENCH_H", 512))
     reps = int(os.environ.get("BENCH_REPS", 5))
+    mode = os.environ.get("BENCH_MODE", "normal")
+    bounces = int(os.environ.get("BENCH_BOUNCES", 2))
 
     import jax
     import jax.numpy as jnp
@@ -32,53 +47,77 @@ def main():
     from clpathtracer_tpu.scene.procedural import random_tri_soup
 
     dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
+    log(f"# device: {dev}")
 
-    t0 = time.time()
-    scene = random_tri_soup(scene_tris, seed=0, extent=10.0, tri_size=0.01)
-    v0, v1, v2 = scene.tri_verts()
-    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], axis=1)
-    print(f"# scene gen: {time.time()-t0:.1f}s", file=sys.stderr)
-
-    t0 = time.time()
-    tree = build_kd_tree(tv, max_depth=22, leaf_size=4, tri_block=4)
-    print(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}",
-          file=sys.stderr)
+    # Build scene + tree pinned to host CPU (remote-device eager ops are
+    # tunnel round-trips); one device_put ships the finished arrays.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        t0 = time.time()
+        scene = random_tri_soup(scene_tris, seed=0, extent=10.0,
+                                tri_size=0.01)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)],
+                      axis=1)
+        log(f"# scene gen: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        tree = build_kd_tree(tv, max_depth=22, leaf_size=4, tri_block=4)
+    log(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}")
 
     cam = Camera.create(position=[0.0, 0.0, -25.0], forward=[0.0, 0.0, 1.0])
-    opts = RenderOptions(width=width, height=height, mode="normal",
-                         use_tree=True, tri_block=4)
+    opts = RenderOptions(width=width, height=height, mode=mode,
+                         bounces=bounces, use_tree=True, tri_block=4,
+                         background=0.0 if mode == "path" else 1.0)
 
     scene = jax.device_put(scene, dev)
     tree = jax.device_put(tree, dev)
+    key = jax.device_put(jax.random.PRNGKey(0), dev)
 
-    # compile
+    # Jitted render → scalar checksum; fetching the scalar forces the full
+    # render to complete on device (block_until_ready is unreliable here).
+    def render_sum(scene, camera, tree, key):
+        img = render_image(scene, camera, opts, tree=tree, key=key)
+        return jnp.sum(img), jnp.mean((img < 1.0).any(-1).astype(jnp.float32))
+
+    jf = jax.jit(render_sum)
+
     t0 = time.time()
-    img = render_image(scene, cam, opts, tree=tree)
-    img.block_until_ready()
-    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    s, hit_frac = jf(scene, cam, tree, key)
+    s = float(s)
+    log(f"# compile+first run: {time.time()-t0:.1f}s  checksum={s:.6g} "
+        f"hit_frac={float(hit_frac):.3f}")
 
-    # timed reps
+    # tunnel round-trip floor: trivial jitted op, same fetch pattern
+    triv = jax.jit(lambda x: x + 1.0)
+    _ = float(triv(jnp.float32(0.0)))
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        _ = float(triv(jnp.float32(1.0)))
+        rtts.append(time.time() - t0)
+    rtt = min(rtts)
+    log(f"# tunnel rtt floor: {rtt*1e3:.1f}ms")
+
     times = []
     for _ in range(reps):
         t0 = time.time()
-        img = render_image(scene, cam, opts, tree=tree)
-        img.block_until_ready()
+        s, _ = jf(scene, cam, tree, key)
+        s = float(s)
         times.append(time.time() - t0)
-    best = min(times)
+    best = max(min(times) - rtt, 1e-9)
     n_rays = width * height
     rays_per_s = n_rays / best
-    print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
-    print(f"# hit fraction: {float(jnp.mean((img < 1.0).any(-1))):.3f}",
-          file=sys.stderr)
+    log(f"# times: {[f'{t:.3f}' for t in times]} (rtt-adjusted best: "
+        f"{best:.3f}s)")
 
     target = 2e8  # BASELINE.json north-star rays/s/chip
     print(json.dumps({
-        "metric": f"primary rays/s/chip, {scene_tris} tris, kd traversal",
+        "metric": f"primary rays/s/chip, {scene_tris} tris, kd traversal, "
+                  f"mode={mode}",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / target,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

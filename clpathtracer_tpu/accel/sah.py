@@ -59,6 +59,9 @@ class FlatKdTree:
     leaf_count: jnp.ndarray   # [N] i32
     ropes: jnp.ndarray        # [N, 6] i32
     tri_indices: jnp.ndarray  # [T] i32 (concatenated leaf lists; -1 = pad)
+    node_table: jnp.ndarray = None  # [N, 24] f32 gather-packed mirror of
+    #   the columns above (ops/traverse_fast.py); present when the tree was
+    #   built with tri_block=4
 
     @property
     def num_nodes(self) -> int:
@@ -167,9 +170,16 @@ def _best_plane(b: _Builder, tri_ids: np.ndarray, lo: np.ndarray,
 
     if best is None:
         return None
-    _, axis, value = best
+    cost, axis, value = best
     # degenerate-split guard (src/kd_tree.c:158)
     if value <= lo[axis] or hi[axis] <= value:
+        return None
+    # leaf-cost termination (NOT in the reference, which splits to depth
+    # exhaustion and duplicates straddlers ~5x on big scenes): keep the
+    # node a leaf when splitting isn't cheaper, in the same area-augmented
+    # cost family: C_leaf = N * (S_box + sum tri areas).
+    s_box = 2.0 * (ext[0] * ext[1] + ext[1] * ext[2] + ext[2] * ext[0])
+    if cost >= len(tri_ids) * (s_box + sa.sum()):
         return None
     return axis, value
 
@@ -258,8 +268,31 @@ def _add_ropes(b_arrays: dict) -> np.ndarray:
     return ropes_out
 
 
+def tree_from_node_table(table: np.ndarray,
+                         tri_indices: np.ndarray) -> FlatKdTree:
+    """Reconstruct the full column layout from a packed [M, 24] node table
+    (the native builder's output; inverse of traverse_fast.pack_node_table).
+    """
+    flags = table[:, 7].astype(np.int32)
+    return FlatKdTree(
+        node_min=jnp.asarray(table[:, 0:3]),
+        node_max=jnp.asarray(table[:, 3:6]),
+        is_leaf=jnp.asarray(flags >= 4),
+        split_axis=jnp.asarray(flags & 3),
+        split_value=jnp.asarray(table[:, 6]),
+        child_lo=jnp.asarray(table[:, 8].astype(np.int32)),
+        child_hi=jnp.asarray(table[:, 9].astype(np.int32)),
+        leaf_start=jnp.asarray(table[:, 10].astype(np.int32) * 4),
+        leaf_count=jnp.asarray(table[:, 11].astype(np.int32)),
+        ropes=jnp.asarray(table[:, 12:18].astype(np.int32)),
+        tri_indices=jnp.asarray(tri_indices),
+        node_table=jnp.asarray(table),
+    )
+
+
 def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
-                  leaf_size: int = 1, tri_block: int = 1) -> FlatKdTree:
+                  leaf_size: int = 1, tri_block: int = 1,
+                  backend: str = "auto") -> FlatKdTree:
     """Build the SAH kd-tree with ropes.
 
     tri_verts: [F, 3, 3] f32 triangle corner positions (host numpy).
@@ -268,10 +301,22 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
     tri_block: pad each leaf's triangle list to a multiple of this with -1
       sentinels — lets the device intersector test fixed-size blocks with
       no tail logic. 1 = reference-exact compact layout.
+    backend: "auto" (native C++ when available for tri_block=4, else
+      numpy), "native", or "python".
 
     Mirrors build_kd's precompute (src/kd_tree.c:212-228): per-triangle
     area = |cross(B-A, C-A)| / 2 and the world AABB from vertex extremes.
     """
+    if backend in ("auto", "native") and tri_block == 4:
+        from clpathtracer_tpu.accel import native
+        try:
+            table, tri_indices = native.build_kd_native(
+                np.asarray(tri_verts, np.float32), max_depth,
+                max(1, leaf_size), tri_block)
+            return tree_from_node_table(table, tri_indices)
+        except native.NativeBuildError:
+            if backend == "native":
+                raise
     tri_verts = np.asarray(tri_verts, np.float64)
     assert tri_verts.ndim == 3 and tri_verts.shape[1:] == (3, 3), tri_verts.shape
     nf = tri_verts.shape[0]
@@ -310,7 +355,13 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
     if tri_block > 1:
         tri_indices, arrays = _pad_leaves(tri_indices, arrays, tri_block)
 
+    node_table = None
+    if tri_block == 4:
+        from clpathtracer_tpu.ops.traverse_fast import pack_node_table
+        node_table = jnp.asarray(pack_node_table(arrays))
+
     return FlatKdTree(
+        node_table=node_table,
         node_min=jnp.asarray(arrays["node_min"]),
         node_max=jnp.asarray(arrays["node_max"]),
         is_leaf=jnp.asarray(arrays["is_leaf"]),

@@ -49,9 +49,16 @@ def intersect_diff(scene, tree, orig, dir, tri_block: int = 4,
     sg = jax.lax.stop_gradient
     if tree is not None:
         v0, v1, v2 = scene.tri_verts()
-        packed = PackedTris.pack(tree, sg(v0), sg(v1), sg(v2))
-        rec = traverse(tree, packed, sg(orig), sg(dir),
-                       tri_block=tri_block, max_iters=max_iters)
+        if tree.node_table is not None and tri_block == 4:
+            from clpathtracer_tpu.ops.traverse_fast import (
+                pack_quads, traverse_fast)
+            quads = pack_quads(tree.tri_indices, sg(v0), sg(v1), sg(v2))
+            rec = traverse_fast(tree, quads, sg(orig), sg(dir),
+                                max_iters=max_iters)
+        else:
+            packed = PackedTris.pack(tree, sg(v0), sg(v1), sg(v2))
+            rec = traverse(tree, packed, sg(orig), sg(dir),
+                           tri_block=tri_block, max_iters=max_iters)
         tri = rec["tri"]
         hit = rec["hit"]
     else:

@@ -93,6 +93,9 @@ def traverse(tree, packed: PackedTris, orig: jnp.ndarray, dir: jnp.ndarray,
     best_t = jnp.full((n,), BIG)
     best_slot = jnp.full((n,), -1, jnp.int32)  # row into packed arrays
     offset = jnp.zeros((n,), jnp.int32)        # progress through current leaf
+    steps = jnp.zeros((n,), jnp.int32)         # per-ray wavefront iterations
+    # (the reference's in-kernel `count` heatmap instrumentation,
+    # src/kernel.cl:319-331 — kept as a real output channel here)
 
     num_tris_packed = packed.tri_id.shape[0]
 
@@ -130,7 +133,8 @@ def traverse(tree, packed: PackedTris, orig: jnp.ndarray, dir: jnp.ndarray,
         return jnp.any(active) & (it < max_iters)
 
     def body_fn(state):
-        node, p, active, best_t, best_slot, offset, it = state
+        node, p, active, best_t, best_slot, offset, steps, it = state
+        steps = steps + active.astype(jnp.int32)
         nd_safe = jnp.maximum(node, 0)
 
         # --- leaf triangle block test (src/kernel.cl:332-369) ---
@@ -186,10 +190,10 @@ def traverse(tree, packed: PackedTris, orig: jnp.ndarray, dir: jnp.ndarray,
 
         # rays that hopped to an interior rope target descend again
         node, p, active = descend((node, p, active))
-        return node, p, active, best_t, best_slot, offset, it + 1
+        return node, p, active, best_t, best_slot, offset, steps, it + 1
 
-    state = (node, p, active, best_t, best_slot, offset, jnp.int32(0))
-    _, _, _, best_t, best_slot, _, _ = jax.lax.while_loop(
+    state = (node, p, active, best_t, best_slot, offset, steps, jnp.int32(0))
+    _, _, _, best_t, best_slot, _, steps, _ = jax.lax.while_loop(
         cond_fn, body_fn, state)
 
     hit = best_slot >= 0
@@ -207,4 +211,5 @@ def traverse(tree, packed: PackedTris, orig: jnp.ndarray, dir: jnp.ndarray,
         "tri": tri.astype(jnp.int32),
         "u": jnp.where(hit, u, 0.0),
         "v": jnp.where(hit, v, 0.0),
+        "steps": steps,
     }

@@ -1,0 +1,329 @@
+"""Gather-optimized wavefront kd traversal (the TPU fast path).
+
+Semantics-identical to ops/traverse.py (same rope-walk as the reference
+kernel, src/kernel.cl:296-422 — see that module's docstring for the exact
+rules preserved), restructured around one measured fact about XLA on TPU:
+per-lane gathers of WIDE contiguous rows run ~50x faster than scalar
+gathers (a [65k]-lane gather of 16-128 consecutive f32 runs at HBM-class
+throughput ~130us, while ten 1-wide gathers cost ~5-6ms).
+
+So all per-node state is packed into ONE 24-wide f32 row and each leaf's
+triangles into 64-wide "quad rows" of 4 pre-differenced triangles:
+
+  node_table [M, 24] f32:
+    0:3 aabb min | 3:6 aabb max | 6 split_value
+    7  flags = axis + 4*is_leaf          (small ints exact in f32)
+    8  child_lo | 9 child_hi             (node ids as f32)
+    10 quad_start | 11 tri_count         (leaf tri list, quad units/tris)
+    12:18 ropes (node ids as f32, -1 = exit) | 18:24 pad
+
+  quad_table [Q, 64] f32: 4 x (v0[3], e1[3], e2[3], tri_id, pad[6])
+    e1 = v1 - v0, e2 = v2 - v0 precomputed: Moller-Trumbore starts from
+    the edge vectors, saving 6 subtractions per test and 2/9 of the bytes.
+
+One iteration of the fused while_loop advances EVERY ray by one step of
+the reference's algorithm — one split descent OR one 4-triangle block test
+(+ rope hop) — at a cost of exactly two wide gathers. Rays at splits waste
+the quad gather (lanes are lockstep; masked), which measurement shows is
+far cheaper than a second control loop.
+
+Node/tri ids ride in f32: exact for ids < 2^24 (guarded at pack time) —
+a 16M-node tree is ~40x larger than the 1M-tri bench scene needs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clpathtracer_tpu.ops.intersect import hit_aabb
+
+BIG = 3.4e38
+EXIT_EPS = 0.001  # reference early-exit slack (src/kernel.cl:381)
+QBLOCK = 4        # triangles per quad row; leaf lists padded to this
+
+
+def pack_node_table(arrays: dict) -> np.ndarray:
+    """Build the [M, 24] node table from the builder's SoA dict (host-side
+    numpy, called once by build_kd_tree; stored on FlatKdTree.node_table).
+    """
+    is_leaf = np.asarray(arrays["is_leaf"])
+    leaf_start = np.asarray(arrays["leaf_start"])
+    m = len(is_leaf)
+    assert m < (1 << 24), f"{m} nodes overflows f32-exact int range"
+    assert (leaf_start[is_leaf] % QBLOCK == 0).all(), (
+        "leaf tri lists must be padded to tri_block=4 (quad rows)")
+    t = np.zeros((m, 24), np.float32)
+    t[:, 0:3] = np.asarray(arrays["node_min"], np.float32)
+    t[:, 3:6] = np.asarray(arrays["node_max"], np.float32)
+    t[:, 6] = np.asarray(arrays["split_value"], np.float32)
+    t[:, 7] = (np.asarray(arrays["split_axis"])
+               + 4 * is_leaf.astype(np.int32)).astype(np.float32)
+    t[:, 8] = np.asarray(arrays["child_lo"], np.float32)
+    t[:, 9] = np.asarray(arrays["child_hi"], np.float32)
+    t[:, 10] = (leaf_start // QBLOCK).astype(np.float32)
+    t[:, 11] = np.asarray(arrays["leaf_count"], np.float32)
+    t[:, 12:18] = np.asarray(arrays["ropes"], np.float32)
+    return t
+
+
+def pack_quads(tri_slots: jnp.ndarray, v0, v1, v2) -> jnp.ndarray:
+    """Build the [Q, 64] quad rows on device from scene vertices.
+
+    tri_slots: [T] i32 (T % 4 == 0); v0/v1/v2: [F, 3] corner positions.
+    Recomputed per frame (cheap: a handful of dense gathers) so vertex
+    updates during optimization are honored.
+    """
+    tcount = tri_slots.shape[0]
+    assert tcount % QBLOCK == 0, tcount
+    safe = jnp.maximum(tri_slots, 0)
+    a = v0[safe]                       # [T, 3]
+    e1 = v1[safe] - a
+    e2 = v2[safe] - a
+    tid = tri_slots.astype(jnp.float32)[:, None]
+    pad = jnp.zeros((tcount, 6), a.dtype)
+    rows16 = jnp.concatenate([a, e1, e2, tid, pad], axis=1)  # [T, 16]
+    return rows16.reshape(tcount // QBLOCK, 64)
+
+
+def _mt_pre(v0, e1, e2, orig, dir, eps=0.0):
+    """Moller-Trumbore from pre-differenced edges; identical arithmetic to
+    ops.intersect.moller_trumbore after its first two subtractions."""
+    pvec = jnp.cross(dir, e2)
+    det = jnp.sum(e1 * pvec, -1)
+    ok = det > eps
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvec = orig - v0
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    ok = ok & (u >= 0.0) & (u <= 1.0)
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(dir * qvec, -1) * inv_det
+    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+    t = jnp.sum(e2 * qvec, -1) * inv_det
+    ok = ok & (t > 0.0)
+    return ok, t, u, v
+
+
+def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
+                  max_iters: int = 16384, compact: bool = True):
+    """Trace a wavefront through the packed kd-tree.
+
+    tree: FlatKdTree with a `node_table` (built by build_kd_tree with
+    tri_block=4). quads: [Q, 64] from pack_quads. Returns the same record
+    as ops.traverse.traverse: dict of [N] arrays hit/t/tri/u/v/steps.
+
+    `compact=True` adds geometric wind-down: when at most half the rays
+    remain active the wavefront is permuted and halved, so stragglers don't
+    drag full-width iterations along (mean steps/ray is typically 3x below
+    max).
+    """
+    n = orig.shape[0]
+    table = tree.node_table
+    tri_slots = tree.tri_indices
+    tcount = tri_slots.shape[0]
+    nq = quads.shape[0]
+
+    invdir = 1.0 / dir
+    sign = (invdir < 0).astype(jnp.int32)
+
+    root_lo = table[0, 0:3]
+    root_hi = table[0, 3:6]
+    rhit, rtmin, _, _, _ = hit_aabb(root_lo, root_hi, orig, invdir, sign)
+    p = orig + jnp.where(rtmin > 0, rtmin, 0.0)[:, None] * dir
+
+    node0 = jnp.where(rhit, 0, -1).astype(jnp.int32)
+    # derive constants from varying inputs (node0*0) so the while_loop
+    # carry stays type-stable under shard_map's varying-axes analysis
+    zero_i = node0 * 0
+    state = {
+        "node": node0,
+        "p": p,
+        "active": rhit,
+        "best_t": BIG + orig[:, 0] * 0.0 + table[0, 0] * 0.0,
+        "best_slot": zero_i - 1,
+        "offset": zero_i,
+        "steps": zero_i,
+        "orig": orig,
+        "dir": dir,
+        "invdir": invdir,
+        "sign": sign,
+    }
+
+    def body(s):
+        node, act = s["node"], s["active"]
+        o, d, inv, sg = s["orig"], s["dir"], s["invdir"], s["sign"]
+        row = table[jnp.maximum(node, 0)]              # [n', 24] wide gather
+        flags = row[:, 7].astype(jnp.int32)
+        axis = flags & 3
+        is_leaf = flags >= 4
+
+        # --- split descent (src/kernel.cl:325-330) ---
+        # per-lane axis select as arithmetic where-chains: take_along_axis
+        # lowers to a narrow per-lane gather that costs ~50x a wide one
+        pp = s["p"]
+        pax = jnp.where(axis == 0, pp[:, 0],
+                        jnp.where(axis == 1, pp[:, 1], pp[:, 2]))
+        go_hi = pax > row[:, 6]
+        child = jnp.where(go_hi, row[:, 9], row[:, 8]).astype(jnp.int32)
+
+        # --- leaf: one 4-tri quad row test (src/kernel.cl:332-369) ---
+        qstart = row[:, 10].astype(jnp.int32)
+        count = row[:, 11].astype(jnp.int32)
+        qidx = qstart + s["offset"] // QBLOCK
+        qrow = quads[jnp.clip(qidx, 0, nq - 1)]        # [n', 64] wide gather
+        qr = qrow.reshape(-1, QBLOCK, 16)
+        tv0, te1, te2 = qr[..., 0:3], qr[..., 3:6], qr[..., 6:9]
+        tid = qr[..., 9].astype(jnp.int32)             # [n', 4]
+        in_leaf = (s["offset"][:, None] + jnp.arange(QBLOCK)[None, :]
+                   ) < count[:, None]
+        valid = in_leaf & (tid >= 0) & (act & is_leaf)[:, None]
+        ok, t, _, _ = _mt_pre(tv0, te1, te2, o[:, None, :], d[:, None, :])
+        ok = ok & valid
+        t_m = jnp.where(ok, t, BIG)
+        # reference tie rule: later tris win ties within the scan order →
+        # last argmin in the block, then `<=` against the carried best.
+        # bt == row min by construction; lane picked without per-lane
+        # gathers (reductions only)
+        k = (QBLOCK - 1) - jnp.argmin(t_m[:, ::-1], axis=1)
+        bt = jnp.min(t_m, axis=1)
+        bslot = (qidx * QBLOCK + k).astype(jnp.int32)
+        has = bt < BIG
+        take = has & (bt <= s["best_t"])
+        best_t = jnp.where(take, bt, s["best_t"])
+        best_slot = jnp.where(take, bslot, s["best_slot"])
+
+        # --- advance: next block, or rope hop (src/kernel.cl:370-388) ---
+        offset_next = s["offset"] + QBLOCK
+        leaf_done = offset_next >= count
+        # exit-face-only slab walk inline (traverse_AABB,
+        # src/kernel.cl:146-174) reusing the gathered row
+        lo3, hi3 = row[:, 0:3], row[:, 3:6]
+        sgf = sg.astype(lo3.dtype)
+        near_b = lo3 + sgf * (hi3 - lo3)
+        far_b = hi3 - sgf * (hi3 - lo3)
+        t_near = (near_b - o) * inv
+        t_far = (far_b - o) * inv
+        tmin = t_near[:, 0]
+        tmax = t_far[:, 0]
+        far_face = 1 - sg[:, 0]
+        tmin = jnp.maximum(tmin, t_near[:, 1])
+        tk = t_far[:, 1] < tmax
+        far_face = jnp.where(tk, 3 - sg[:, 1], far_face)
+        tmax = jnp.where(tk, t_far[:, 1], tmax)
+        tmin = jnp.maximum(tmin, t_near[:, 2])
+        tk = t_far[:, 2] < tmax
+        far_face = jnp.where(tk, 5 - sg[:, 2], far_face)
+        tmax = jnp.where(tk, t_far[:, 2], tmax)
+
+        did_hit = best_slot >= 0
+        early_exit = did_hit & (tmin + EXIT_EPS > best_t)
+        # 6-way rope select as a where-chain (no per-lane gather)
+        rope_f = row[:, 12]
+        for f in range(1, 6):
+            rope_f = jnp.where(far_face == f, row[:, 12 + f], rope_f)
+        rope = rope_f.astype(jnp.int32)
+        new_node = jnp.where(early_exit, -1, rope)
+        p_hop = o + tmax[:, None] * d
+
+        at_split = act & ~is_leaf
+        hop = act & is_leaf & leaf_done
+        stay = act & is_leaf & ~leaf_done
+
+        node = jnp.where(at_split, child, jnp.where(hop, new_node, node))
+        p = jnp.where(hop[:, None], p_hop, s["p"])
+        offset = jnp.where(stay, offset_next, 0)
+        active = act & jnp.where(hop, new_node >= 0, True)
+
+        return {**s, "node": node, "p": p, "active": active,
+                "best_t": best_t, "best_slot": best_slot, "offset": offset,
+                "steps": s["steps"] + act.astype(jnp.int32)}
+
+    def run_loop(s, limit, it0):
+        def cond(c):
+            s, it = c
+            return jnp.any(s["active"]) & (it < it0 + limit) & (
+                jnp.sum(s["active"]) > (s["active"].shape[0] // 2
+                                        if compact else -1))
+        def bd(c):
+            s, it = c
+            return body(s), it + 1
+        return jax.lax.while_loop(cond, bd, (s, it0))
+
+    if not compact:
+        def cond(c):
+            s, it = c
+            return jnp.any(s["active"]) & (it < max_iters)
+        def bd(c):
+            s, it = c
+            return body(s), it + 1
+        state, _ = jax.lax.while_loop(cond, bd, (state, jnp.int32(0)))
+        out = state
+        perm = None
+    else:
+        # Geometric wind-down: run until ≤ half the lanes are active, then
+        # permute actives to the front and halve the wavefront. Straggler
+        # rays (deep rope walks) stop costing full-width iterations.
+        results_t = jnp.full((n,), BIG)
+        results_slot = jnp.full((n,), -1, jnp.int32)
+        results_steps = jnp.zeros((n,), jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        state["ridx"] = idx
+        it = jnp.int32(0)
+        size = n
+        # below ~2k lanes a wide gather is latency-bound, not width-bound —
+        # narrower wavefronts stop paying off
+        min_size = min(n, max(2048, n // 32))
+        while size >= min_size:
+            (state, it) = run_loop(state, max_iters, it)
+            # fold finished lanes' results out, keep actives
+            results_t = results_t.at[state["ridx"]].set(state["best_t"])
+            results_slot = results_slot.at[state["ridx"]].set(
+                state["best_slot"])
+            results_steps = results_steps.at[state["ridx"]].set(
+                state["steps"])
+            if size <= min_size:
+                break
+            order = jnp.argsort(~state["active"])  # actives first, stable
+            half = size // 2
+            state = jax.tree.map(lambda a: a[order[:half]], state)
+            size = half
+        # tail: finish remaining stragglers at min width
+        def cond(c):
+            s, it = c
+            return jnp.any(s["active"]) & (it < max_iters)
+        def bd(c):
+            s, it = c
+            return body(s), it + 1
+        state, _ = jax.lax.while_loop(cond, bd, (state, it))
+        results_t = results_t.at[state["ridx"]].set(state["best_t"])
+        results_slot = results_slot.at[state["ridx"]].set(state["best_slot"])
+        results_steps = results_steps.at[state["ridx"]].set(state["steps"])
+        out = {"best_t": results_t, "best_slot": results_slot,
+               "steps": results_steps}
+
+    best_slot = out["best_slot"]
+    best_t = out["best_t"]
+    hit = best_slot >= 0
+    slot_safe = jnp.clip(best_slot, 0, tcount - 1)
+
+    # differentiable-friendly re-resolve at the winning triangle, matching
+    # ops.traverse.traverse's output exactly. Lane extraction as a 4-way
+    # select (per-lane fancy indexing would be a slow narrow gather); the
+    # triangle id comes from the quad row itself — no extra gather.
+    qsel = quads[slot_safe // QBLOCK].reshape(-1, QBLOCK, 16)
+    lane = slot_safe % QBLOCK
+    sel = qsel[:, 0, :]
+    for j in range(1, QBLOCK):
+        sel = jnp.where((lane == j)[:, None], qsel[:, j, :], sel)
+    v0s, e1s, e2s = sel[:, 0:3], sel[:, 3:6], sel[:, 6:9]
+    ok, t, u, v = _mt_pre(v0s, e1s, e2s, orig, dir)
+    tri = jnp.where(hit, sel[:, 9].astype(jnp.int32), -1)
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, BIG),
+        "tri": tri.astype(jnp.int32),
+        "u": jnp.where(hit, u, 0.0),
+        "v": jnp.where(hit, v, 0.0),
+        "steps": out["steps"],
+    }

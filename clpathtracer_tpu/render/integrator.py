@@ -34,6 +34,7 @@ from clpathtracer_tpu.core.camera import (
 from clpathtracer_tpu.ops.intersect import (
     hit_sphere, moller_trumbore, nearest_hit_bruteforce)
 from clpathtracer_tpu.ops.traverse import PackedTris, traverse
+from clpathtracer_tpu.ops.traverse_fast import pack_quads, traverse_fast
 from clpathtracer_tpu.render.shading import (
     cosine_sample_hemisphere, normal_color, resolve_sphere_hits,
     resolve_tri_hits)
@@ -58,7 +59,8 @@ class RenderOptions:
     tri_block: int = 4         # must divide the tree's leaf padding
     background: float = 1.0    # miss shade (reference blends toward white)
     bounce_eps: float = 1e-4   # reflection origin offset (src/kernel.cl:401)
-    max_iters: int = 4096      # traversal safety cap
+    max_iters: int = 16384     # traversal safety cap
+    compact: bool = True       # wavefront wind-down compaction (fast path)
     differentiable: bool = False  # detached-topology hits (diff/grad.py) so
     #   jax.grad flows through t/u/v to camera, verts and materials
 
@@ -81,9 +83,17 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions):
         out = dict(out)
     elif opts.use_tree and tree is not None and scene.num_tris > 0:
         v0, v1, v2 = scene.tri_verts()
-        packed = PackedTris.pack(tree, v0, v1, v2)
-        rec = traverse(tree, packed, orig, dir,
-                       tri_block=opts.tri_block, max_iters=opts.max_iters)
+        if tree.node_table is not None and opts.tri_block == 4:
+            # gather-packed fast path (ops/traverse_fast.py)
+            quads = pack_quads(tree.tri_indices, v0, v1, v2)
+            rec = traverse_fast(tree, quads, orig, dir,
+                                max_iters=opts.max_iters,
+                                compact=opts.compact)
+        else:
+            packed = PackedTris.pack(tree, v0, v1, v2)
+            rec = traverse(tree, packed, orig, dir,
+                           tri_block=opts.tri_block,
+                           max_iters=opts.max_iters)
         out = {"hit": rec["hit"], "t": rec["t"], "tri": rec["tri"],
                "u": rec["u"], "v": rec["v"]}
     elif scene.num_tris > 0:

@@ -22,7 +22,7 @@ CACHE_SUFFIX = ".kd.npz"  # the reference's "<model>.kd" (src/model.c:22)
 
 _TREE_FIELDS = ("node_min", "node_max", "is_leaf", "split_axis",
                 "split_value", "child_lo", "child_hi", "leaf_start",
-                "leaf_count", "ropes", "tri_indices")
+                "leaf_count", "ropes", "tri_indices", "node_table")
 _SCENE_FIELDS = ("verts", "faces", "normals", "albedo", "emission",
                  "sphere_pos", "sphere_radius", "sphere_albedo",
                  "sphere_emission")
@@ -32,7 +32,10 @@ def save_scene_cache(path: str, scene: Scene, tree: FlatKdTree) -> None:
     """Serialize scene + built tree (reference: src/kd_tree.c:239-274)."""
     arrays = {}
     for f in _TREE_FIELDS:
-        arrays["tree_" + f] = np.asarray(getattr(tree, f))
+        val = getattr(tree, f)
+        if val is None:  # node_table absent for non-quad trees
+            continue
+        arrays["tree_" + f] = np.asarray(val)
     for f in _SCENE_FIELDS:
         arrays["scene_" + f] = np.asarray(getattr(scene, f))
     with open(path, "wb") as fh:
@@ -45,7 +48,8 @@ def load_scene_cache(path: str) -> Tuple[Scene, FlatKdTree]:
 
     with np.load(path) as z:
         tree = FlatKdTree(**{f: jnp.asarray(z["tree_" + f])
-                             for f in _TREE_FIELDS})
+                             for f in _TREE_FIELDS
+                             if "tree_" + f in z})
         scene = Scene(**{f: jnp.asarray(z["scene_" + f])
                          for f in _SCENE_FIELDS})
     return scene, tree

@@ -1,0 +1,69 @@
+"""traverse_fast must be output-identical to the reference wavefront
+traversal (ops/traverse.py) — same hits, same t (bitwise), same tri ids —
+on every fixture, with and without wind-down compaction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clpathtracer_tpu.accel.sah import build_kd_tree
+from clpathtracer_tpu.core.camera import Camera, cam_matrix, generate_rays
+from clpathtracer_tpu.ops.traverse import PackedTris, traverse
+from clpathtracer_tpu.ops.traverse_fast import pack_quads, traverse_fast
+from clpathtracer_tpu.scene.procedural import (
+    cornell_box, icosphere, random_tri_soup)
+
+
+def _fixture(scene, w=32, h=32, pos=(0.0, 0.0, -1.0)):
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4)
+    cam = Camera.create(position=list(pos), forward=[0.0, 0.0, 1.0])
+    cam_inv = cam_matrix(cam, h)
+    orig, dir = generate_rays(cam_inv, w, h)
+    return scene, tree, orig, dir, (v0, v1, v2)
+
+
+@pytest.mark.parametrize("compact", [False, True])
+@pytest.mark.parametrize("make", [
+    lambda: cornell_box(light=False),
+    lambda: icosphere(2),
+    lambda: random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+])
+def test_fast_matches_reference(make, compact):
+    scene, tree, orig, dir, (v0, v1, v2) = _fixture(make())
+    assert tree.node_table is not None
+
+    packed = PackedTris.pack(tree, v0, v1, v2)
+    ref = traverse(tree, packed, orig, dir, tri_block=4)
+
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    fast = jax.jit(lambda q, o, d: traverse_fast(
+        tree, q, o, d, compact=compact))(quads, orig, dir)
+
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(fast["hit"]))
+    np.testing.assert_array_equal(np.asarray(ref["tri"]),
+                                  np.asarray(fast["tri"]))
+    # t/u re-resolves fuse differently (pre-differenced edges) → allow
+    # last-ulp wobble, nothing more
+    np.testing.assert_allclose(np.asarray(ref["t"]), np.asarray(fast["t"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref["u"]), np.asarray(fast["u"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_soup_vs_bruteforce():
+    """Fast traversal agrees with the linear-scan oracle on hit geometry."""
+    from clpathtracer_tpu.ops.intersect import nearest_hit_bruteforce
+    scene = random_tri_soup(2000, seed=3, extent=2.0, tri_size=0.05)
+    scene, tree, orig, dir, (v0, v1, v2) = _fixture(scene, pos=(0, 0, -4.0))
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    fast = traverse_fast(tree, quads, orig, dir)
+    bf = nearest_hit_bruteforce(scene, orig, dir)
+    np.testing.assert_array_equal(np.asarray(fast["hit"]),
+                                  np.asarray(bf["hit"]))
+    h = np.asarray(fast["hit"])
+    np.testing.assert_allclose(np.asarray(fast["t"])[h],
+                               np.asarray(bf["t"])[h], rtol=1e-5)
