@@ -1,0 +1,310 @@
+"""Pallas packet traversal: coherent ray tiles vs a VMEM-resident kd-tree.
+
+The XLA wavefront (ops/traverse_fast.py) is gather-bound: ~200 wide
+gathers per ray at ~130-260us per 65k-lane gather puts a hard ~2M rays/s
+ceiling on one chip. This kernel removes per-lane gathers entirely by
+exploiting RAY COHERENCE — the classic packet-tracing reformulation, which
+is exactly the shape TPUs want:
+
+* each grid program owns a TILE of rays (1024 = 8 sublanes x 128 lanes),
+* ONE scalar stack traversal per tile (SMEM stack, scalar node reads from
+  the VMEM-resident node table) culls subtrees against a conservative
+  interval bound of the whole packet — control flow is per-tile scalar,
+  exactly what the TPU scalar core is for,
+* surviving leaves are intersected DENSELY: [4, TILE] Moller-Trumbore per
+  quad row on the VPU — pure vector arithmetic, no gathers (measured
+  ~4.8G tri-tests/s),
+* packet-wide early termination: subtrees farther than the packet's
+  current worst best-hit are skipped.
+
+Results are exact per ray (the packet test only ever over-approximates:
+every leaf that could beat a ray's current best is still tested densely).
+Intra-leaf tie order matches the reference scan order; across-subtree
+exact-t ties may resolve differently than the rope walk (both are valid
+nearest hits with equal t).
+
+Stage A scope: node table + triangle rows must fit VMEM (~12 MB budget →
+~100k triangles). Larger scenes fall back to the wavefront; treelet
+staging from HBM is the planned stage B.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3.4e38
+TILE = 1024          # rays per packet: 8 sublanes x 128 lanes
+STACK_DEPTH = 64
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def packet_supported(tree, n_rays: int) -> bool:
+    if tree is None or tree.node_table is None:
+        return False
+    if n_rays % TILE != 0:
+        return False
+    table_bytes = tree.node_table.shape[0] * 24 * 4
+    tri_bytes = tree.tri_indices.shape[0] * 16 * 4
+    return table_bytes + tri_bytes <= VMEM_BUDGET
+
+
+def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref):
+    # --- per-tile ray data: [1, T] row vectors (SoA rows) ---
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+
+    # --- conservative packet bounds (scalars) ---
+    inv_big = 1e30
+    def inv_bounds(dc):
+        inv = jnp.clip(1.0 / dc, -inv_big, inv_big)
+        return jnp.min(inv), jnp.max(inv)
+    ixl, ixh = inv_bounds(dx)
+    iyl, iyh = inv_bounds(dy)
+    izl, izh = inv_bounds(dz)
+    oxl, oxh = jnp.min(ox), jnp.max(ox)
+    oyl, oyh = jnp.min(oy), jnp.max(oy)
+    ozl, ozh = jnp.min(oz), jnp.max(oz)
+    obnd = ((oxl, oxh), (oyl, oyh), (ozl, ozh))
+    ibnd = ((ixl, ixh), (iyl, iyh), (izl, izh))
+
+    def axis_interval(lo_a, hi_a, ob, ib):
+        """Conservative [min t_near, max t_far] for one axis over the whole
+        packet; non-uniform direction sign → unbounded (axis can't cull)."""
+        ol, oh = ob
+        il, ih = ib
+        uniform = il * ih > 0.0
+        pos = il > 0.0
+        nearb = jnp.where(pos, lo_a, hi_a)
+        farb = jnp.where(pos, hi_a, lo_a)
+        def prods(b):
+            c1 = (b - ol) * il
+            c2 = (b - ol) * ih
+            c3 = (b - oh) * il
+            c4 = (b - oh) * ih
+            return (jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
+                    jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)))
+        near_min, _ = prods(nearb)
+        _, far_max = prods(farb)
+        near_min = jnp.where(uniform, near_min, -inv_big)
+        far_max = jnp.where(uniform, far_max, inv_big)
+        return near_min, far_max
+
+    # --- traversal state ---
+    best_t0 = jnp.full((1, TILE), BIG, jnp.float32)
+    best_s0 = jnp.full((1, TILE), -1.0, jnp.float32)
+    stack_ref[0] = 0  # root
+
+    def mt_block(qbase, count_left, best_t, best_s):
+        """Dense [4, T] Moller-Trumbore of one quad row (4 consecutive
+        16-wide tri rows starting at tri row qbase)."""
+        blk = tris_ref[pl.ds(qbase, 4), :]       # [4, 16]
+        def col(j):
+            return blk[:, j:j + 1]               # [4, 1]
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        tid = col(9)
+        # pvec = cross(d, e2) ; [4, T] via [4,1]x[1,T]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = det > 0.0
+        invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        u = (tx * px + ty * py + tz * pz) * invd
+        ok = ok & (u >= 0.0) & (u <= 1.0)
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * invd
+        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        tt = (e2x * qx + e2y * qy + e2z * qz) * invd
+        ok = ok & (tt > 0.0) & (tid >= 0.0)
+        # sequential lanes preserve the reference's later-wins tie order
+        for k in range(4):
+            okk = ok[k:k + 1, :] & (k < count_left)
+            tk = tt[k:k + 1, :]
+            take = okk & (tk <= best_t)
+            best_t = jnp.where(take, tk, best_t)
+            best_s = jnp.where(take, (qbase + k) * 1.0, best_s)
+        return best_t, best_s
+
+    def body(state):
+        sp, best_t, best_s, t_upper = state
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+
+        lo_x = table_ref[node, 0]
+        lo_y = table_ref[node, 1]
+        lo_z = table_ref[node, 2]
+        hi_x = table_ref[node, 3]
+        hi_y = table_ref[node, 4]
+        hi_z = table_ref[node, 5]
+        nx_min, nx_max = axis_interval(lo_x, hi_x, obnd[0], ibnd[0])
+        ny_min, ny_max = axis_interval(lo_y, hi_y, obnd[1], ibnd[1])
+        nz_min, nz_max = axis_interval(lo_z, hi_z, obnd[2], ibnd[2])
+        t_enter = jnp.maximum(jnp.maximum(nx_min, ny_min), nz_min)
+        t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
+        overlap = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter <= t_upper)
+
+        flags = table_ref[node, 7].astype(jnp.int32)
+        is_leaf = flags >= 4
+
+        def do_leaf(sp, best_t, best_s, t_upper):
+            qstart = table_ref[node, 10].astype(jnp.int32)
+            count = table_ref[node, 11].astype(jnp.int32)
+            nrows = (count + 3) // 4
+
+            def row_body(r, c):
+                bt, bs = c
+                return mt_block(qstart * 4 + r * 4, count - r * 4, bt, bs)
+
+            best_t, best_s = jax.lax.fori_loop(
+                0, nrows, row_body, (best_t, best_s))
+            return sp, best_t, best_s, jnp.max(best_t)
+
+        def do_split(sp, best_t, best_s, t_upper):
+            axis = flags & 3
+            cl = table_ref[node, 8].astype(jnp.int32)
+            ch = table_ref[node, 9].astype(jnp.int32)
+            il = jax.lax.switch(axis, [lambda: ixl, lambda: iyl,
+                                       lambda: izl])
+            ih_ = jax.lax.switch(axis, [lambda: ixh, lambda: iyh,
+                                        lambda: izh])
+            near_is_lo = il + ih_ > 0.0
+            near = jnp.where(near_is_lo, cl, ch)
+            far = jnp.where(near_is_lo, ch, cl)
+            stack_ref[sp] = far
+            stack_ref[sp + 1] = near
+            return sp + 2, best_t, best_s, t_upper
+
+        def visit(sp, best_t, best_s, t_upper):
+            return jax.lax.cond(is_leaf, do_leaf, do_split,
+                                sp, best_t, best_s, t_upper)
+
+        return jax.lax.cond(
+            overlap, visit,
+            lambda sp, bt, bs, tu: (sp, bt, bs, tu),
+            sp, best_t, best_s, t_upper)
+
+    def cond(state):
+        sp, _, _, _ = state
+        return sp > 0
+
+    _, best_t, best_s, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG)))
+
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _packet_call(table, tris16, orig_t, dir_t, interpret=False):
+    n = orig_t.shape[1]
+    n_tiles = n // TILE
+    return pl.pallas_call(
+        _kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # node table
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # tri rows
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),       # origins
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),       # directions
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(table, tris16, orig_t, dir_t)
+
+
+def _blockify(x, h, w, th, tw):
+    """Row-major [h*w, ...] → tile-major (each (th, tw) pixel block
+    contiguous). Pure reshape/transpose — no gathers."""
+    tail = x.shape[1:]
+    x = x.reshape(h // th, th, w // tw, tw, *tail)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(h * w, *tail)
+
+
+def _unblockify(x, h, w, th, tw):
+    tail = x.shape[1:]
+    x = x.reshape(h // th, w // tw, th, tw, *tail)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(h * w, *tail)
+
+
+def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
+                    interpret: bool = None, image_shape=None):
+    """Packet-trace a coherent wavefront. Same record contract as
+    traverse_fast (minus per-ray step counts, which have no meaning for a
+    shared-stack packet walk: steps = 0).
+
+    image_shape: optional (height, width) of the row-major pixel wavefront;
+    when divisible into 32x32 blocks, rays are regrouped so each packet is
+    a square screen tile instead of a 4-scanline sliver — much tighter
+    packet bounds, several-fold fewer node visits.
+    """
+    n = orig.shape[0]
+    assert n % TILE == 0, (n, TILE)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    th = tw = 32
+    blocked = (image_shape is not None
+               and image_shape[0] % th == 0 and image_shape[1] % tw == 0)
+    if blocked:
+        h, w = image_shape
+        orig_b = _blockify(orig, h, w, th, tw)
+        dir_b = _blockify(dir, h, w, th, tw)
+    else:
+        orig_b, dir_b = orig, dir
+
+    tris16 = quads.reshape(-1, 16)
+    out_t, out_s = _packet_call(tree.node_table, tris16,
+                                orig_b.T.astype(jnp.float32),
+                                dir_b.T.astype(jnp.float32),
+                                interpret=interpret)
+    best_t = out_t[0]
+    best_slot = out_s[0].astype(jnp.int32)
+    if blocked:
+        best_t = _unblockify(best_t, h, w, th, tw)
+        best_slot = _unblockify(best_slot, h, w, th, tw)
+    hit = best_slot >= 0
+    slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
+
+    # re-resolve u/v/tri at the winner (same pattern as traverse_fast)
+    qsel = quads[slot_safe // 4].reshape(-1, 4, 16)
+    lane = slot_safe % 4
+    sel = qsel[:, 0, :]
+    for j in range(1, 4):
+        sel = jnp.where((lane == j)[:, None], qsel[:, j, :], sel)
+    v0s, e1s, e2s = sel[:, 0:3], sel[:, 3:6], sel[:, 6:9]
+    from clpathtracer_tpu.ops.traverse_fast import _mt_pre
+    ok, t, u, v = _mt_pre(v0s, e1s, e2s, orig, dir)
+    tri = jnp.where(hit, sel[:, 9].astype(jnp.int32), -1)
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, BIG),
+        "tri": tri,
+        "u": jnp.where(hit, u, 0.0),
+        "v": jnp.where(hit, v, 0.0),
+        "steps": jnp.zeros((n,), jnp.int32),
+    }

@@ -61,6 +61,8 @@ class RenderOptions:
     bounce_eps: float = 1e-4   # reflection origin offset (src/kernel.cl:401)
     max_iters: int = 16384     # traversal safety cap
     compact: bool = True       # wavefront wind-down compaction (fast path)
+    intersector: str = "wavefront"  # wavefront | packet (Pallas packet
+    #   tracer for coherent rays; falls back when the scene exceeds VMEM)
     differentiable: bool = False  # detached-topology hits (diff/grad.py) so
     #   jax.grad flows through t/u/v to camera, verts and materials
 
@@ -84,11 +86,23 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions):
     elif opts.use_tree and tree is not None and scene.num_tris > 0:
         v0, v1, v2 = scene.tri_verts()
         if tree.node_table is not None and opts.tri_block == 4:
-            # gather-packed fast path (ops/traverse_fast.py)
             quads = pack_quads(tree.tri_indices, v0, v1, v2)
-            rec = traverse_fast(tree, quads, orig, dir,
-                                max_iters=opts.max_iters,
-                                compact=opts.compact)
+            from clpathtracer_tpu.ops.packet import (
+                packet_supported, traverse_packet)
+            if opts.intersector == "packet" and packet_supported(
+                    tree, orig.shape[0]):
+                # Pallas packet tracer (ops/packet.py); pass the pixel-grid
+                # shape when the wavefront is a full frame so packets get
+                # square screen tiles
+                shape = (opts.height, opts.width) if orig.shape[0] == (
+                    opts.width * opts.height) else None
+                rec = traverse_packet(tree, quads, orig, dir,
+                                      image_shape=shape)
+            else:
+                # gather-packed fast path (ops/traverse_fast.py)
+                rec = traverse_fast(tree, quads, orig, dir,
+                                    max_iters=opts.max_iters,
+                                    compact=opts.compact)
         else:
             packed = PackedTris.pack(tree, v0, v1, v2)
             rec = traverse(tree, packed, orig, dir,

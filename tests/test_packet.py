@@ -1,0 +1,78 @@
+"""Pallas packet tracer vs the wavefront traversal (interpret mode on CPU).
+
+Hits and t must agree everywhere; triangle ids must agree except where two
+different triangles share the exact same nearest t (cross-subtree tie,
+where stack order and rope order legitimately differ)."""
+
+import numpy as np
+import jax
+import pytest
+
+from clpathtracer_tpu.accel.sah import build_kd_tree
+from clpathtracer_tpu.core.camera import Camera, cam_matrix, generate_rays
+from clpathtracer_tpu.ops.packet import TILE, packet_supported, traverse_packet
+from clpathtracer_tpu.ops.traverse_fast import pack_quads, traverse_fast
+from clpathtracer_tpu.scene.procedural import (
+    cornell_box, icosphere, random_tri_soup)
+
+
+def _fixture(scene, w=32, h=32, pos=(0.0, 0.0, -1.0)):
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4)
+    cam = Camera.create(position=list(pos), forward=[0.0, 0.0, 1.0])
+    orig, dir = generate_rays(cam_matrix(cam, h), w, h)
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    return tree, quads, orig, dir
+
+
+@pytest.mark.parametrize("make,pos", [
+    (lambda: cornell_box(light=False), (0.0, 0.0, -1.0)),
+    (lambda: icosphere(2), (0.0, 0.0, -1.0)),
+    (lambda: random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+     (0.0, 0.0, -4.0)),
+])
+def test_packet_matches_wavefront(make, pos):
+    tree, quads, orig, dir = _fixture(make(), pos=pos)
+    assert packet_supported(tree, orig.shape[0])
+
+    ref = traverse_fast(tree, quads, orig, dir)
+    pkt = traverse_packet(tree, quads, orig, dir)
+
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(pkt["hit"]))
+    h = np.asarray(ref["hit"])
+    rt = np.asarray(ref["t"])[h]
+    pt = np.asarray(pkt["t"])[h]
+    np.testing.assert_allclose(rt, pt, rtol=1e-5, atol=1e-6)
+    # tri ids: allow mismatches only at exact-t ties
+    rtri = np.asarray(ref["tri"])[h]
+    ptri = np.asarray(pkt["tri"])[h]
+    diff = rtri != ptri
+    assert np.allclose(rt[diff], pt[diff], rtol=1e-6), (
+        f"{diff.sum()} non-tie tri mismatches")
+
+
+def test_packet_incoherent_rays_still_correct():
+    """Random (incoherent) rays: packet culling degenerates but results
+    must stay exact."""
+    scene = random_tri_soup(2000, seed=7, extent=2.0, tri_size=0.08)
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4)
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+
+    rng = np.random.default_rng(0)
+    orig = rng.uniform(-3, 3, (TILE, 3)).astype(np.float32)
+    dir = rng.normal(size=(TILE, 3)).astype(np.float32)
+    dir /= np.linalg.norm(dir, axis=1, keepdims=True)
+    import jax.numpy as jnp
+    orig, dir = jnp.asarray(orig), jnp.asarray(dir)
+
+    ref = traverse_fast(tree, quads, orig, dir)
+    pkt = traverse_packet(tree, quads, orig, dir)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(pkt["hit"]))
+    h = np.asarray(ref["hit"])
+    np.testing.assert_allclose(np.asarray(ref["t"])[h],
+                               np.asarray(pkt["t"])[h], rtol=1e-5)
