@@ -21,13 +21,33 @@ re-designed TPU-first:
   collectives, not hand-written transport
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from clpathtracer_tpu.core.camera import Camera, cam_matrix, generate_rays
 
+
+def __getattr__(name):
+    """Lazy high-level API (keeps `import clpathtracer_tpu` light)."""
+    if name in ("RenderOptions", "render_image"):
+        from clpathtracer_tpu.render import integrator
+        return getattr(integrator, name)
+    if name in ("load_model", "load_models", "merge_scenes"):
+        from clpathtracer_tpu.scene import cache
+        return getattr(cache, name)
+    if name == "Scene":
+        from clpathtracer_tpu.scene.scene import Scene
+        return Scene
+    if name == "build_kd_tree":
+        from clpathtracer_tpu.accel.sah import build_kd_tree
+        return build_kd_tree
+    if name == "write_png":
+        from clpathtracer_tpu.utils.png import write_png
+        return write_png
+    raise AttributeError(name)
+
+
 __all__ = [
-    "Camera",
-    "cam_matrix",
-    "generate_rays",
-    "__version__",
+    "Camera", "cam_matrix", "generate_rays", "RenderOptions",
+    "render_image", "load_model", "load_models", "merge_scenes", "Scene",
+    "build_kd_tree", "write_png", "__version__",
 ]

@@ -88,6 +88,10 @@ def _build_parser() -> argparse.ArgumentParser:
     f.add_argument("--fps", type=float, default=12.0)
     f.add_argument("--out-dir", default="frames")
 
+    v = add_common(sub.add_parser(
+        "view", help="interactive viewer (matplotlib window, WASD+arrows)"))
+    v.add_argument("--fps-cap", type=float, default=30.0)
+
     i = sub.add_parser("info", help="scene + tree stats")
     i.add_argument("models", nargs="+")
     i.add_argument("--tri-block", type=int, default=4)
@@ -232,6 +236,13 @@ def cmd_fly(args):
             frame += 1
 
 
+def cmd_view(args):
+    from clpathtracer_tpu.cli.viewer import run_viewer
+    scene, tree = _load(args)
+    run_viewer(scene, tree, _opts(args), position=tuple(args.position),
+               fps_cap=args.fps_cap)
+
+
 def cmd_info(args):
     from clpathtracer_tpu.scene.cache import load_models
     scene, tree, skipped = load_models(
@@ -260,7 +271,7 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
     {"render": cmd_render, "orbit": cmd_orbit, "fly": cmd_fly,
-     "info": cmd_info}[args.cmd](args)
+     "view": cmd_view, "info": cmd_info}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -6,7 +6,8 @@ ceiling on one chip. This kernel removes per-lane gathers entirely by
 exploiting RAY COHERENCE — the classic packet-tracing reformulation, which
 is exactly the shape TPUs want:
 
-* each grid program owns a TILE of rays (1024 = 8 sublanes x 128 lanes),
+* each grid program owns a TILE of rays (default 1024 = 8 sublanes x 128
+  lanes) regrouped as a square block of screen pixels,
 * ONE scalar stack traversal per tile (SMEM stack, scalar node reads from
   the VMEM-resident node table) culls subtrees against a conservative
   interval bound of the whole packet — control flow is per-tile scalar,
@@ -23,38 +24,51 @@ Intra-leaf tie order matches the reference scan order; across-subtree
 exact-t ties may resolve differently than the rope walk (both are valid
 nearest hits with equal t).
 
-Stage A scope: node table + triangle rows must fit VMEM (~12 MB budget →
-~100k triangles). Larger scenes fall back to the wavefront; treelet
-staging from HBM is the planned stage B.
+Stage A scope: node table + triangle rows must fit VMEM. Larger scenes
+fall back to the wavefront; treelet staging from HBM is the planned
+stage B.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 3.4e38
-TILE = 1024          # rays per packet: 8 sublanes x 128 lanes
+TILE = 1024          # default rays per packet: 8 sublanes x 128 lanes
 STACK_DEPTH = 64
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def packet_supported(tree, n_rays: int) -> bool:
+def packet_mode(tree, n_rays: int, tile: int = TILE):
+    """None (unsupported) | "vmem" (whole scene resident on-chip) |
+    "tri_stream" (node table on-chip, triangles DMA'd per leaf)."""
     if tree is None or tree.node_table is None:
-        return False
-    if n_rays % TILE != 0:
-        return False
-    table_bytes = tree.node_table.shape[0] * 24 * 4
+        return None
+    if n_rays % tile != 0:
+        return None
+    # packet kernels use a ropeless 16-wide slice of the node table
+    # (stack traversal never follows ropes) — 64 B per node
+    table_bytes = tree.node_table.shape[0] * 16 * 4
     tri_bytes = tree.tri_indices.shape[0] * 16 * 4
-    return table_bytes + tri_bytes <= VMEM_BUDGET
+    if table_bytes + tri_bytes <= VMEM_BUDGET:
+        return "vmem"
+    if table_bytes <= VMEM_BUDGET:
+        return "tri_stream"
+    return None
 
 
-def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref):
+def packet_supported(tree, n_rays: int, tile: int = TILE) -> bool:
+    return packet_mode(tree, n_rays, tile) is not None
+
+
+def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref,
+            *, tile):
     # --- per-tile ray data: [1, T] row vectors (SoA rows) ---
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
@@ -67,10 +81,8 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref):
     ixl, ixh = inv_bounds(dx)
     iyl, iyh = inv_bounds(dy)
     izl, izh = inv_bounds(dz)
-    oxl, oxh = jnp.min(ox), jnp.max(ox)
-    oyl, oyh = jnp.min(oy), jnp.max(oy)
-    ozl, ozh = jnp.min(oz), jnp.max(oz)
-    obnd = ((oxl, oxh), (oyl, oyh), (ozl, ozh))
+    obnd = ((jnp.min(ox), jnp.max(ox)), (jnp.min(oy), jnp.max(oy)),
+            (jnp.min(oz), jnp.max(oz)))
     ibnd = ((ixl, ixh), (iyl, iyh), (izl, izh))
 
     def axis_interval(lo_a, hi_a, ob, ib):
@@ -96,8 +108,8 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref):
         return near_min, far_max
 
     # --- traversal state ---
-    best_t0 = jnp.full((1, TILE), BIG, jnp.float32)
-    best_s0 = jnp.full((1, TILE), -1.0, jnp.float32)
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
     stack_ref[0] = 0  # root
 
     def mt_block(qbase, count_left, best_t, best_s):
@@ -205,12 +217,224 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref):
     slot_ref[:] = best_s
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _packet_call(table, tris16, orig_t, dir_t, interpret=False):
+CHUNK_ROWS = 8       # [8, 128] tri rows per leaf DMA = 64 triangles
+
+
+def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
+                       stack_ref, tri_buf, tri_sem, *, tile):
+    """Stage B: node table VMEM-resident (fat leaves shrink it ~8x), but
+    TRIANGLES stream from HBM per leaf as [8, 128] chunks (64 tris, 4 KB —
+    TPU DMAs need 128-wide last dims). Each chunk is intersected as 8
+    interleaved groups of 8 triangles: group i's parameters are the
+    [8, 1] column slices tris[:, i*16+j], so the whole dense test runs on
+    [8, tile] vector shapes with zero scalar extraction.
+
+    Within-chunk ties pick the lowest slot; chunk order preserves the
+    later-wins rule across chunks. (Exact-t tie winners may differ from the
+    rope walk — documented freedom, both are valid nearest hits.)
+    """
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+
+    inv_big = 1e30
+    def inv_bounds(dc):
+        inv = jnp.clip(1.0 / dc, -inv_big, inv_big)
+        return jnp.min(inv), jnp.max(inv)
+    ixl, ixh = inv_bounds(dx)
+    iyl, iyh = inv_bounds(dy)
+    izl, izh = inv_bounds(dz)
+    obnd = ((jnp.min(ox), jnp.max(ox)), (jnp.min(oy), jnp.max(oy)),
+            (jnp.min(oz), jnp.max(oz)))
+    ibnd = ((ixl, ixh), (iyl, iyh), (izl, izh))
+
+    def axis_interval(lo_a, hi_a, ob, ib):
+        ol, oh = ob
+        il, ih = ib
+        uniform = il * ih > 0.0
+        pos = il > 0.0
+        nearb = jnp.where(pos, lo_a, hi_a)
+        farb = jnp.where(pos, hi_a, lo_a)
+        def prods(b):
+            c1 = (b - ol) * il
+            c2 = (b - ol) * ih
+            c3 = (b - oh) * il
+            c4 = (b - oh) * ih
+            return (jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
+                    jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)))
+        near_min, _ = prods(nearb)
+        _, far_max = prods(farb)
+        near_min = jnp.where(uniform, near_min, -inv_big)
+        far_max = jnp.where(uniform, far_max, inv_big)
+        return near_min, far_max
+
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+    stack_ref[0] = 0
+    n_chunk_rows = tris_ref.shape[0]  # [T/8, 128]
+
+    # Mosaic's tpu.iota only produces integers — cast after
+    sub_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
+
+    def mt_chunk(chunk_row0, best_t, best_s):
+        """DMA one [8, 128] chunk (64 tris) and intersect all of it."""
+        tdma = pltpu.make_async_copy(
+            tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :], tri_buf, tri_sem)
+        tdma.start()
+        tdma.wait()
+        chunk_t = jnp.full((1, tile), BIG, jnp.float32)
+        chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
+        for i in range(8):  # 8 interleaved groups of 8 tris
+            def col(j):
+                return tri_buf[:, i * 16 + j:i * 16 + j + 1]  # [8, 1]
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            tid = col(9)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = det > 0.0
+            invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            u = (tx * px + ty * py + tz * pz) * invd
+            ok = ok & (u >= 0.0) & (u <= 1.0)
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * invd
+            ok = ok & (v >= 0.0) & (u + v <= 1.0)
+            tt = (e2x * qx + e2y * qy + e2z * qz) * invd
+            ok = ok & (tt > 0.0) & (tid >= 0.0)
+            t_m = jnp.where(ok, tt, BIG)                    # [8, tile]
+            slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)  # [8, 1]
+            grp_min = jnp.min(t_m, axis=0, keepdims=True)   # [1, tile]
+            slot_cand = jnp.where(t_m == grp_min, slot, 3.0e38)
+            grp_slot = jnp.min(slot_cand, axis=0, keepdims=True)
+            take = grp_min <= chunk_t
+            chunk_t = jnp.where(take, grp_min, chunk_t)
+            chunk_s = jnp.where(take, grp_slot, chunk_s)
+        take = (chunk_t < BIG) & (chunk_t <= best_t)
+        best_t = jnp.where(take, chunk_t, best_t)
+        best_s = jnp.where(take, chunk_s, best_s)
+        return best_t, best_s
+
+    def body(state):
+        sp, best_t, best_s, t_upper = state
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+
+        lo_x = table_ref[node, 0]
+        lo_y = table_ref[node, 1]
+        lo_z = table_ref[node, 2]
+        hi_x = table_ref[node, 3]
+        hi_y = table_ref[node, 4]
+        hi_z = table_ref[node, 5]
+        nx_min, nx_max = axis_interval(lo_x, hi_x, obnd[0], ibnd[0])
+        ny_min, ny_max = axis_interval(lo_y, hi_y, obnd[1], ibnd[1])
+        nz_min, nz_max = axis_interval(lo_z, hi_z, obnd[2], ibnd[2])
+        t_enter = jnp.maximum(jnp.maximum(nx_min, ny_min), nz_min)
+        t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
+        overlap = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter <= t_upper)
+
+        flags = table_ref[node, 7].astype(jnp.int32)
+        is_leaf = flags >= 4
+
+        def do_leaf(sp, best_t, best_s, t_upper):
+            qstart = table_ref[node, 10].astype(jnp.int32)
+            count = table_ref[node, 11].astype(jnp.int32)
+            first_tri = qstart * 4
+            row0 = first_tri // 8
+            row_end = (first_tri + count + 7) // 8
+            nchunks = (row_end - row0 + CHUNK_ROWS - 1) // CHUNK_ROWS
+
+            def chunk_body(b, c):
+                bt, bs = c
+                r = jnp.minimum(row0 + b * CHUNK_ROWS,
+                                n_chunk_rows - CHUNK_ROWS)
+                return mt_chunk(r, bt, bs)
+
+            best_t, best_s = jax.lax.fori_loop(
+                0, nchunks, chunk_body, (best_t, best_s))
+            return sp, best_t, best_s, jnp.max(best_t)
+
+        def do_split(sp, best_t, best_s, t_upper):
+            axis = flags & 3
+            cl = table_ref[node, 8].astype(jnp.int32)
+            ch = table_ref[node, 9].astype(jnp.int32)
+            il = jax.lax.switch(axis, [lambda: ixl, lambda: iyl,
+                                       lambda: izl])
+            ih_ = jax.lax.switch(axis, [lambda: ixh, lambda: iyh,
+                                        lambda: izh])
+            near_is_lo = il + ih_ > 0.0
+            near = jnp.where(near_is_lo, cl, ch)
+            far = jnp.where(near_is_lo, ch, cl)
+            stack_ref[sp] = far
+            stack_ref[sp + 1] = near
+            return sp + 2, best_t, best_s, t_upper
+
+        def visit(sp, best_t, best_s, t_upper):
+            return jax.lax.cond(is_leaf, do_leaf, do_split,
+                                sp, best_t, best_s, t_upper)
+
+        return jax.lax.cond(
+            overlap, visit,
+            lambda sp, bt, bs, tu: (sp, bt, bs, tu),
+            sp, best_t, best_s, t_upper)
+
+    def cond(state):
+        sp, _, _, _ = state
+        return sp > 0
+
+    _, best_t, best_s, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG)))
+
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _packet_call_tri_stream(table, tris128, orig_t, dir_t, interpret=False,
+                            tile=TILE):
     n = orig_t.shape[1]
-    n_tiles = n // TILE
+    n_tiles = n // tile
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel_tri_stream, tile=tile),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # node table (VMEM)
+            pl.BlockSpec(memory_space=pl.ANY),        # tri chunks (HBM)
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(table, tris128, orig_t, dir_t)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _packet_call(table, tris16, orig_t, dir_t, interpret=False, tile=TILE):
+    n = orig_t.shape[1]
+    n_tiles = n // tile
+    return pl.pallas_call(
+        functools.partial(_kernel, tile=tile),
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
@@ -219,15 +443,15 @@ def _packet_call(table, tris16, orig_t, dir_t, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),       # node table
             pl.BlockSpec(memory_space=pltpu.VMEM),       # tri rows
-            pl.BlockSpec((3, TILE), lambda i: (0, i),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),       # origins
-            pl.BlockSpec((3, TILE), lambda i: (0, i),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),       # directions
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
@@ -252,41 +476,59 @@ def _unblockify(x, h, w, th, tw):
 
 
 def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
-                    interpret: bool = None, image_shape=None):
+                    interpret: bool = None, image_shape=None,
+                    tile: int = TILE):
     """Packet-trace a coherent wavefront. Same record contract as
     traverse_fast (minus per-ray step counts, which have no meaning for a
     shared-stack packet walk: steps = 0).
 
     image_shape: optional (height, width) of the row-major pixel wavefront;
-    when divisible into 32x32 blocks, rays are regrouped so each packet is
-    a square screen tile instead of a 4-scanline sliver — much tighter
-    packet bounds, several-fold fewer node visits.
+    when divisible into sqrt(tile)-square blocks, rays are regrouped so
+    each packet is a square screen tile instead of a scanline sliver —
+    much tighter packet bounds, several-fold fewer node visits.
     """
     n = orig.shape[0]
-    assert n % TILE == 0, (n, TILE)
+    assert n % tile == 0, (n, tile)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    th = tw = 32
-    blocked = (image_shape is not None
-               and image_shape[0] % th == 0 and image_shape[1] % tw == 0)
+    side = int(math.isqrt(tile))
+    blocked = (image_shape is not None and side * side == tile
+               and image_shape[0] % side == 0 and image_shape[1] % side == 0)
     if blocked:
         h, w = image_shape
-        orig_b = _blockify(orig, h, w, th, tw)
-        dir_b = _blockify(dir, h, w, th, tw)
+        orig_b = _blockify(orig, h, w, side, side)
+        dir_b = _blockify(dir, h, w, side, side)
     else:
         orig_b, dir_b = orig, dir
 
     tris16 = quads.reshape(-1, 16)
-    out_t, out_s = _packet_call(tree.node_table, tris16,
-                                orig_b.T.astype(jnp.float32),
-                                dir_b.T.astype(jnp.float32),
-                                interpret=interpret)
+    mode = packet_mode(tree, n, tile)
+    assert mode is not None, "scene/ray shape unsupported by packet tracer"
+    # ropeless 16-wide node rows: cols 0-11 are all the packet walk reads
+    table16 = tree.node_table[:, :16]
+    if mode == "tri_stream":
+        t_rows = tris16.shape[0]
+        pad_rows = (-t_rows) % 8
+        if pad_rows:
+            tris16 = jnp.concatenate(
+                [tris16, jnp.full((pad_rows, 16), -1.0, tris16.dtype)],
+                axis=0)
+        tris128 = tris16.reshape(-1, 128)
+        out_t, out_s = _packet_call_tri_stream(
+            table16, tris128,
+            orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
+            interpret=interpret, tile=tile)
+    else:
+        out_t, out_s = _packet_call(table16, tris16,
+                                    orig_b.T.astype(jnp.float32),
+                                    dir_b.T.astype(jnp.float32),
+                                    interpret=interpret, tile=tile)
     best_t = out_t[0]
     best_slot = out_s[0].astype(jnp.int32)
     if blocked:
-        best_t = _unblockify(best_t, h, w, th, tw)
-        best_slot = _unblockify(best_slot, h, w, th, tw)
+        best_t = _unblockify(best_t, h, w, side, side)
+        best_slot = _unblockify(best_slot, h, w, side, side)
     hit = best_slot >= 0
     slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
 

@@ -58,12 +58,15 @@ def trace(path: Optional[str] = None):
 
 
 def emit_metric(metric: str, value: float, unit: str,
-                vs_baseline: Optional[float] = None, file=sys.stdout,
+                vs_baseline: Optional[float] = None, file=None,
                 **extra) -> dict:
-    """One JSON metric line (the bench.py contract)."""
+    """One JSON metric line (the bench.py contract). `file` defaults to
+    sys.stdout at CALL time (a default-arg binding would pin the stream
+    captured at import)."""
     rec = {"metric": metric, "value": value, "unit": unit}
     if vs_baseline is not None:
         rec["vs_baseline"] = vs_baseline
     rec.update(extra)
-    print(json.dumps(rec), file=file, flush=True)
+    print(json.dumps(rec), file=file if file is not None else sys.stdout,
+          flush=True)
     return rec

@@ -146,3 +146,24 @@ class TestCli:
               "--sharded", "--position", "0.5", "0.5", "-1.5",
               "--out", out])
         assert _decode_png_size(out) == (16, 16)
+
+
+class TestViewer:
+    def test_viewer_headless(self, cube_obj, monkeypatch):
+        """Viewer constructs, renders a frame, and handles key events under
+        the Agg backend (no display)."""
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        monkeypatch.setattr(plt, "show", lambda *a, **k: None)
+        from clpathtracer_tpu.cli.viewer import run_viewer
+        from clpathtracer_tpu.scene.cache import load_model
+        from clpathtracer_tpu.render.integrator import RenderOptions
+        scene, tree = load_model(cube_obj)
+        fc = run_viewer(scene, tree,
+                        RenderOptions(width=16, height=16, mode="normal"),
+                        position=(0.5, 0.5, -2.0))
+        p0 = fc.position.copy()
+        fc.move = np.array([0.0, 0.0, 1.0])
+        fc.step(0.1)
+        assert fc.position[2] > p0[2]

@@ -53,6 +53,24 @@ def test_packet_matches_wavefront(make, pos):
         f"{diff.sum()} non-tie tri mismatches")
 
 
+def test_packet_hbm_variant_matches(monkeypatch):
+    """Force the HBM (DMA-per-visit) kernel and check parity — the path
+    big scenes take."""
+    import clpathtracer_tpu.ops.packet as pk
+    monkeypatch.setattr(pk, "VMEM_BUDGET", 2_000_000)  # table fits, tris stream
+    tree, quads, orig, dir = _fixture(
+        random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+        pos=(0.0, 0.0, -4.0))
+    assert pk.packet_mode(tree, orig.shape[0]) == "tri_stream"
+    ref = traverse_fast(tree, quads, orig, dir)
+    pkt = pk.traverse_packet(tree, quads, orig, dir)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(pkt["hit"]))
+    h = np.asarray(ref["hit"])
+    np.testing.assert_allclose(np.asarray(ref["t"])[h],
+                               np.asarray(pkt["t"])[h], rtol=1e-5)
+
+
 def test_packet_incoherent_rays_still_correct():
     """Random (incoherent) rays: packet culling degenerates but results
     must stay exact."""
