@@ -37,6 +37,13 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", 5))
     mode = os.environ.get("BENCH_MODE", "normal")
     bounces = int(os.environ.get("BENCH_BOUNCES", 2))
+    intersector = os.environ.get("BENCH_INTERSECTOR", "packet")
+    # fat leaves favor the packet tracer (dense MT is nearly free; node
+    # visits cost); the wavefront prefers small leaves
+    leaf_size = int(os.environ.get(
+        "BENCH_LEAF", 64 if intersector == "packet" else 4))
+    max_depth = int(os.environ.get(
+        "BENCH_DEPTH", 20 if intersector == "packet" else 22))
 
     import jax
     import jax.numpy as jnp
@@ -61,12 +68,18 @@ def main():
                       axis=1)
         log(f"# scene gen: {time.time()-t0:.1f}s")
         t0 = time.time()
-        tree = build_kd_tree(tv, max_depth=22, leaf_size=4, tri_block=4)
+        tree = build_kd_tree(tv, max_depth=max_depth, leaf_size=leaf_size,
+                             tri_block=4)
     log(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}")
+
+    from clpathtracer_tpu.ops.packet import packet_mode
+    log(f"# intersector: {intersector} "
+        f"(packet mode: {packet_mode(tree, width * height)})")
 
     cam = Camera.create(position=[0.0, 0.0, -25.0], forward=[0.0, 0.0, 1.0])
     opts = RenderOptions(width=width, height=height, mode=mode,
                          bounces=bounces, use_tree=True, tri_block=4,
+                         intersector=intersector,
                          background=0.0 if mode == "path" else 1.0)
 
     scene = jax.device_put(scene, dev)
@@ -112,8 +125,8 @@ def main():
 
     target = 2e8  # BASELINE.json north-star rays/s/chip
     print(json.dumps({
-        "metric": f"primary rays/s/chip, {scene_tris} tris, kd traversal, "
-                  f"mode={mode}",
+        "metric": f"primary rays/s/chip, {scene_tris} tris, kd "
+                  f"{intersector}, mode={mode}",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / target,

@@ -72,10 +72,16 @@ class RenderOptions:
 # ---------------------------------------------------------------------------
 
 
-def intersect_scene(scene, tree, orig, dir, opts: RenderOptions):
+def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
+                    coherent: bool = True):
     """Nearest hit against triangles (+ spheres). Returns dict with
     hit [N] bool, t [N], tri [N] (-1 if none), u/v [N], sphere [N] (-1 if
-    the nearest hit is not a sphere)."""
+    the nearest hit is not a sphere).
+
+    coherent: whether the wavefront is screen-coherent (primary rays).
+    The packet tracer only pays off for coherent tiles — scattered bounce
+    rays give every packet near-unbounded interval bounds, so those always
+    take the per-ray wavefront."""
     n = orig.shape[0]
     if opts.differentiable and scene.num_tris > 0:
         from clpathtracer_tpu.diff.grad import intersect_diff
@@ -89,8 +95,8 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions):
             quads = pack_quads(tree.tri_indices, v0, v1, v2)
             from clpathtracer_tpu.ops.packet import (
                 packet_supported, traverse_packet)
-            if opts.intersector == "packet" and packet_supported(
-                    tree, orig.shape[0]):
+            if (opts.intersector == "packet" and coherent
+                    and packet_supported(tree, orig.shape[0])):
                 # Pallas packet tracer (ops/packet.py); pass the pixel-grid
                 # shape when the wavefront is a full frame so packets get
                 # square screen tiles
@@ -186,8 +192,8 @@ def shade_mirror(scene, tree, orig, dir, opts: RenderOptions):
     strength = jnp.ones((n,))
     alive = jnp.ones((n,), bool)
     o, d = orig, dir
-    for _ in range(opts.bounces):
-        rec = intersect_scene(scene, tree, o, d, opts)
+    for b in range(opts.bounces):
+        rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0))
         point, normal, _, _ = _surface(scene, rec, o, d)
         hit = rec["hit"] & alive
         nc = normal_color(normal)
@@ -226,7 +232,7 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
     alive = jnp.ones((n,), bool)
     o, d = orig, dir
     for b in range(opts.bounces):
-        rec = intersect_scene(scene, tree, o, d, opts)
+        rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0))
         point, normal, albedo, emission = _surface(scene, rec, o, d)
         # face-forward normal
         normal = jnp.where(vm.dot(normal, d)[:, None] > 0, -normal, normal)
