@@ -67,8 +67,8 @@ def packet_supported(tree, n_rays: int, tile: int = TILE) -> bool:
     return packet_mode(tree, n_rays, tile) is not None
 
 
-def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref,
-            *, tile):
+def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stats_ref,
+            stack_ref, *, tile):
     # --- per-tile ray data: [1, T] row vectors (SoA rows) ---
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
@@ -149,9 +149,10 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref,
         return best_t, best_s
 
     def body(state):
-        sp, best_t, best_s, t_upper = state
+        sp, best_t, best_s, t_upper, nv, nl = state
         node = stack_ref[sp - 1]
         sp = sp - 1
+        nv = nv + 1
 
         lo_x = table_ref[node, 0]
         lo_y = table_ref[node, 1]
@@ -169,7 +170,7 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref,
         flags = table_ref[node, 7].astype(jnp.int32)
         is_leaf = flags >= 4
 
-        def do_leaf(sp, best_t, best_s, t_upper):
+        def do_leaf(sp, best_t, best_s, t_upper, nl):
             qstart = table_ref[node, 10].astype(jnp.int32)
             count = table_ref[node, 11].astype(jnp.int32)
             nrows = (count + 3) // 4
@@ -180,9 +181,9 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref,
 
             best_t, best_s = jax.lax.fori_loop(
                 0, nrows, row_body, (best_t, best_s))
-            return sp, best_t, best_s, jnp.max(best_t)
+            return sp, best_t, best_s, jnp.max(best_t), nl + 1
 
-        def do_split(sp, best_t, best_s, t_upper):
+        def do_split(sp, best_t, best_s, t_upper, nl):
             axis = flags & 3
             cl = table_ref[node, 8].astype(jnp.int32)
             ch = table_ref[node, 9].astype(jnp.int32)
@@ -195,33 +196,38 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stack_ref,
             far = jnp.where(near_is_lo, ch, cl)
             stack_ref[sp] = far
             stack_ref[sp + 1] = near
-            return sp + 2, best_t, best_s, t_upper
+            return sp + 2, best_t, best_s, t_upper, nl
 
-        def visit(sp, best_t, best_s, t_upper):
+        def visit(sp, best_t, best_s, t_upper, nl):
             return jax.lax.cond(is_leaf, do_leaf, do_split,
-                                sp, best_t, best_s, t_upper)
+                                sp, best_t, best_s, t_upper, nl)
 
-        return jax.lax.cond(
+        sp, best_t, best_s, t_upper, nl = jax.lax.cond(
             overlap, visit,
-            lambda sp, bt, bs, tu: (sp, bt, bs, tu),
-            sp, best_t, best_s, t_upper)
+            lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
+            sp, best_t, best_s, t_upper, nl)
+        return sp, best_t, best_s, t_upper, nv, nl
 
     def cond(state):
-        sp, _, _, _ = state
-        return sp > 0
+        return state[0] > 0
 
-    _, best_t, best_s, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG)))
+    _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG),
+                     jnp.int32(0), jnp.int32(0)))
 
     t_ref[:] = best_t
     slot_ref[:] = best_s
+    stats = jnp.zeros((1, 128), jnp.float32)
+    stats = stats.at[0, 0].set(nv.astype(jnp.float32))
+    stats = stats.at[0, 1].set(nl.astype(jnp.float32))
+    stats_ref[:] = stats
 
 
 CHUNK_ROWS = 8       # [8, 128] tri rows per leaf DMA = 64 triangles
 
 
 def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
-                       stack_ref, tri_buf, tri_sem, *, tile):
+                       stats_ref, stack_ref, tri_buf, tri_sem, *, tile):
     """Stage B: node table VMEM-resident (fat leaves shrink it ~8x), but
     TRIANGLES stream from HBM per leaf as [8, 128] chunks (64 tris, 4 KB —
     TPU DMAs need 128-wide last dims). Each chunk is intersected as 8
@@ -321,9 +327,10 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
         return best_t, best_s
 
     def body(state):
-        sp, best_t, best_s, t_upper = state
+        sp, best_t, best_s, t_upper, nv, nl = state
         node = stack_ref[sp - 1]
         sp = sp - 1
+        nv = nv + 1
 
         lo_x = table_ref[node, 0]
         lo_y = table_ref[node, 1]
@@ -341,7 +348,7 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
         flags = table_ref[node, 7].astype(jnp.int32)
         is_leaf = flags >= 4
 
-        def do_leaf(sp, best_t, best_s, t_upper):
+        def do_leaf(sp, best_t, best_s, t_upper, nl):
             qstart = table_ref[node, 10].astype(jnp.int32)
             count = table_ref[node, 11].astype(jnp.int32)
             first_tri = qstart * 4
@@ -357,9 +364,10 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
 
             best_t, best_s = jax.lax.fori_loop(
                 0, nchunks, chunk_body, (best_t, best_s))
-            return sp, best_t, best_s, jnp.max(best_t)
+            return (sp, best_t, best_s, jnp.max(best_t),
+                    nl + nchunks)
 
-        def do_split(sp, best_t, best_s, t_upper):
+        def do_split(sp, best_t, best_s, t_upper, nl):
             axis = flags & 3
             cl = table_ref[node, 8].astype(jnp.int32)
             ch = table_ref[node, 9].astype(jnp.int32)
@@ -372,26 +380,31 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
             far = jnp.where(near_is_lo, ch, cl)
             stack_ref[sp] = far
             stack_ref[sp + 1] = near
-            return sp + 2, best_t, best_s, t_upper
+            return sp + 2, best_t, best_s, t_upper, nl
 
-        def visit(sp, best_t, best_s, t_upper):
+        def visit(sp, best_t, best_s, t_upper, nl):
             return jax.lax.cond(is_leaf, do_leaf, do_split,
-                                sp, best_t, best_s, t_upper)
+                                sp, best_t, best_s, t_upper, nl)
 
-        return jax.lax.cond(
+        sp, best_t, best_s, t_upper, nl = jax.lax.cond(
             overlap, visit,
-            lambda sp, bt, bs, tu: (sp, bt, bs, tu),
-            sp, best_t, best_s, t_upper)
+            lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
+            sp, best_t, best_s, t_upper, nl)
+        return sp, best_t, best_s, t_upper, nv, nl
 
     def cond(state):
-        sp, _, _, _ = state
-        return sp > 0
+        return state[0] > 0
 
-    _, best_t, best_s, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG)))
+    _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG),
+                     jnp.int32(0), jnp.int32(0)))
 
     t_ref[:] = best_t
     slot_ref[:] = best_s
+    stats = jnp.zeros((1, 128), jnp.float32)
+    stats = stats.at[0, 0].set(nv.astype(jnp.float32))
+    stats = stats.at[0, 1].set(nl.astype(jnp.float32))
+    stats_ref[:] = stats
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
@@ -404,6 +417,7 @@ def _packet_call_tri_stream(table, tris128, orig_t, dir_t, interpret=False,
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
         ],
         grid=(n_tiles,),
         in_specs=[
@@ -418,6 +432,8 @@ def _packet_call_tri_stream(table, tris128, orig_t, dir_t, interpret=False,
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -438,6 +454,7 @@ def _packet_call(table, tris16, orig_t, dir_t, interpret=False, tile=TILE):
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
         ],
         grid=(n_tiles,),
         in_specs=[
@@ -452,6 +469,8 @@ def _packet_call(table, tris16, orig_t, dir_t, interpret=False, tile=TILE):
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
@@ -515,12 +534,12 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                 [tris16, jnp.full((pad_rows, 16), -1.0, tris16.dtype)],
                 axis=0)
         tris128 = tris16.reshape(-1, 128)
-        out_t, out_s = _packet_call_tri_stream(
+        out_t, out_s, tile_stats = _packet_call_tri_stream(
             table16, tris128,
             orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
             interpret=interpret, tile=tile)
     else:
-        out_t, out_s = _packet_call(table16, tris16,
+        out_t, out_s, tile_stats = _packet_call(table16, tris16,
                                     orig_b.T.astype(jnp.float32),
                                     dir_b.T.astype(jnp.float32),
                                     interpret=interpret, tile=tile)
@@ -549,4 +568,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         "u": jnp.where(hit, u, 0.0),
         "v": jnp.where(hit, v, 0.0),
         "steps": jnp.zeros((n,), jnp.int32),
+        # per-tile diagnostics: [:, 0] node visits, [:, 1] leaf visits
+        # (vmem) / tri chunks DMA'd (tri_stream)
+        "tile_stats": tile_stats[:, :2],
     }
