@@ -217,10 +217,12 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stats_ref,
 
     t_ref[:] = best_t
     slot_ref[:] = best_s
-    stats = jnp.zeros((1, 128), jnp.float32)
-    stats = stats.at[0, 0].set(nv.astype(jnp.float32))
-    stats = stats.at[0, 1].set(nl.astype(jnp.float32))
-    stats_ref[:] = stats
+    # Mosaic has no scatter: build the row with lane masks. TPU block
+    # tiling needs >= 8 sublanes, so the row is replicated.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    stats_ref[:] = jnp.where(
+        lane == 0, nv.astype(jnp.float32),
+        jnp.where(lane == 1, nl.astype(jnp.float32), 0.0))
 
 
 CHUNK_ROWS = 8       # [8, 128] tri rows per leaf DMA = 64 triangles
@@ -282,17 +284,23 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
     sub_iota = jax.lax.broadcasted_iota(
         jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
 
-    def mt_chunk(chunk_row0, best_t, best_s):
-        """DMA one [8, 128] chunk (64 tris) and intersect all of it."""
-        tdma = pltpu.make_async_copy(
-            tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :], tri_buf, tri_sem)
-        tdma.start()
-        tdma.wait()
+    def start_chunk(chunk_row0, buf_slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :],
+            tri_buf.at[buf_slot], tri_sem.at[buf_slot]).start()
+
+    def mt_chunk(chunk_row0, buf_slot, best_t, best_s):
+        """Intersect the 64 tris in buffer `buf_slot` (waits its DMA)."""
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :],
+            tri_buf.at[buf_slot], tri_sem.at[buf_slot]).wait()
         chunk_t = jnp.full((1, tile), BIG, jnp.float32)
         chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
         for i in range(8):  # 8 interleaved groups of 8 tris
             def col(j):
-                return tri_buf[:, i * 16 + j:i * 16 + j + 1]  # [8, 1]
+                # dynamic leading index may keep a size-1 axis; normalize
+                c = tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1]
+                return c.reshape(CHUNK_ROWS, 1)
             v0x, v0y, v0z = col(0), col(1), col(2)
             e1x, e1y, e1z = col(3), col(4), col(5)
             e2x, e2y, e2z = col(6), col(7), col(8)
@@ -356,11 +364,22 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
             row_end = (first_tri + count + 7) // 8
             nchunks = (row_end - row0 + CHUNK_ROWS - 1) // CHUNK_ROWS
 
+            def row_of(b):
+                return jnp.minimum(row0 + b * CHUNK_ROWS,
+                                   n_chunk_rows - CHUNK_ROWS)
+
+            # double-buffered: chunk b+1's DMA flies while b is intersected
+            start_chunk(row_of(0), 0)
+
             def chunk_body(b, c):
                 bt, bs = c
-                r = jnp.minimum(row0 + b * CHUNK_ROWS,
-                                n_chunk_rows - CHUNK_ROWS)
-                return mt_chunk(r, bt, bs)
+                cur = b % 2
+
+                @pl.when(b + 1 < nchunks)
+                def _():
+                    start_chunk(row_of(b + 1), (b + 1) % 2)
+
+                return mt_chunk(row_of(b), cur, bt, bs)
 
             best_t, best_s = jax.lax.fori_loop(
                 0, nchunks, chunk_body, (best_t, best_s))
@@ -401,10 +420,12 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
 
     t_ref[:] = best_t
     slot_ref[:] = best_s
-    stats = jnp.zeros((1, 128), jnp.float32)
-    stats = stats.at[0, 0].set(nv.astype(jnp.float32))
-    stats = stats.at[0, 1].set(nl.astype(jnp.float32))
-    stats_ref[:] = stats
+    # Mosaic has no scatter: build the row with lane masks. TPU block
+    # tiling needs >= 8 sublanes, so the row is replicated.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    stats_ref[:] = jnp.where(
+        lane == 0, nv.astype(jnp.float32),
+        jnp.where(lane == 1, nl.astype(jnp.float32), 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
@@ -417,7 +438,7 @@ def _packet_call_tri_stream(table, tris128, orig_t, dir_t, interpret=False,
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
         ],
         grid=(n_tiles,),
         in_specs=[
@@ -433,13 +454,13 @@ def _packet_call_tri_stream(table, tris128, orig_t, dir_t, interpret=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (i, 0),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((CHUNK_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(table, tris128, orig_t, dir_t)
@@ -454,7 +475,7 @@ def _packet_call(table, tris16, orig_t, dir_t, interpret=False, tile=TILE):
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
         ],
         grid=(n_tiles,),
         in_specs=[
@@ -470,7 +491,7 @@ def _packet_call(table, tris16, orig_t, dir_t, interpret=False, tile=TILE):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (i, 0),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
@@ -569,6 +590,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         "v": jnp.where(hit, v, 0.0),
         "steps": jnp.zeros((n,), jnp.int32),
         # per-tile diagnostics: [:, 0] node visits, [:, 1] leaf visits
-        # (vmem) / tri chunks DMA'd (tri_stream)
-        "tile_stats": tile_stats[:, :2],
+        # (vmem) / tri chunks DMA'd (tri_stream); kernel emits 8 replicated
+        # sublane rows per tile
+        "tile_stats": tile_stats[::8, :2],
     }

@@ -78,6 +78,49 @@ def make_sharded_renderer(opts: RenderOptions, mesh: Mesh):
     return jax.jit(impl, out_shardings=row_sharded(mesh, rank=3))
 
 
+def make_sharded_packet_renderer(opts: RenderOptions, mesh: Mesh):
+    """Data-parallel renderer for the Pallas packet engine.
+
+    GSPMD can partition the pure-XLA wavefront automatically
+    (make_sharded_renderer), but a pallas_call is opaque to it — so here
+    each device runs the packet kernel on its own row-block of the frame
+    via shard_map. Scene/tree replicated, pixel rows split over "rows".
+
+    Deterministic modes (normal/mirror) stay bit-identical to single-chip;
+    path mode draws per-shard random numbers and differs from the
+    single-chip sample sequence (same distribution).
+    """
+    import dataclasses
+
+    from clpathtracer_tpu.render.integrator import render_rays
+    from jax import shard_map
+
+    n_rows = mesh.shape["rows"]
+    assert opts.height % n_rows == 0, (opts.height, n_rows)
+    local_h = opts.height // n_rows
+    opts_local = dataclasses.replace(opts, height=local_h)
+
+    def local(scene, camera, tree, key, orig, dir):
+        img = render_rays(scene, tree, orig, dir, opts_local, key)
+        return img.reshape(local_h, opts.width, 3)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("rows", None), P("rows", None)),
+        out_specs=P("rows", None, None),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+
+    @jax.jit
+    def render(scene, camera, tree, key):
+        cam_inv = cam_matrix(camera, opts.height)
+        orig, dir = generate_rays(cam_inv, opts.width, opts.height)
+        return sharded(scene, camera, tree, key, orig, dir)
+
+    return render
+
+
 def render_image_sharded(scene, camera, opts: RenderOptions, tree=None,
                          mesh: Mesh = None, key=None):
     """One-shot data-parallel render (see make_sharded_renderer; prefer that

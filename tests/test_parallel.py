@@ -99,3 +99,25 @@ class TestDistributedTrain:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+class TestShardedPacket:
+    def test_packet_sharded_matches_single(self):
+        """shard_map packet renderer: each device packet-traces its row
+        block; normal mode must be bit-identical to single-device packet."""
+        from clpathtracer_tpu.parallel.mesh import (
+            make_sharded_packet_renderer, replicated)
+        scene = icosphere(2)
+        tree = _tree_for(scene)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        opts = RenderOptions(width=64, height=256, mode="normal",
+                             intersector="packet")
+        img_1 = np.asarray(render_image(scene, cam, opts, tree=tree))
+        mesh = default_mesh()
+        repl = replicated(mesh)
+        rend = make_sharded_packet_renderer(opts, mesh)
+        img_8 = np.asarray(rend(
+            jax.device_put(scene, repl), jax.device_put(cam, repl),
+            jax.device_put(tree, repl),
+            jax.device_put(jax.random.PRNGKey(0), repl)))
+        np.testing.assert_array_equal(img_1, img_8)
