@@ -41,9 +41,9 @@ def main():
     # fat leaves favor the packet tracer (dense MT is nearly free; node
     # visits cost); the wavefront prefers small leaves
     leaf_size = int(os.environ.get(
-        "BENCH_LEAF", 64 if intersector == "packet" else 4))
+        "BENCH_LEAF", 128 if intersector == "packet" else 4))
     max_depth = int(os.environ.get(
-        "BENCH_DEPTH", 20 if intersector == "packet" else 22))
+        "BENCH_DEPTH", 18 if intersector == "packet" else 22))
 
     import jax
     import jax.numpy as jnp

@@ -49,6 +49,11 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--leaf-size", type=int, default=4)
         sp.add_argument("--no-cache", action="store_true",
                         help="skip the .kd.npz acceleration cache")
+        sp.add_argument("--sphere", type=float, nargs=4, action="append",
+                        default=[], metavar=("X", "Y", "Z", "R"),
+                        help="add an analytic sphere primitive (repeatable;"
+                             " the reference's sphere pipeline was dead"
+                             " code — here it renders)")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--sharded", action="store_true",
                         help="shard pixel rows over all local devices")
@@ -109,9 +114,19 @@ def _load(args):
         args.models, tri_block=args.tri_block,
         max_depth=args.max_depth, leaf_size=args.leaf_size,
         use_cache=not args.no_cache)
+    spheres = getattr(args, "sphere", [])
+    if spheres:
+        import jax.numpy as jnp
+        sp = np.asarray(spheres, np.float32)
+        scene = scene.replace(
+            sphere_pos=jnp.asarray(sp[:, :3]),
+            sphere_radius=jnp.asarray(sp[:, 3]),
+            sphere_albedo=jnp.full((len(sp), 3), 0.75, jnp.float32),
+            sphere_emission=jnp.zeros((len(sp), 3), jnp.float32))
     # the reference prints parse/build wall time (src/model.c:136-143)
-    print(f"# loaded {scene.num_tris} tris in {time.time()-t0:.2f}s "
-          f"({len(skipped)} skipped)", file=sys.stderr)
+    print(f"# loaded {scene.num_tris} tris, {scene.num_spheres} spheres "
+          f"in {time.time()-t0:.2f}s ({len(skipped)} skipped)",
+          file=sys.stderr)
     return scene, tree
 
 

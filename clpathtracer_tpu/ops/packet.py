@@ -154,12 +154,24 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stats_ref,
         sp = sp - 1
         nv = nv + 1
 
-        lo_x = table_ref[node, 0]
-        lo_y = table_ref[node, 1]
-        lo_z = table_ref[node, 2]
-        hi_x = table_ref[node, 3]
-        hi_y = table_ref[node, 4]
-        hi_z = table_ref[node, 5]
+        # Nodes are packed 8 per 128-wide row (narrow VMEM arrays get
+        # lane-padded to 128 — a [M,16] table would physically cost 8x).
+        # Mosaic requires STATIC lane indices, so the sub-slot selects one
+        # of 8 branches, each reading its 12 fields at fixed lanes.
+        nrow = node // 8
+
+        def _slot_reader(k):
+            def f():
+                return tuple(table_ref[nrow, k * 16 + j] for j in range(12))
+            return f
+
+        fields = jax.lax.switch(node % 8,
+                                [_slot_reader(k) for k in range(8)])
+        lo_x, lo_y, lo_z = fields[0], fields[1], fields[2]
+        hi_x, hi_y, hi_z = fields[3], fields[4], fields[5]
+
+        def nf(j):
+            return fields[j]
         nx_min, nx_max = axis_interval(lo_x, hi_x, obnd[0], ibnd[0])
         ny_min, ny_max = axis_interval(lo_y, hi_y, obnd[1], ibnd[1])
         nz_min, nz_max = axis_interval(lo_z, hi_z, obnd[2], ibnd[2])
@@ -167,12 +179,12 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stats_ref,
         t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
         overlap = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter <= t_upper)
 
-        flags = table_ref[node, 7].astype(jnp.int32)
+        flags = nf(7).astype(jnp.int32)
         is_leaf = flags >= 4
 
         def do_leaf(sp, best_t, best_s, t_upper, nl):
-            qstart = table_ref[node, 10].astype(jnp.int32)
-            count = table_ref[node, 11].astype(jnp.int32)
+            qstart = nf(10).astype(jnp.int32)
+            count = nf(11).astype(jnp.int32)
             nrows = (count + 3) // 4
 
             def row_body(r, c):
@@ -185,8 +197,8 @@ def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stats_ref,
 
         def do_split(sp, best_t, best_s, t_upper, nl):
             axis = flags & 3
-            cl = table_ref[node, 8].astype(jnp.int32)
-            ch = table_ref[node, 9].astype(jnp.int32)
+            cl = nf(8).astype(jnp.int32)
+            ch = nf(9).astype(jnp.int32)
             il = jax.lax.switch(axis, [lambda: ixl, lambda: iyl,
                                        lambda: izl])
             ih_ = jax.lax.switch(axis, [lambda: ixh, lambda: iyh,
@@ -340,12 +352,24 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
         sp = sp - 1
         nv = nv + 1
 
-        lo_x = table_ref[node, 0]
-        lo_y = table_ref[node, 1]
-        lo_z = table_ref[node, 2]
-        hi_x = table_ref[node, 3]
-        hi_y = table_ref[node, 4]
-        hi_z = table_ref[node, 5]
+        # Nodes are packed 8 per 128-wide row (narrow VMEM arrays get
+        # lane-padded to 128 — a [M,16] table would physically cost 8x).
+        # Mosaic requires STATIC lane indices, so the sub-slot selects one
+        # of 8 branches, each reading its 12 fields at fixed lanes.
+        nrow = node // 8
+
+        def _slot_reader(k):
+            def f():
+                return tuple(table_ref[nrow, k * 16 + j] for j in range(12))
+            return f
+
+        fields = jax.lax.switch(node % 8,
+                                [_slot_reader(k) for k in range(8)])
+        lo_x, lo_y, lo_z = fields[0], fields[1], fields[2]
+        hi_x, hi_y, hi_z = fields[3], fields[4], fields[5]
+
+        def nf(j):
+            return fields[j]
         nx_min, nx_max = axis_interval(lo_x, hi_x, obnd[0], ibnd[0])
         ny_min, ny_max = axis_interval(lo_y, hi_y, obnd[1], ibnd[1])
         nz_min, nz_max = axis_interval(lo_z, hi_z, obnd[2], ibnd[2])
@@ -353,12 +377,12 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
         t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
         overlap = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter <= t_upper)
 
-        flags = table_ref[node, 7].astype(jnp.int32)
+        flags = nf(7).astype(jnp.int32)
         is_leaf = flags >= 4
 
         def do_leaf(sp, best_t, best_s, t_upper, nl):
-            qstart = table_ref[node, 10].astype(jnp.int32)
-            count = table_ref[node, 11].astype(jnp.int32)
+            qstart = nf(10).astype(jnp.int32)
+            count = nf(11).astype(jnp.int32)
             first_tri = qstart * 4
             row0 = first_tri // 8
             row_end = (first_tri + count + 7) // 8
@@ -388,8 +412,8 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
 
         def do_split(sp, best_t, best_s, t_upper, nl):
             axis = flags & 3
-            cl = table_ref[node, 8].astype(jnp.int32)
-            ch = table_ref[node, 9].astype(jnp.int32)
+            cl = nf(8).astype(jnp.int32)
+            ch = nf(9).astype(jnp.int32)
             il = jax.lax.switch(axis, [lambda: ixl, lambda: iyl,
                                        lambda: izl])
             ih_ = jax.lax.switch(axis, [lambda: ixh, lambda: iyh,
@@ -545,8 +569,15 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
     tris16 = quads.reshape(-1, 16)
     mode = packet_mode(tree, n, tile)
     assert mode is not None, "scene/ray shape unsupported by packet tracer"
-    # ropeless 16-wide node rows: cols 0-11 are all the packet walk reads
-    table16 = tree.node_table[:, :16]
+    # ropeless node rows packed 8-per-128-lane-row: cols 0-11 are all the
+    # packet walk reads, and narrow VMEM arrays lane-pad to 128 anyway
+    t16 = tree.node_table[:, :16]
+    m = t16.shape[0]
+    pad_m = (-m) % 8
+    if pad_m:
+        t16 = jnp.concatenate(
+            [t16, jnp.zeros((pad_m, 16), t16.dtype)], axis=0)
+    table16 = t16.reshape(-1, 128)
     if mode == "tri_stream":
         t_rows = tris16.shape[0]
         pad_rows = (-t_rows) % 8

@@ -167,3 +167,17 @@ class TestViewer:
         fc.move = np.array([0.0, 0.0, 1.0])
         fc.step(0.1)
         assert fc.position[2] > p0[2]
+
+    def test_render_with_sphere(self, cube_obj, tmp_path):
+        """Sphere primitives via CLI — the reference's dead sphere pipeline
+        made real end-to-end."""
+        out = str(tmp_path / "sp.png")
+        base = str(tmp_path / "base.png")
+        main(["render", cube_obj, "--width", "24", "--height", "24",
+              "--position", "0.5", "0.5", "-2.0", "--out", base])
+        main(["render", cube_obj, "--width", "24", "--height", "24",
+              "--position", "0.5", "0.5", "-2.0",
+              "--sphere", "0.5", "0.5", "-0.8", "0.3", "--out", out])
+        a = open(base, "rb").read()
+        b = open(out, "rb").read()
+        assert a != b  # the sphere occludes part of the cube
