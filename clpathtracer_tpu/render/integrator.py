@@ -63,6 +63,8 @@ class RenderOptions:
     compact: bool = True       # wavefront wind-down compaction (fast path)
     intersector: str = "wavefront"  # wavefront | packet (Pallas packet
     #   tracer for coherent rays; falls back when the scene exceeds VMEM)
+    sort_bounces: bool = True  # with intersector=packet: Morton/octant-sort
+    #   scattered bounce rays so they too can take the packet engine
     differentiable: bool = False  # detached-topology hits (diff/grad.py) so
     #   jax.grad flows through t/u/v to camera, verts and materials
 
@@ -104,6 +106,15 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                     opts.width * opts.height) else None
                 rec = traverse_packet(tree, quads, orig, dir,
                                       image_shape=shape)
+            elif (opts.intersector == "packet" and opts.sort_bounces
+                  and packet_supported(tree, orig.shape[0])):
+                # scattered bounce rays: Morton/octant-sort the wavefront
+                # into coherent packets, trace, restore order (ops/sort.py)
+                from clpathtracer_tpu.ops.sort import sort_rays
+                perm, inv = sort_rays(orig, dir)
+                rec = traverse_packet(tree, quads, orig[perm], dir[perm])
+                rec = {k: v[inv] if v.shape[:1] == perm.shape else v
+                       for k, v in rec.items()}
             else:
                 # gather-packed fast path (ops/traverse_fast.py)
                 rec = traverse_fast(tree, quads, orig, dir,

@@ -94,3 +94,25 @@ def test_packet_incoherent_rays_still_correct():
     h = np.asarray(ref["hit"])
     np.testing.assert_allclose(np.asarray(ref["t"])[h],
                                np.asarray(pkt["t"])[h], rtol=1e-5)
+
+
+def test_sorted_bounce_packet_matches_wavefront_image():
+    """Mirror mode (3 bounces, deterministic): full-frame render with
+    packet + bounce sorting must match the wavefront render (tie-pixel
+    budget only)."""
+    from clpathtracer_tpu.core.camera import Camera
+    from clpathtracer_tpu.render.integrator import RenderOptions, render_image
+    scene = icosphere(2)
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4, leaf_size=8, max_depth=14)
+    cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+    a = np.asarray(render_image(
+        scene, cam, RenderOptions(width=32, height=32, mode="mirror",
+                                  bounces=3), tree=tree))
+    b = np.asarray(render_image(
+        scene, cam, RenderOptions(width=32, height=32, mode="mirror",
+                                  bounces=3, intersector="packet"),
+        tree=tree))
+    close = np.isclose(a, b, atol=1e-4).all(axis=-1)
+    assert close.mean() > 0.99, f"{(~close).sum()} pixels differ"
