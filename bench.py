@@ -41,9 +41,10 @@ def main():
     # fat leaves favor the packet tracer (dense MT is nearly free; node
     # visits cost); the wavefront prefers small leaves
     leaf_size = int(os.environ.get(
-        "BENCH_LEAF", 128 if intersector == "packet" else 4))
+        "BENCH_LEAF", 512 if intersector == "packet" else 4))
     max_depth = int(os.environ.get(
-        "BENCH_DEPTH", 18 if intersector == "packet" else 22))
+        "BENCH_DEPTH", 14 if intersector == "packet" else 22))
+    packet_tile = int(os.environ.get("BENCH_TILE", 256))
 
     import jax
     import jax.numpy as jnp
@@ -79,7 +80,7 @@ def main():
     cam = Camera.create(position=[0.0, 0.0, -25.0], forward=[0.0, 0.0, 1.0])
     opts = RenderOptions(width=width, height=height, mode=mode,
                          bounces=bounces, use_tree=True, tri_block=4,
-                         intersector=intersector,
+                         intersector=intersector, packet_tile=packet_tile,
                          background=0.0 if mode == "path" else 1.0)
 
     scene = jax.device_put(scene, dev)

@@ -62,6 +62,10 @@ class FlatKdTree:
     node_table: jnp.ndarray = None  # [N, 24] f32 gather-packed mirror of
     #   the columns above (ops/traverse_fast.py); present when the tree was
     #   built with tri_block=4
+    quads: jnp.ndarray = None  # [T/4, 64] f32 pre-packed leaf triangle
+    #   rows (v0, e1, e2, tri_id x4) baked at build time from the build
+    #   vertices — saves a 3x full-scene gather per frame; the
+    #   differentiable path ignores it and re-packs from live verts
 
     @property
     def num_nodes(self) -> int:
@@ -268,8 +272,26 @@ def _add_ropes(b_arrays: dict) -> np.ndarray:
     return ropes_out
 
 
-def tree_from_node_table(table: np.ndarray,
-                         tri_indices: np.ndarray) -> FlatKdTree:
+def pack_quads_host(tri_indices: np.ndarray,
+                    tri_verts: np.ndarray) -> np.ndarray:
+    """Host-side quad-row packing (numpy twin of traverse_fast.pack_quads):
+    [T/4, 64] rows of 4 x (v0, e1, e2, tri_id, pad)."""
+    idx = np.asarray(tri_indices)
+    safe = np.maximum(idx, 0)
+    tv = np.asarray(tri_verts, np.float32)
+    a = tv[safe, 0]
+    e1 = tv[safe, 1] - a
+    e2 = tv[safe, 2] - a
+    rows16 = np.zeros((idx.shape[0], 16), np.float32)
+    rows16[:, 0:3] = a
+    rows16[:, 3:6] = e1
+    rows16[:, 6:9] = e2
+    rows16[:, 9] = idx.astype(np.float32)
+    return rows16.reshape(-1, 64)
+
+
+def tree_from_node_table(table: np.ndarray, tri_indices: np.ndarray,
+                         tri_verts: np.ndarray = None) -> FlatKdTree:
     """Reconstruct the full column layout from a packed [M, 24] node table
     (the native builder's output; inverse of traverse_fast.pack_node_table).
     """
@@ -287,6 +309,8 @@ def tree_from_node_table(table: np.ndarray,
         ropes=jnp.asarray(table[:, 12:18].astype(np.int32)),
         tri_indices=jnp.asarray(tri_indices),
         node_table=jnp.asarray(table),
+        quads=(jnp.asarray(pack_quads_host(tri_indices, tri_verts))
+               if tri_verts is not None else None),
     )
 
 
@@ -313,7 +337,8 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
             table, tri_indices = native.build_kd_native(
                 np.asarray(tri_verts, np.float32), max_depth,
                 max(1, leaf_size), tri_block)
-            return tree_from_node_table(table, tri_indices)
+            return tree_from_node_table(table, tri_indices,
+                                        tri_verts=tri_verts)
         except native.NativeBuildError:
             if backend == "native":
                 raise
@@ -356,12 +381,15 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
         tri_indices, arrays = _pad_leaves(tri_indices, arrays, tri_block)
 
     node_table = None
+    quads = None
     if tri_block == 4:
         from clpathtracer_tpu.ops.traverse_fast import pack_node_table
         node_table = jnp.asarray(pack_node_table(arrays))
+        quads = jnp.asarray(pack_quads_host(tri_indices, tri_verts))
 
     return FlatKdTree(
         node_table=node_table,
+        quads=quads,
         node_min=jnp.asarray(arrays["node_min"]),
         node_max=jnp.asarray(arrays["node_max"]),
         is_leaf=jnp.asarray(arrays["is_leaf"]),

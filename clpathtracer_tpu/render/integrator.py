@@ -65,6 +65,8 @@ class RenderOptions:
     #   tracer for coherent rays; falls back when the scene exceeds VMEM)
     sort_bounces: bool = True  # with intersector=packet: Morton/octant-sort
     #   scattered bounce rays so they too can take the packet engine
+    packet_tile: int = 1024    # rays per packet (square pixel tiles);
+    #   256 favors huge scenes with fat leaves, 1024 small/medium scenes
     differentiable: bool = False  # detached-topology hits (diff/grad.py) so
     #   jax.grad flows through t/u/v to camera, verts and materials
 
@@ -94,25 +96,32 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
     elif opts.use_tree and tree is not None and scene.num_tris > 0:
         v0, v1, v2 = scene.tri_verts()
         if tree.node_table is not None and opts.tri_block == 4:
-            quads = pack_quads(tree.tri_indices, v0, v1, v2)
+            # baked at build time when available; repacking gathers the
+            # whole triangle set every frame
+            quads = (tree.quads if getattr(tree, "quads", None) is not None
+                     else pack_quads(tree.tri_indices, v0, v1, v2))
             from clpathtracer_tpu.ops.packet import (
                 packet_supported, traverse_packet)
             if (opts.intersector == "packet" and coherent
-                    and packet_supported(tree, orig.shape[0])):
+                    and packet_supported(tree, orig.shape[0],
+                                         opts.packet_tile)):
                 # Pallas packet tracer (ops/packet.py); pass the pixel-grid
                 # shape when the wavefront is a full frame so packets get
                 # square screen tiles
                 shape = (opts.height, opts.width) if orig.shape[0] == (
                     opts.width * opts.height) else None
                 rec = traverse_packet(tree, quads, orig, dir,
-                                      image_shape=shape)
+                                      image_shape=shape,
+                                      tile=opts.packet_tile)
             elif (opts.intersector == "packet" and opts.sort_bounces
-                  and packet_supported(tree, orig.shape[0])):
+                  and packet_supported(tree, orig.shape[0],
+                                       opts.packet_tile)):
                 # scattered bounce rays: Morton/octant-sort the wavefront
                 # into coherent packets, trace, restore order (ops/sort.py)
                 from clpathtracer_tpu.ops.sort import sort_rays
                 perm, inv = sort_rays(orig, dir)
-                rec = traverse_packet(tree, quads, orig[perm], dir[perm])
+                rec = traverse_packet(tree, quads, orig[perm], dir[perm],
+                                      tile=opts.packet_tile)
                 rec = {k: v[inv] if v.shape[:1] == perm.shape else v
                        for k, v in rec.items()}
             else:

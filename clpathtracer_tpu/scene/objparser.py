@@ -43,16 +43,47 @@ def _parse_corner(token: str, nv: int, nvt: int, nvn: int):
     return v, vn, vt
 
 
-def parse_obj(text: str):
+def parse_mtl(text: str) -> dict:
+    """Parse a Wavefront .mtl file → {name: {"Kd": [3], "Ke": [3]}}.
+
+    The subset that drives shading here: Kd (diffuse albedo) and Ke
+    (emission). The reference's vendored tinyobj parses materials too
+    (tinyobj_material_t) but its kernel never reads them — this framework
+    shades with them (per-face albedo/emission in Scene).
+    """
+    mats: dict = {}
+    cur = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        tokens = line.split()
+        tag = tokens[0]
+        if tag == "newmtl" and len(tokens) > 1:
+            cur = {"Kd": [0.75, 0.75, 0.75], "Ke": [0.0, 0.0, 0.0]}
+            mats[tokens[1]] = cur
+        elif tag in ("Kd", "Ke") and cur is not None and len(tokens) >= 4:
+            cur[tag] = [float(tokens[1]), float(tokens[2]), float(tokens[3])]
+    return mats
+
+
+def parse_obj(text: str, mtl_loader=None):
     """Parse OBJ text → dict of numpy arrays.
 
     Returns {"verts": [V,3] f32, "normals": [VN,3] f32, "texcoords": [VT,2]
-    f32, "faces": [F,3,3] i32 (corner-major: faces[f,c] = (v, vn, vt))}.
+    f32, "faces": [F,3,3] i32 (corner-major: faces[f,c] = (v, vn, vt)),
+    "albedo": [F,3] f32, "emission": [F,3] f32}.
+
+    mtl_loader: optional callable name → mtl text, used to resolve
+    `mtllib` records (load_obj wires this to sibling-file reads).
     """
     verts: list = []
     normals: list = []
     texcoords: list = []
     corners: list = []  # flat list of (v, vn, vt)
+    face_mat: list = []  # material name per emitted triangle
+    materials: dict = {}
+    cur_mat = None
 
     for raw_line in text.splitlines():
         line = raw_line.strip()
@@ -85,9 +116,18 @@ def parse_obj(text: str):
             # fan triangulation, as tinyobj's TINYOBJ_FLAG_TRIANGULATE does
             for k in range(1, len(face) - 1):
                 corners.extend([face[0], face[k], face[k + 1]])
+                face_mat.append(cur_mat)
+        elif tag == "mtllib" and len(tokens) > 1 and mtl_loader is not None:
+            for name in tokens[1:]:
+                try:
+                    materials.update(parse_mtl(mtl_loader(name)))
+                except OSError:
+                    pass  # missing .mtl is non-fatal (skip-bad-asset)
+        elif tag == "usemtl":
+            cur_mat = tokens[1] if len(tokens) > 1 else None
         else:
-            # o / g / s / usemtl / mtllib / l / p — ignored, like the
-            # reference ignores everything but geometry.
+            # o / g / s / l / p — ignored, like the reference ignores
+            # everything but geometry.
             continue
 
     v = np.asarray(verts, np.float32).reshape(-1, 3)
@@ -99,10 +139,28 @@ def parse_obj(text: str):
         raise ObjParseError("face references out-of-range vertex index")
     if f.size and np.any(f[..., 1] >= len(vn)):
         raise ObjParseError("face references out-of-range normal index")
-    return {"verts": v, "normals": vn, "texcoords": vt, "faces": f}
+
+    nf = f.shape[0]
+    albedo = np.full((nf, 3), 0.75, np.float32)
+    emission = np.zeros((nf, 3), np.float32)
+    for i, m in enumerate(face_mat):
+        if m is not None and m in materials:
+            albedo[i] = materials[m]["Kd"]
+            emission[i] = materials[m]["Ke"]
+    return {"verts": v, "normals": vn, "texcoords": vt, "faces": f,
+            "albedo": albedo, "emission": emission}
 
 
 def load_obj(path: str):
-    """Read and parse an OBJ file (reference entry: src/model.c:74-145)."""
+    """Read and parse an OBJ file (reference entry: src/model.c:74-145),
+    resolving `mtllib` records relative to the OBJ's directory."""
+    import os
+    base = os.path.dirname(os.path.abspath(path))
+
+    def mtl_loader(name):
+        with open(os.path.join(base, name), "r", encoding="utf-8",
+                  errors="replace") as fh:
+            return fh.read()
+
     with open(path, "r", encoding="utf-8", errors="replace") as fh:
-        return parse_obj(fh.read())
+        return parse_obj(fh.read(), mtl_loader=mtl_loader)

@@ -90,9 +90,13 @@ class Scene:
 
     @classmethod
     def from_obj(cls, path: str, **material_kwargs) -> "Scene":
-        """Load a Wavefront OBJ (reference: src/model.c:147-176, .obj branch)."""
+        """Load a Wavefront OBJ (reference: src/model.c:147-176, .obj
+        branch). MTL Kd/Ke resolve to per-face albedo/emission unless
+        overridden via material_kwargs."""
         from clpathtracer_tpu.scene.objparser import load_obj
         d = load_obj(path)
+        material_kwargs.setdefault("albedo", d["albedo"])
+        material_kwargs.setdefault("emission", d["emission"])
         return cls.create(d["verts"], d["faces"], d["normals"],
                           **material_kwargs)
 

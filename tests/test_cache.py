@@ -111,3 +111,30 @@ class TestMultiMesh:
         scene, tree, skipped = load_models([str(good), str(bad)])
         assert scene.num_tris == 12
         assert skipped == [str(bad)]
+
+
+class TestMtl:
+    def test_mtl_materials_resolve(self, tmp_path):
+        """MTL Kd/Ke → per-face albedo/emission (the reference parses
+        materials via tinyobj but never shades with them)."""
+        (tmp_path / "m.mtl").write_text(
+            "newmtl red\nKd 0.8 0.1 0.1\n"
+            "newmtl lamp\nKd 0.0 0.0 0.0\nKe 5.0 5.0 5.0\n")
+        (tmp_path / "tri.obj").write_text(
+            "mtllib m.mtl\n"
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+            "usemtl red\nf 1 2 3\n"
+            "usemtl lamp\nf 2 4 3\n")
+        from clpathtracer_tpu.scene.scene import Scene
+        s = Scene.from_obj(str(tmp_path / "tri.obj"))
+        np.testing.assert_allclose(np.asarray(s.albedo[0]), [0.8, 0.1, 0.1])
+        np.testing.assert_allclose(np.asarray(s.emission[0]), [0, 0, 0])
+        np.testing.assert_allclose(np.asarray(s.emission[1]), [5, 5, 5])
+
+    def test_missing_mtl_nonfatal(self, tmp_path):
+        (tmp_path / "tri.obj").write_text(
+            "mtllib missing.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+        from clpathtracer_tpu.scene.scene import Scene
+        s = Scene.from_obj(str(tmp_path / "tri.obj"))
+        assert s.num_tris == 1
+        np.testing.assert_allclose(np.asarray(s.albedo[0]), [0.75] * 3)
