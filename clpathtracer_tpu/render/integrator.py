@@ -170,10 +170,13 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
     return out
 
 
-def _surface(scene, rec, orig, dir):
+def _surface(scene, rec, orig, dir, opts=None):
     """Merge triangle/sphere attribute resolution for a hit record."""
     point = orig + rec["t"][:, None] * dir
-    tri_at = resolve_tri_hits(scene, rec["tri"], rec["u"], rec["v"])
+    # baked shade rows would detach material/normal gradients
+    allow_baked = not (opts is not None and opts.differentiable)
+    tri_at = resolve_tri_hits(scene, rec["tri"], rec["u"], rec["v"],
+                              allow_baked=allow_baked)
     if scene.num_spheres > 0:
         sph_at = resolve_sphere_hits(scene, rec["sphere"], point)
         is_sph = (rec["sphere"] >= 0)[:, None]
@@ -194,7 +197,7 @@ def _surface(scene, rec, orig, dir):
 def shade_normal(scene, tree, orig, dir, opts: RenderOptions):
     """Reference-parity: hit → (normal+1)/2, miss → white."""
     rec = intersect_scene(scene, tree, orig, dir, opts)
-    _, normal, _, _ = _surface(scene, rec, orig, dir)
+    _, normal, _, _ = _surface(scene, rec, orig, dir, opts)
     bg = jnp.full_like(normal, opts.background)
     return jnp.where(rec["hit"][:, None], normal_color(normal), bg)
 
@@ -214,7 +217,7 @@ def shade_mirror(scene, tree, orig, dir, opts: RenderOptions):
     o, d = orig, dir
     for b in range(opts.bounces):
         rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0))
-        point, normal, _, _ = _surface(scene, rec, o, d)
+        point, normal, _, _ = _surface(scene, rec, o, d, opts)
         hit = rec["hit"] & alive
         nc = normal_color(normal)
         col = jnp.where(hit[:, None],
@@ -253,7 +256,7 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
     o, d = orig, dir
     for b in range(opts.bounces):
         rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0))
-        point, normal, albedo, emission = _surface(scene, rec, o, d)
+        point, normal, albedo, emission = _surface(scene, rec, o, d, opts)
         # face-forward normal
         normal = jnp.where(vm.dot(normal, d)[:, None] > 0, -normal, normal)
         hit = rec["hit"] & alive

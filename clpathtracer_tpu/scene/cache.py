@@ -25,7 +25,7 @@ _TREE_FIELDS = ("node_min", "node_max", "is_leaf", "split_axis",
                 "leaf_count", "ropes", "tri_indices", "node_table", "quads")
 _SCENE_FIELDS = ("verts", "faces", "normals", "albedo", "emission",
                  "sphere_pos", "sphere_radius", "sphere_albedo",
-                 "sphere_emission")
+                 "sphere_emission", "shade_rows")
 
 
 def save_scene_cache(path: str, scene: Scene, tree: FlatKdTree) -> None:
@@ -37,7 +37,10 @@ def save_scene_cache(path: str, scene: Scene, tree: FlatKdTree) -> None:
             continue
         arrays["tree_" + f] = np.asarray(val)
     for f in _SCENE_FIELDS:
-        arrays["scene_" + f] = np.asarray(getattr(scene, f))
+        val = getattr(scene, f)
+        if val is None:  # shade_rows is optional
+            continue
+        arrays["scene_" + f] = np.asarray(val)
     with open(path, "wb") as fh:
         np.savez_compressed(fh, **arrays)
 
@@ -51,7 +54,8 @@ def load_scene_cache(path: str) -> Tuple[Scene, FlatKdTree]:
                              for f in _TREE_FIELDS
                              if "tree_" + f in z})
         scene = Scene(**{f: jnp.asarray(z["scene_" + f])
-                         for f in _SCENE_FIELDS})
+                         for f in _SCENE_FIELDS
+                         if "scene_" + f in z})
     return scene, tree
 
 
@@ -82,7 +86,7 @@ def load_model(path: str, tri_block: int = 4, max_depth: int = 24,
             os.path.getmtime(cache) >= os.path.getmtime(path)):
         return load_scene_cache(cache)
 
-    scene = Scene.from_obj(path, **material_kwargs)
+    scene = Scene.from_obj(path, **material_kwargs).bake_shading()
     tree = build_kd_tree(_tri_verts_np(scene), max_depth=max_depth,
                          leaf_size=leaf_size, tri_block=tri_block)
     if use_cache:

@@ -44,6 +44,11 @@ class Scene:
     sphere_radius: jnp.ndarray
     sphere_albedo: jnp.ndarray
     sphere_emission: jnp.ndarray
+    shade_rows: jnp.ndarray = None  # optional [F, 16] baked shading rows
+    #   (n0, n1, n2, albedo, emission, pad) — one wide gather per hit
+    #   instead of ~6 narrow ones; see bake_shading(). Stale after editing
+    #   materials/normals — re-bake or set None. Ignored by the
+    #   differentiable path (gradients need the live arrays).
 
     # ---------- constructors ----------
 
@@ -140,3 +145,30 @@ class Scene:
 
     def with_verts(self, verts: jnp.ndarray) -> "Scene":
         return self.replace(verts=verts)
+
+    def bake_shading(self) -> "Scene":
+        """Precompute [F, 16] per-triangle shading rows.
+
+        Per-corner normals are the vertex normals when the face carries
+        them (all three indices >= 0, matching resolve_tri_hits), else the
+        geometric normal replicated — interpolation then reproduces either
+        case with a single wide gather at render time.
+        """
+        import numpy as np
+        v = np.asarray(self.verts)
+        f = np.asarray(self.faces)
+        nrm = np.asarray(self.normals)
+        nf = f.shape[0]
+        p0, p1, p2 = v[f[:, 0, 0]], v[f[:, 1, 0]], v[f[:, 2, 0]]
+        g = np.cross(p1 - p0, p2 - p0)
+        g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-30)
+        has = (f[:, :, 1] >= 0).all(axis=-1)
+        safe = np.maximum(f[:, :, 1], 0)
+        corner = nrm[safe]  # [F, 3, 3]
+        corner = np.where(has[:, None, None], corner,
+                          np.repeat(g[:, None, :], 3, axis=1))
+        rows = np.zeros((nf, 16), np.float32)
+        rows[:, 0:9] = corner.reshape(nf, 9)
+        rows[:, 9:12] = np.asarray(self.albedo)
+        rows[:, 12:15] = np.asarray(self.emission)
+        return self.replace(shade_rows=jnp.asarray(rows))

@@ -201,3 +201,35 @@ class TestModes:
         b = np.asarray(render_image(scene, cam, opts,
                                     key=jax.random.PRNGKey(7), tree=tree))
         np.testing.assert_array_equal(a, b)
+
+
+class TestBakedShading:
+    def test_baked_matches_live_resolve(self):
+        """Scene.bake_shading: wide-gather shading must match the live
+        multi-gather path on smooth and flat geometry."""
+        for make in (lambda: icosphere(2), lambda: cornell_box(light=True)):
+            scene = make()
+            v0, v1, v2 = scene.tri_verts()
+            tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+            tree = build_kd_tree(tv, tri_block=4)
+            cam = Camera.create(position=[0.0, 0.0, -1.0],
+                                forward=[0.0, 0.0, 1.0])
+            opts = RenderOptions(width=32, height=32, mode="normal")
+            a = np.asarray(render_image(scene, cam, opts, tree=tree))
+            b = np.asarray(render_image(scene.bake_shading(), cam, opts,
+                                        tree=tree))
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_baked_path_mode(self):
+        scene = cornell_box(light=True)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        opts = RenderOptions(width=16, height=16, mode="path", bounces=2,
+                             background=0.0)
+        key = jax.random.PRNGKey(2)
+        a = np.asarray(render_image(scene, cam, opts, tree=tree, key=key))
+        b = np.asarray(render_image(scene.bake_shading(), cam, opts,
+                                    tree=tree, key=key))
+        np.testing.assert_allclose(a, b, atol=1e-5)
