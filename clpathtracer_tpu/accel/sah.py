@@ -66,6 +66,8 @@ class FlatKdTree:
     #   rows (v0, e1, e2, tri_id x4) baked at build time from the build
     #   vertices — saves a 3x full-scene gather per frame; the
     #   differentiable path ignores it and re-packs from live verts
+    wide_table: jnp.ndarray = None  # [S, 128] f32 8-wide supernode rows
+    #   (accel/wide.py) for the wide packet kernel; built for leaf_size>=8
 
     @property
     def num_nodes(self) -> int:
@@ -337,8 +339,13 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
             table, tri_indices = native.build_kd_native(
                 np.asarray(tri_verts, np.float32), max_depth,
                 max(1, leaf_size), tri_block)
-            return tree_from_node_table(table, tri_indices,
+            tree = tree_from_node_table(table, tri_indices,
                                         tri_verts=tri_verts)
+            if leaf_size >= 8:
+                from clpathtracer_tpu.accel.wide import build_wide_table
+                tree = tree.replace(
+                    wide_table=jnp.asarray(build_wide_table(tree)))
+            return tree
         except native.NativeBuildError:
             if backend == "native":
                 raise
@@ -387,7 +394,7 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
         node_table = jnp.asarray(pack_node_table(arrays))
         quads = jnp.asarray(pack_quads_host(tri_indices, tri_verts))
 
-    return FlatKdTree(
+    tree = FlatKdTree(
         node_table=node_table,
         quads=quads,
         node_min=jnp.asarray(arrays["node_min"]),
@@ -402,6 +409,10 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
         ropes=jnp.asarray(arrays["ropes"]),
         tri_indices=jnp.asarray(tri_indices),
     )
+    if tri_block == 4 and leaf_size >= 8:
+        from clpathtracer_tpu.accel.wide import build_wide_table
+        tree = tree.replace(wide_table=jnp.asarray(build_wide_table(tree)))
+    return tree
 
 
 def _pad_leaves(tri_indices: np.ndarray, arrays: dict, block: int):

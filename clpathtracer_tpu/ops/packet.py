@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = 3.4e38
 TILE = 1024          # default rays per packet: 8 sublanes x 128 lanes
-STACK_DEPTH = 64
+STACK_DEPTH = 128
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -52,6 +52,15 @@ def packet_mode(tree, n_rays: int, tile: int = TILE):
         return None
     if n_rays % tile != 0:
         return None
+    # 8-wide supernode table (opt-in via CLPT_WIDE=1): one 512 B row per
+    # ~7 binary nodes, children at static lane offsets. Measured slower
+    # than the binary tri-stream at 1M tris (the 8 sequential per-child
+    # conds outweigh the pop savings) — kept as an experimental engine.
+    import os
+    wide = getattr(tree, "wide_table", None)
+    if (os.environ.get("CLPT_WIDE") and wide is not None
+            and wide.shape[0] * 512 <= VMEM_BUDGET):
+        return "wide"
     # packet kernels use a ropeless 16-wide slice of the node table
     # (stack traversal never follows ropes) — 64 B per node
     table_bytes = tree.node_table.shape[0] * 16 * 4
@@ -452,6 +461,226 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
         jnp.where(lane == 1, nl.astype(jnp.float32), 0.0))
 
 
+def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
+                 stats_ref, stack_ref, tri_buf, tri_sem, *, tile):
+    """8-wide supernode packet traversal (accel/wide.py layout): each pop
+    reads one [*,128] row whose 8 child slots sit at STATIC lane offsets —
+    no per-node switch — culls all children against the packet interval,
+    pushes surviving internals, and streams surviving leaves' triangles
+    from HBM with the double-buffered chunk pipeline."""
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+
+    inv_big = 1e30
+    def inv_bounds(dc):
+        inv = jnp.clip(1.0 / dc, -inv_big, inv_big)
+        return jnp.min(inv), jnp.max(inv)
+    ixl, ixh = inv_bounds(dx)
+    iyl, iyh = inv_bounds(dy)
+    izl, izh = inv_bounds(dz)
+    obnd = ((jnp.min(ox), jnp.max(ox)), (jnp.min(oy), jnp.max(oy)),
+            (jnp.min(oz), jnp.max(oz)))
+    ibnd = ((ixl, ixh), (iyl, iyh), (izl, izh))
+
+    def axis_interval(lo_a, hi_a, ob, ib):
+        ol, oh = ob
+        il, ih = ib
+        uniform = il * ih > 0.0
+        pos = il > 0.0
+        nearb = jnp.where(pos, lo_a, hi_a)
+        farb = jnp.where(pos, hi_a, lo_a)
+        def prods(b):
+            c1 = (b - ol) * il
+            c2 = (b - ol) * ih
+            c3 = (b - oh) * il
+            c4 = (b - oh) * ih
+            return (jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
+                    jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)))
+        near_min, _ = prods(nearb)
+        _, far_max = prods(farb)
+        near_min = jnp.where(uniform, near_min, -inv_big)
+        far_max = jnp.where(uniform, far_max, inv_big)
+        return near_min, far_max
+
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+    stack_ref[0] = 0
+    n_chunk_rows = tris_ref.shape[0]
+
+    sub_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
+
+    def start_chunk(chunk_row0, buf_slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :],
+            tri_buf.at[buf_slot], tri_sem.at[buf_slot]).start()
+
+    def mt_chunk(chunk_row0, buf_slot, best_t, best_s):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :],
+            tri_buf.at[buf_slot], tri_sem.at[buf_slot]).wait()
+        chunk_t = jnp.full((1, tile), BIG, jnp.float32)
+        chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
+        for i in range(8):
+            def col(j):
+                c = tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1]
+                return c.reshape(CHUNK_ROWS, 1)
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            tid = col(9)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = det > 0.0
+            invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            u = (tx * px + ty * py + tz * pz) * invd
+            ok = ok & (u >= 0.0) & (u <= 1.0)
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * invd
+            ok = ok & (v >= 0.0) & (u + v <= 1.0)
+            tt = (e2x * qx + e2y * qy + e2z * qz) * invd
+            ok = ok & (tt > 0.0) & (tid >= 0.0)
+            t_m = jnp.where(ok, tt, BIG)
+            slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)
+            grp_min = jnp.min(t_m, axis=0, keepdims=True)
+            slot_cand = jnp.where(t_m == grp_min, slot, 3.0e38)
+            grp_slot = jnp.min(slot_cand, axis=0, keepdims=True)
+            take = grp_min <= chunk_t
+            chunk_t = jnp.where(take, grp_min, chunk_t)
+            chunk_s = jnp.where(take, grp_slot, chunk_s)
+        take = (chunk_t < BIG) & (chunk_t <= best_t)
+        best_t = jnp.where(take, chunk_t, best_t)
+        best_s = jnp.where(take, chunk_s, best_s)
+        return best_t, best_s
+
+    def stream_leaf(qstart, count, best_t, best_s):
+        first_tri = qstart * 4
+        row0 = first_tri // 8
+        row_end = (first_tri + count + 7) // 8
+        nchunks = (row_end - row0 + CHUNK_ROWS - 1) // CHUNK_ROWS
+
+        def row_of(b):
+            return jnp.minimum(row0 + b * CHUNK_ROWS,
+                               n_chunk_rows - CHUNK_ROWS)
+
+        start_chunk(row_of(0), 0)
+
+        def chunk_body(b, c):
+            bt, bs = c
+            cur = b % 2
+
+            @pl.when(b + 1 < nchunks)
+            def _():
+                start_chunk(row_of(b + 1), (b + 1) % 2)
+
+            return mt_chunk(row_of(b), cur, bt, bs)
+
+        best_t, best_s = jax.lax.fori_loop(
+            0, nchunks, chunk_body, (best_t, best_s))
+        return best_t, best_s, nchunks
+
+    def body(state):
+        sp, best_t, best_s, t_upper, nv, nl = state
+        snode = stack_ref[sp - 1]
+        sp = sp - 1
+        nv = nv + 1
+
+        for k in range(8):  # unrolled: every lane offset is static
+            def cf(j, k=k):
+                return table_ref[snode, k * 16 + j]
+            kind = cf(6)
+            lo_x, lo_y, lo_z = cf(0), cf(1), cf(2)
+            hi_x, hi_y, hi_z = cf(3), cf(4), cf(5)
+            nx_min, nx_max = axis_interval(lo_x, hi_x, obnd[0], ibnd[0])
+            ny_min, ny_max = axis_interval(lo_y, hi_y, obnd[1], ibnd[1])
+            nz_min, nz_max = axis_interval(lo_z, hi_z, obnd[2], ibnd[2])
+            t_enter = jnp.maximum(jnp.maximum(nx_min, ny_min), nz_min)
+            t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
+            overlap = ((t_enter <= t_exit) & (t_exit > 0.0)
+                       & (t_enter <= t_upper) & (kind > 0.5))
+
+            push = overlap & (kind < 1.5)
+
+            @pl.when(push)
+            def _(k=k, sp=sp, cf=cf):
+                stack_ref[sp] = cf(7).astype(jnp.int32)
+
+            sp = sp + push.astype(jnp.int32)
+
+            do_stream = overlap & (kind > 1.5)
+
+            def on_leaf(bt, bs, tu, nl, cf=cf):
+                qstart = cf(7).astype(jnp.int32)
+                count = cf(8).astype(jnp.int32)
+                bt, bs, nch = stream_leaf(qstart, count, bt, bs)
+                return bt, bs, jnp.max(bt), nl + nch
+
+            def skip(bt, bs, tu, nl):
+                return bt, bs, tu, nl
+
+            best_t, best_s, t_upper, nl = jax.lax.cond(
+                do_stream, on_leaf, skip, best_t, best_s, t_upper, nl)
+
+        return sp, best_t, best_s, t_upper, nv, nl
+
+    def cond(state):
+        return state[0] > 0
+
+    _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG),
+                     jnp.int32(0), jnp.int32(0)))
+
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    stats_ref[:] = jnp.where(
+        lane == 0, nv.astype(jnp.float32),
+        jnp.where(lane == 1, nl.astype(jnp.float32), 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _packet_call_wide(wide_table, tris128, orig_t, dir_t, interpret=False,
+                      tile=TILE):
+    n = orig_t.shape[1]
+    n_tiles = n // tile
+    return pl.pallas_call(
+        functools.partial(_kernel_wide, tile=tile),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
+        ],
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # supernode table
+            pl.BlockSpec(memory_space=pl.ANY),        # tri chunks (HBM)
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(wide_table, tris128, orig_t, dir_t)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def _packet_call_tri_stream(table, tris128, orig_t, dir_t, interpret=False,
                             tile=TILE):
@@ -569,16 +798,28 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
     tris16 = quads.reshape(-1, 16)
     mode = packet_mode(tree, n, tile)
     assert mode is not None, "scene/ray shape unsupported by packet tracer"
-    # ropeless node rows packed 8-per-128-lane-row: cols 0-11 are all the
-    # packet walk reads, and narrow VMEM arrays lane-pad to 128 anyway
-    t16 = tree.node_table[:, :16]
-    m = t16.shape[0]
-    pad_m = (-m) % 8
-    if pad_m:
-        t16 = jnp.concatenate(
-            [t16, jnp.zeros((pad_m, 16), t16.dtype)], axis=0)
-    table16 = t16.reshape(-1, 128)
-    if mode == "tri_stream":
+    if mode != "wide":
+        # ropeless node rows packed 8-per-128-lane-row: cols 0-11 are all
+        # the packet walk reads; narrow VMEM arrays lane-pad to 128 anyway
+        t16 = tree.node_table[:, :16]
+        m = t16.shape[0]
+        pad_m = (-m) % 8
+        if pad_m:
+            t16 = jnp.concatenate(
+                [t16, jnp.zeros((pad_m, 16), t16.dtype)], axis=0)
+        table16 = t16.reshape(-1, 128)
+    if mode == "wide":
+        t_rows = tris16.shape[0]
+        pad_rows = (-t_rows) % 8
+        if pad_rows:
+            tris16 = jnp.concatenate(
+                [tris16, jnp.full((pad_rows, 16), -1.0, tris16.dtype)],
+                axis=0)
+        out_t, out_s, tile_stats = _packet_call_wide(
+            tree.wide_table, tris16.reshape(-1, 128),
+            orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
+            interpret=interpret, tile=tile)
+    elif mode == "tri_stream":
         t_rows = tris16.shape[0]
         pad_rows = (-t_rows) % 8
         if pad_rows:

@@ -22,7 +22,7 @@ CACHE_SUFFIX = ".kd.npz"  # the reference's "<model>.kd" (src/model.c:22)
 
 _TREE_FIELDS = ("node_min", "node_max", "is_leaf", "split_axis",
                 "split_value", "child_lo", "child_hi", "leaf_start",
-                "leaf_count", "ropes", "tri_indices", "node_table", "quads")
+                "leaf_count", "ropes", "tri_indices", "node_table", "quads", "wide_table")
 _SCENE_FIELDS = ("verts", "faces", "normals", "albedo", "emission",
                  "sphere_pos", "sphere_radius", "sphere_albedo",
                  "sphere_emission", "shade_rows")

@@ -116,3 +116,31 @@ def test_sorted_bounce_packet_matches_wavefront_image():
         tree=tree))
     close = np.isclose(a, b, atol=1e-4).all(axis=-1)
     assert close.mean() > 0.99, f"{(~close).sum()} pixels differ"
+
+
+@pytest.mark.parametrize("make,pos", [
+    (lambda: icosphere(2), (0.0, 0.0, -1.0)),
+    (lambda: random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+     (0.0, 0.0, -4.0)),
+])
+def test_wide_kernel_matches_wavefront(make, pos, monkeypatch):
+    """8-wide supernode kernel (accel/wide.py + _kernel_wide) vs the
+    reference wavefront: same hits, same t. (Opt-in engine: CLPT_WIDE.)"""
+    monkeypatch.setenv("CLPT_WIDE", "1")
+    import clpathtracer_tpu.ops.packet as pk
+    scene = make()
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4, leaf_size=16, max_depth=14)
+    assert tree.wide_table is not None
+    assert pk.packet_mode(tree, 1024) == "wide"
+    cam = Camera.create(position=list(pos), forward=[0.0, 0.0, 1.0])
+    orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    ref = traverse_fast(tree, quads, orig, dir)
+    pkt = pk.traverse_packet(tree, quads, orig, dir, image_shape=(32, 32))
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(pkt["hit"]))
+    h = np.asarray(ref["hit"])
+    np.testing.assert_allclose(np.asarray(ref["t"])[h],
+                               np.asarray(pkt["t"])[h], rtol=1e-5)
