@@ -42,6 +42,9 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--bounces", type=int, default=2)
         sp.add_argument("--spp", type=int, default=1)
         sp.add_argument("--background", type=float, default=1.0)
+        sp.add_argument("--nee", action="store_true",
+                        help="path mode: next-event estimation (direct"
+                             " light sampling)")
         sp.add_argument("--no-tree", action="store_true",
                         help="brute-force linear-scan intersector")
         sp.add_argument("--tri-block", type=int, default=4)
@@ -136,7 +139,7 @@ def _opts(args, differentiable=False):
         width=args.width, height=args.height, mode=args.mode,
         bounces=args.bounces, spp=args.spp, use_tree=not args.no_tree,
         tri_block=args.tri_block, background=args.background,
-        differentiable=differentiable)
+        nee=getattr(args, "nee", False), differentiable=differentiable)
 
 
 def _render(scene, tree, camera, args, key=None):

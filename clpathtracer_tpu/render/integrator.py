@@ -67,6 +67,9 @@ class RenderOptions:
     #   scattered bounce rays so they too can take the packet engine
     packet_tile: int = 1024    # rays per packet (square pixel tiles);
     #   256 favors huge scenes with fat leaves, 1024 small/medium scenes
+    nee: bool = False          # path mode: next-event estimation (direct
+    #   light sampling with shadow rays) — much lower variance for small
+    #   emitters
     differentiable: bool = False  # detached-topology hits (diff/grad.py) so
     #   jax.grad flows through t/u/v to camera, verts and materials
 
@@ -242,12 +245,44 @@ def shade_mirror(scene, tree, orig, dir, opts: RenderOptions):
     return col
 
 
+def _sample_light(scene, key, n):
+    """Area-sample emissive triangles: returns (point [n,3], normal [n,3],
+    emitted [n,3], pdf_area [n], any_light scalar bool).
+
+    Faces weighted by luminance x area; barycentric-uniform point on the
+    chosen face. pdf is per unit area so the G-term conversion applies.
+    """
+    v0, v1, v2 = scene.tri_verts()
+    cross = vm.cross(v1 - v0, v2 - v0)
+    area = 0.5 * vm.length(cross)
+    lum = jnp.max(scene.emission, axis=-1)
+    w = lum * area
+    total = jnp.sum(w)
+    probs = w / jnp.maximum(total, 1e-30)
+
+    kf, kb = jax.random.split(key)
+    f = jax.random.categorical(kf, jnp.log(jnp.maximum(probs, 1e-37)),
+                               shape=(n,))
+    uv = jax.random.uniform(kb, (n, 2))
+    su = jnp.sqrt(uv[:, 0])
+    bu = 1.0 - su
+    bv = uv[:, 1] * su
+    p = (bu[:, None] * v0[f] + bv[:, None] * v1[f]
+         + (1.0 - bu - bv)[:, None] * v2[f])
+    nrm = vm.normalize(cross[f], eps=1e-30)
+    pdf_area = probs[f] / jnp.maximum(area[f], 1e-30)
+    return p, nrm, scene.emission[f], pdf_area, total > 0.0
+
+
 def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
     """Lambertian path tracing with emissive surfaces.
 
     radiance += throughput · emission at each hit; throughput ·= albedo;
     new direction cosine-sampled about the shading normal (flipped to face
-    the incoming ray).
+    the incoming ray). With opts.nee, each vertex additionally area-samples
+    the emitters and casts a shadow ray (next-event estimation — far lower
+    variance for small lights); emitters then only contribute via BSDF
+    bounces on the primary hit to avoid double counting.
     """
     n = orig.shape[0]
     radiance = jnp.zeros((n, 3))
@@ -260,14 +295,38 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
         # face-forward normal
         normal = jnp.where(vm.dot(normal, d)[:, None] > 0, -normal, normal)
         hit = rec["hit"] & alive
+        # emission via BSDF path: always without NEE; primary-hit only with
+        # NEE (later vertices' direct light arrives via the shadow rays)
+        take_emit = hit if (not opts.nee or b == 0) else jnp.zeros_like(hit)
         radiance = radiance + jnp.where(
-            hit[:, None], throughput * emission, 0.0)
+            take_emit[:, None], throughput * emission, 0.0)
         throughput = jnp.where(hit[:, None], throughput * albedo, throughput)
         # miss → background radiance (sky), then die
         missed = alive & ~rec["hit"]
         radiance = radiance + jnp.where(
             missed[:, None], throughput * opts.background, 0.0)
         alive = hit
+
+        if opts.nee:
+            key, kl = jax.random.split(key)
+            lp, ln, lemit, pdf_a, any_light = _sample_light(scene, kl, n)
+            to_l = lp - point
+            dist2 = jnp.maximum(vm.length_squared(to_l), 1e-12)
+            dist = jnp.sqrt(dist2)
+            wi = to_l / dist[:, None]
+            cos_s = vm.dot(normal, wi)
+            cos_l = vm.dot(ln, -wi)
+            facing = (cos_s > 0.0) & (cos_l > 0.0)
+            srec = intersect_scene(
+                scene, tree, point + normal * opts.bounce_eps, wi, opts,
+                coherent=False)
+            unoccluded = (~srec["hit"]) | (srec["t"] >= dist - 1e-3)
+            g = cos_s * cos_l / dist2
+            contrib = (throughput * (albedo / jnp.pi) * lemit
+                       * (g / jnp.maximum(pdf_a, 1e-30))[:, None])
+            use = hit & facing & unoccluded & any_light
+            radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
+
         key, sub = jax.random.split(key)
         u12 = jax.random.uniform(sub, (n, 2))
         newdir = cosine_sample_hemisphere(normal, u12[:, 0], u12[:, 1])

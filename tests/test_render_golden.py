@@ -233,3 +233,42 @@ class TestBakedShading:
         b = np.asarray(render_image(scene.bake_shading(), cam, opts,
                                     tree=tree, key=key))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestNee:
+    def test_nee_matches_bsdf_sampling_mean(self):
+        """Next-event estimation must converge to the same radiance as
+        plain BSDF-bounce sampling (unbiased), with lower variance."""
+        scene = cornell_box(light=True)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        base = dict(width=16, height=16, mode="path", bounces=3,
+                    background=0.0)
+        img_bsdf = np.asarray(render_image(
+            scene, cam, RenderOptions(**base, spp=96), tree=tree,
+            key=jax.random.PRNGKey(11)))
+        img_nee = np.asarray(render_image(
+            scene, cam, RenderOptions(**base, spp=24, nee=True), tree=tree,
+            key=jax.random.PRNGKey(12)))
+        assert np.isfinite(img_nee).all()
+        # means agree within Monte-Carlo tolerance
+        np.testing.assert_allclose(img_nee.mean(), img_bsdf.mean(),
+                                   rtol=0.15)
+        # per-pixel agreement: NEE at 1/4 the samples should already be
+        # close to the BSDF estimate
+        diff = np.abs(img_nee - img_bsdf).mean()
+        assert diff < 0.15, diff
+
+    def test_nee_no_lights_is_noop(self):
+        scene = cornell_box(light=False)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        opts = RenderOptions(width=8, height=8, mode="path", bounces=2,
+                             background=0.5, nee=True)
+        img = np.asarray(render_image(scene, cam, opts, tree=tree,
+                                      key=jax.random.PRNGKey(0)))
+        assert np.isfinite(img).all()
