@@ -106,7 +106,8 @@ def _mt_pre(v0, e1, e2, orig, dir, eps=0.0):
 
 
 def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
-                  max_iters: int = 16384, compact: bool = True):
+                  max_iters: int = 16384, compact: bool = True,
+                  t_max=None):
     """Trace a wavefront through the packed kd-tree.
 
     tree: FlatKdTree with a `node_table` (built by build_kd_tree with
@@ -117,6 +118,11 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
     remain active the wavefront is permuted and halved, so stragglers don't
     drag full-width iterations along (mean steps/ray is typically 3x below
     max).
+
+    t_max: optional [N] per-ray distance bound — hits at or beyond it are
+    ignored AND the walk early-exits once every reachable node lies beyond
+    it. The cheap occlusion/shadow-ray query: pass the light distance and
+    read `hit`.
     """
     n = orig.shape[0]
     table = tree.node_table
@@ -140,7 +146,9 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         "node": node0,
         "p": p,
         "active": rhit,
-        "best_t": BIG + orig[:, 0] * 0.0 + table[0, 0] * 0.0,
+        "best_t": (BIG + orig[:, 0] * 0.0 + table[0, 0] * 0.0
+                   if t_max is None else
+                   t_max + orig[:, 0] * 0.0 + table[0, 0] * 0.0),
         "best_slot": zero_i - 1,
         "offset": zero_i,
         "steps": zero_i,
@@ -216,8 +224,15 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         far_face = jnp.where(tk, 5 - sg[:, 2], far_face)
         tmax = jnp.where(tk, t_far[:, 2], tmax)
 
-        did_hit = best_slot >= 0
-        early_exit = did_hit & (tmin + EXIT_EPS > best_t)
+        if t_max is None:
+            # reference gate: only exit after a real hit (best_t starts at
+            # BIG, and degenerate inf tmin must not trigger)
+            did_hit = best_slot >= 0
+            early_exit = did_hit & (tmin + EXIT_EPS > best_t)
+        else:
+            # distance-bounded query: any node entered beyond the bound is
+            # irrelevant whether or not something was hit yet
+            early_exit = tmin + EXIT_EPS > best_t
         # 6-way rope select as a where-chain (no per-lane gather)
         rope_f = row[:, 12]
         for f in range(1, 6):

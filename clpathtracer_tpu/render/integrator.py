@@ -245,6 +245,37 @@ def shade_mirror(scene, tree, orig, dir, opts: RenderOptions):
     return col
 
 
+def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions):
+    """Boolean shadow query: anything closer than `dist` along dir?
+
+    Uses the distance-bounded wavefront (traverse_fast t_max) when a
+    packed tree exists — hits beyond the light don't matter, and the bound
+    early-exits whole subtrees. Topology-discrete → wrapped in
+    stop_gradient (visibility has zero gradient a.e.).
+    """
+    sg = jax.lax.stop_gradient
+    o, d, dd = sg(orig), sg(dir), sg(dist)
+    if (opts.use_tree and tree is not None
+            and getattr(tree, "node_table", None) is not None
+            and opts.tri_block == 4):
+        quads = (tree.quads if getattr(tree, "quads", None) is not None
+                 else pack_quads(tree.tri_indices, *scene.tri_verts()))
+        rec = traverse_fast(tree, sg(quads), o, d,
+                            max_iters=opts.max_iters, compact=opts.compact,
+                            t_max=dd - 1e-3)
+        occ = rec["hit"]
+    else:
+        srec = intersect_scene(scene, tree, o, d, opts, coherent=False)
+        occ = srec["hit"] & (srec["t"] < dd - 1e-3)
+        return occ
+    if scene.num_spheres > 0:
+        sok, st = hit_sphere(sg(scene.sphere_pos)[None],
+                             sg(scene.sphere_radius)[None],
+                             o[:, None, :], d[:, None, :])
+        occ = occ | jnp.any(sok & (st < (dd - 1e-3)[:, None]), axis=1)
+    return occ
+
+
 def _sample_light(scene, key, n):
     """Area-sample emissive triangles: returns (point [n,3], normal [n,3],
     emitted [n,3], pdf_area [n], any_light scalar bool).
@@ -317,10 +348,9 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
             cos_s = vm.dot(normal, wi)
             cos_l = vm.dot(ln, -wi)
             facing = (cos_s > 0.0) & (cos_l > 0.0)
-            srec = intersect_scene(
-                scene, tree, point + normal * opts.bounce_eps, wi, opts,
-                coherent=False)
-            unoccluded = (~srec["hit"]) | (srec["t"] >= dist - 1e-3)
+            unoccluded = ~_occluded(
+                scene, tree, point + normal * opts.bounce_eps, wi, dist,
+                opts)
             g = cos_s * cos_l / dist2
             contrib = (throughput * (albedo / jnp.pi) * lemit
                        * (g / jnp.maximum(pdf_a, 1e-30))[:, None])

@@ -77,9 +77,20 @@ def load_model(path: str, tri_block: int = 4, max_depth: int = 24,
     """
     if path.endswith(".npz"):
         return load_scene_cache(path)
+    if path.endswith(".kd"):
+        # the reference's own binary cache format (scene/kdformat.py) —
+        # import geometry + its exact tree, then rebuild a packed tree for
+        # the fast/packet engines
+        from clpathtracer_tpu.scene.kdformat import load_reference_kd
+        scene, _ref_tree = load_reference_kd(path)
+        scene = scene.bake_shading()
+        tree = build_kd_tree(_tri_verts_np(scene), max_depth=max_depth,
+                             leaf_size=leaf_size, tri_block=tri_block)
+        return scene, tree
     if not path.endswith(".obj"):
         raise ValueError(
-            f"{path}: unsupported file type; supported: .obj, {CACHE_SUFFIX}")
+            f"{path}: unsupported file type; supported: .obj, .kd, "
+            f"{CACHE_SUFFIX}")
 
     cache = path[:-len(".obj")] + CACHE_SUFFIX
     if use_cache and os.path.exists(cache) and (
