@@ -258,7 +258,7 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         def cond(c):
             s, it = c
             return jnp.any(s["active"]) & (it < it0 + limit) & (
-                jnp.sum(s["active"]) > (s["active"].shape[0] // 2
+                jnp.sum(s["active"]) > (s["active"].shape[0] // 4
                                         if compact else -1))
         def bd(c):
             s, it = c
@@ -287,8 +287,9 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         it = jnp.int32(0)
         size = n
         # below ~2k lanes a wide gather is latency-bound, not width-bound —
-        # narrower wavefronts stop paying off
-        min_size = min(n, max(2048, n // 32))
+        # narrower wavefronts stop paying off. Quartering (not halving)
+        # keeps the python-level round count — and so compile time — low.
+        min_size = min(n, max(2048, n // 64))
         while size >= min_size:
             (state, it) = run_loop(state, max_iters, it)
             # fold finished lanes' results out, keep actives
@@ -300,9 +301,9 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
             if size <= min_size:
                 break
             order = jnp.argsort(~state["active"])  # actives first, stable
-            half = size // 2
-            state = jax.tree.map(lambda a: a[order[:half]], state)
-            size = half
+            quarter = max(size // 4, min_size)
+            state = jax.tree.map(lambda a: a[order[:quarter]], state)
+            size = quarter
         # tail: finish remaining stragglers at min width
         def cond(c):
             s, it = c
