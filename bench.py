@@ -37,6 +37,7 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", 5))
     mode = os.environ.get("BENCH_MODE", "normal")
     bounces = int(os.environ.get("BENCH_BOUNCES", 2))
+    nee = bool(int(os.environ.get("BENCH_NEE", "0")))
     intersector = os.environ.get("BENCH_INTERSECTOR", "packet")
     # fat leaves favor the packet tracer (dense MT is nearly free; node
     # visits cost); the wavefront prefers small leaves
@@ -81,6 +82,7 @@ def main():
     opts = RenderOptions(width=width, height=height, mode=mode,
                          bounces=bounces, use_tree=True, tri_block=4,
                          intersector=intersector, packet_tile=packet_tile,
+                         nee=nee,
                          background=0.0 if mode == "path" else 1.0)
 
     scene = jax.device_put(scene, dev)
@@ -125,9 +127,11 @@ def main():
         f"{best:.3f}s)")
 
     target = 2e8  # BASELINE.json north-star rays/s/chip
+    label = ("primary rays/s/chip" if mode == "normal"
+             else f"{bounces}-bounce paths/s/chip")
     print(json.dumps({
-        "metric": f"primary rays/s/chip, {scene_tris} tris, kd "
-                  f"{intersector}, mode={mode}",
+        "metric": f"{label}, {scene_tris} tris, kd {intersector}, "
+                  f"mode={mode}",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / target,

@@ -175,11 +175,17 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
 
 def _surface(scene, rec, orig, dir, opts=None):
     """Merge triangle/sphere attribute resolution for a hit record."""
+    n = orig.shape[0]
     point = orig + rec["t"][:, None] * dir
-    # baked shade rows would detach material/normal gradients
-    allow_baked = not (opts is not None and opts.differentiable)
-    tri_at = resolve_tri_hits(scene, rec["tri"], rec["u"], rec["v"],
-                              allow_baked=allow_baked)
+    if scene.num_tris == 0:
+        # sphere-only / empty scene: no triangle rows to gather
+        z = jnp.zeros((n, 3))
+        tri_at = {"normal": z, "albedo": z, "emission": z}
+    else:
+        # baked shade rows would detach material/normal gradients
+        allow_baked = not (opts is not None and opts.differentiable)
+        tri_at = resolve_tri_hits(scene, rec["tri"], rec["u"], rec["v"],
+                                  allow_baked=allow_baked)
     if scene.num_spheres > 0:
         sph_at = resolve_sphere_hits(scene, rec["sphere"], point)
         is_sph = (rec["sphere"] >= 0)[:, None]
@@ -283,6 +289,9 @@ def _sample_light(scene, key, n):
     Faces weighted by luminance x area; barycentric-uniform point on the
     chosen face. pdf is per unit area so the G-term conversion applies.
     """
+    if scene.num_tris == 0:
+        z = jnp.zeros((n, 3))
+        return z, z, z, jnp.ones((n,)), jnp.asarray(False)
     v0, v1, v2 = scene.tri_verts()
     cross = vm.cross(v1 - v0, v2 - v0)
     area = 0.5 * vm.length(cross)

@@ -134,6 +134,14 @@ class Scene:
         n = self.normals[safe]
         return n[:, 0, :], n[:, 1, :], n[:, 2, :], has
 
+    def tri_corners(self):
+        """Host-side [F, 3, 3] corner positions in FACE-WINDING order —
+        the array `build_kd_tree` expects. Building a tree from raw
+        vertex-order corners silently flips winding in the baked quads
+        (backface culling then rejects everything)."""
+        v = np.asarray(self.verts)
+        return v[np.asarray(self.faces)[:, :, 0]]
+
     def bounds(self):
         """World AABB over triangle vertices (and spheres)."""
         lo = jnp.min(self.verts, axis=0)
