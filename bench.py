@@ -50,6 +50,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: on a local TPU this lets repeated
+    # bench runs skip recompiles (the tunneled remote-compile path ignores
+    # it, harmlessly)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from clpathtracer_tpu.accel.sah import build_kd_tree
     from clpathtracer_tpu.core.camera import Camera
     from clpathtracer_tpu.render.integrator import RenderOptions, render_image
