@@ -45,6 +45,10 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--nee", action="store_true",
                         help="path mode: next-event estimation (direct"
                              " light sampling)")
+        sp.add_argument("--intersector", choices=("wavefront", "packet"),
+                        default="wavefront",
+                        help="packet = Pallas packet tracer (fastest on "
+                             "TPU for coherent rays)")
         sp.add_argument("--no-tree", action="store_true",
                         help="brute-force linear-scan intersector")
         sp.add_argument("--tri-block", type=int, default=4)
@@ -139,7 +143,9 @@ def _opts(args, differentiable=False):
         width=args.width, height=args.height, mode=args.mode,
         bounces=args.bounces, spp=args.spp, use_tree=not args.no_tree,
         tri_block=args.tri_block, background=args.background,
-        nee=getattr(args, "nee", False), differentiable=differentiable)
+        nee=getattr(args, "nee", False),
+        intersector=getattr(args, "intersector", "wavefront"),
+        differentiable=differentiable)
 
 
 def _render(scene, tree, camera, args, key=None):
