@@ -74,8 +74,9 @@ def main():
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         t0 = time.time()
-        scene = random_tri_soup(scene_tris, seed=0, extent=10.0,
-                                tri_size=0.01).bake_shading()
+        scene = random_tri_soup(
+            scene_tris, seed=0, extent=10.0, tri_size=0.01,
+            emissive_frac=0.001 if mode == "path" else 0.0).bake_shading()
         v0, v1, v2 = scene.tri_verts()
         tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)],
                       axis=1)

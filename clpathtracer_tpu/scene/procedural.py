@@ -122,12 +122,15 @@ def icosphere(subdivisions: int = 3, radius: float = 0.5,
 
 
 def random_tri_soup(num_tris: int, seed: int = 0, extent: float = 10.0,
-                    tri_size: float = 0.05) -> Scene:
+                    tri_size: float = 0.05,
+                    emissive_frac: float = 0.0) -> Scene:
     """num_tris random small triangles in a [-extent, extent]^3 cube.
 
     The 1M-triangle perf scene (BASELINE config[3]): small uniformly
     scattered triangles are a worst case for tree quality, which is what a
-    rays/s number should be honest about.
+    rays/s number should be honest about. emissive_frac > 0 marks that
+    fraction of triangles as lights (path-mode benches then produce
+    nonzero images/checksums).
     """
     r = np.random.default_rng(seed)
     centers = r.uniform(-extent, extent, size=(num_tris, 3)).astype(np.float32)
@@ -137,7 +140,13 @@ def random_tri_soup(num_tris: int, seed: int = 0, extent: float = 10.0,
     idx = np.arange(num_tris * 3, dtype=np.int32).reshape(num_tris, 3)
     f = np.full((num_tris, 3, 3), -1, np.int32)
     f[:, :, 0] = idx
-    return Scene.create(verts, f)
+    emission = None
+    if emissive_frac > 0:
+        emission = np.zeros((num_tris, 3), np.float32)
+        n_lit = max(1, int(num_tris * emissive_frac))
+        lit = r.choice(num_tris, n_lit, replace=False)
+        emission[lit] = 5.0
+    return Scene.create(verts, f, emission=emission)
 
 
 def two_triangles() -> Scene:
