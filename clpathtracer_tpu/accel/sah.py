@@ -297,6 +297,13 @@ def tree_from_node_table(table: np.ndarray, tri_indices: np.ndarray,
     """Reconstruct the full column layout from a packed [M, 24] node table
     (the native builder's output; inverse of traverse_fast.pack_node_table).
     """
+    # node/tri ids ride the table as f32: enforce the same exactness guard
+    # the Python packer applies (pack_node_table) — the native path must
+    # fail loudly, not round ids silently (ADVICE r1)
+    m = table.shape[0]
+    assert m < (1 << 24), f"{m} nodes overflows f32-exact int range"
+    assert tri_indices.shape[0] < (1 << 24), (
+        f"{tri_indices.shape[0]} tri slots overflows f32-exact int range")
     flags = table[:, 7].astype(np.int32)
     return FlatKdTree(
         node_min=jnp.asarray(table[:, 0:3]),

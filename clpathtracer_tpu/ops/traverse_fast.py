@@ -198,6 +198,11 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         bslot = (qidx * QBLOCK + k).astype(jnp.int32)
         has = bt < BIG
         take = has & (bt <= s["best_t"])
+        if t_max is not None:
+            # best_t initializes to the bound, so `<=` alone would accept a
+            # hit at exactly t_max; the docstring promises "at or beyond it
+            # are ignored" — enforce strictness against the bound itself
+            take = take & (bt < t_max)
         best_t = jnp.where(take, bt, s["best_t"])
         best_slot = jnp.where(take, bslot, s["best_slot"])
 

@@ -101,6 +101,11 @@ def make_sharded_packet_renderer(opts: RenderOptions, mesh: Mesh):
     opts_local = dataclasses.replace(opts, height=local_h)
 
     def local(scene, camera, tree, key, orig, dir):
+        # independent per-shard randomness: fold the shard's row-block index
+        # into the (replicated) key, else every row block repeats the same
+        # noise pattern
+        if key is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index("rows"))
         img = render_rays(scene, tree, orig, dir, opts_local, key)
         return img.reshape(local_h, opts.width, 3)
 

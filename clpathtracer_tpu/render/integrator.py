@@ -332,15 +332,19 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
     for b in range(opts.bounces):
         rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0))
         point, normal, albedo, emission = _surface(scene, rec, o, d, opts)
+        # one-sided emitters: the surface emits from its front face only,
+        # matching NEE's cos_l > 0 gate below so nee=True and nee=False
+        # converge to the same image
+        front = vm.dot(normal, d) < 0.0
         # face-forward normal
         normal = jnp.where(vm.dot(normal, d)[:, None] > 0, -normal, normal)
         hit = rec["hit"] & alive
         # emission via BSDF path: always without NEE; primary-hit only with
         # NEE (later vertices' direct light arrives via the shadow rays)
-        take_emit = hit if (not opts.nee or b == 0) else jnp.zeros_like(hit)
+        take_emit = ((hit & front) if (not opts.nee or b == 0)
+                     else jnp.zeros_like(hit))
         radiance = radiance + jnp.where(
             take_emit[:, None], throughput * emission, 0.0)
-        throughput = jnp.where(hit[:, None], throughput * albedo, throughput)
         # miss → background radiance (sky), then die
         missed = alive & ~rec["hit"]
         radiance = radiance + jnp.where(
@@ -348,6 +352,9 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
         alive = hit
 
         if opts.nee:
+            # NEE uses the PRE-bounce throughput: the BRDF factor for the
+            # light direction is albedo/pi right here — the albedo update
+            # below belongs to the cosine-sampled continuation only
             key, kl = jax.random.split(key)
             lp, ln, lemit, pdf_a, any_light = _sample_light(scene, kl, n)
             to_l = lp - point
@@ -365,6 +372,7 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
                        * (g / jnp.maximum(pdf_a, 1e-30))[:, None])
             use = hit & facing & unoccluded & any_light
             radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
+        throughput = jnp.where(hit[:, None], throughput * albedo, throughput)
 
         key, sub = jax.random.split(key)
         u12 = jax.random.uniform(sub, (n, 2))

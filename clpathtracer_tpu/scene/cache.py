@@ -28,8 +28,14 @@ _SCENE_FIELDS = ("verts", "faces", "normals", "albedo", "emission",
                  "sphere_emission", "shade_rows")
 
 
-def save_scene_cache(path: str, scene: Scene, tree: FlatKdTree) -> None:
-    """Serialize scene + built tree (reference: src/kd_tree.c:239-274)."""
+def save_scene_cache(path: str, scene: Scene, tree: FlatKdTree,
+                     build_params: dict = None) -> None:
+    """Serialize scene + built tree (reference: src/kd_tree.c:239-274).
+
+    build_params (tri_block/max_depth/leaf_size) are stored alongside so a
+    cache hit can be invalidated when the caller asks for a differently
+    tuned tree (ADVICE r1: a --leaf-size retune must not silently return
+    the stale tree)."""
     arrays = {}
     for f in _TREE_FIELDS:
         val = getattr(tree, f)
@@ -41,8 +47,21 @@ def save_scene_cache(path: str, scene: Scene, tree: FlatKdTree) -> None:
         if val is None:  # shade_rows is optional
             continue
         arrays["scene_" + f] = np.asarray(val)
+    if build_params:
+        items = sorted(build_params.items())
+        arrays["build_params"] = np.array(
+            [f"{k}={v}" for k, v in items], dtype=np.str_)
     with open(path, "wb") as fh:
         np.savez_compressed(fh, **arrays)
+
+
+def cache_build_params(path: str):
+    """The build-params record stored in a cache file (None for caches
+    written before params were recorded)."""
+    with np.load(path) as z:
+        if "build_params" not in z:
+            return None
+        return dict(kv.split("=", 1) for kv in z["build_params"].tolist())
 
 
 def load_scene_cache(path: str) -> Tuple[Scene, FlatKdTree]:
@@ -92,16 +111,23 @@ def load_model(path: str, tri_block: int = 4, max_depth: int = 24,
             f"{path}: unsupported file type; supported: .obj, .kd, "
             f"{CACHE_SUFFIX}")
 
+    params = {"tri_block": tri_block, "max_depth": max_depth,
+              "leaf_size": leaf_size}
     cache = path[:-len(".obj")] + CACHE_SUFFIX
     if use_cache and os.path.exists(cache) and (
             os.path.getmtime(cache) >= os.path.getmtime(path)):
-        return load_scene_cache(cache)
+        # hit only if the tree was built with the same parameters (a
+        # param-less record predates this check: rebuild to be safe)
+        cached = cache_build_params(cache)
+        want = {k: str(v) for k, v in params.items()}
+        if cached == want:
+            return load_scene_cache(cache)
 
     scene = Scene.from_obj(path, **material_kwargs).bake_shading()
     tree = build_kd_tree(_tri_verts_np(scene), max_depth=max_depth,
                          leaf_size=leaf_size, tri_block=tri_block)
     if use_cache:
-        save_scene_cache(cache, scene, tree)
+        save_scene_cache(cache, scene, tree, build_params=params)
     return scene, tree
 
 

@@ -19,7 +19,7 @@ def _quad(a, b, c, d):
     return [[a, b, c], [a, c, d]]
 
 
-def cornell_box(light=True) -> Scene:
+def cornell_box(light=True, wall_albedo: float = 0.75) -> Scene:
     """The classic 5-wall Cornell box, 12-14 triangles, camera looks +z.
 
     Box spans [-1,1]^2 in x/y and [0,2] in z (open face toward the camera
@@ -58,9 +58,9 @@ def cornell_box(light=True) -> Scene:
     f = np.full((len(tris), 3, 3), -1, np.int32)
     f[:, :, 0] = tris
 
-    albedo = np.full((len(tris), 3), 0.75, np.float32)
-    albedo[6:8] = [0.75, 0.15, 0.15]   # left wall red
-    albedo[8:10] = [0.15, 0.75, 0.15]  # right wall green
+    albedo = np.full((len(tris), 3), wall_albedo, np.float32)
+    albedo[6:8] = [wall_albedo, 0.15, 0.15]   # left wall red
+    albedo[8:10] = [0.15, wall_albedo, 0.15]  # right wall green
     emission = np.zeros((len(tris), 3), np.float32)
     if light:
         albedo[10:12] = 0.0

@@ -261,6 +261,49 @@ class TestNee:
         diff = np.abs(img_nee - img_bsdf).mean()
         assert diff < 0.15, diff
 
+    def test_nee_unbiased_low_albedo(self):
+        """Regression (ADVICE r1): with albedo 0.25 the old NEE path applied
+        the hit albedo twice, biasing the mean ~4x dark — the high-albedo
+        Cornell test's tolerance masked it. Low albedo makes one lost
+        albedo factor a 4x error the mean check cannot miss."""
+        scene = cornell_box(light=True, wall_albedo=0.25)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        base = dict(width=16, height=16, mode="path", bounces=3,
+                    background=0.0)
+        img_bsdf = np.asarray(render_image(
+            scene, cam, RenderOptions(**base, spp=128), tree=tree,
+            key=jax.random.PRNGKey(21)))
+        img_nee = np.asarray(render_image(
+            scene, cam, RenderOptions(**base, spp=32, nee=True), tree=tree,
+            key=jax.random.PRNGKey(22)))
+        assert np.isfinite(img_nee).all()
+        np.testing.assert_allclose(img_nee.mean(), img_bsdf.mean(),
+                                   rtol=0.2)
+
+    def test_emitter_one_sided_both_estimators(self):
+        """Emission is one-sided (front face only) under both BSDF-path and
+        NEE estimators: a camera looking at the BACK of the Cornell light
+        panel must see no emission from it either way (ADVICE r1: the two
+        estimators previously disagreed on back-face visibility)."""
+        scene = cornell_box(light=True)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        # camera just above the light quad looking down at its back face
+        cam = Camera.create(position=[0.0, 0.9995, 1.0],
+                            forward=[0.0, -1.0, 1e-3])
+        base = dict(width=8, height=8, mode="path", bounces=1,
+                    background=0.0)
+        for nee in (False, True):
+            img = np.asarray(render_image(
+                scene, cam, RenderOptions(**base, nee=nee), tree=tree,
+                key=jax.random.PRNGKey(3)))
+            # back face of the emitter: no direct emission contribution
+            assert img.max() < 1.0, (nee, img.max())
+
     def test_nee_no_lights_is_noop(self):
         scene = cornell_box(light=False)
         v0, v1, v2 = scene.tri_verts()

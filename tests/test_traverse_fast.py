@@ -67,3 +67,28 @@ def test_soup_vs_bruteforce():
     h = np.asarray(fast["hit"])
     np.testing.assert_allclose(np.asarray(fast["t"])[h],
                                np.asarray(bf["t"])[h], rtol=1e-5)
+
+
+def test_t_max_boundary_exact():
+    """A hit at EXACTLY t_max is ignored (docstring: "hits at or beyond it
+    are ignored") — regression for the old `<=` acceptance at the bound."""
+    scene = cornell_box(light=False)
+    scene, tree, orig, dir, (v0, v1, v2) = _fixture(scene, w=8, h=8)
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+
+    free = traverse_fast(tree, quads, orig, dir)
+    t_hit = np.asarray(free["t"])
+    hit = np.asarray(free["hit"])
+    assert hit.all()
+
+    # bound exactly at each ray's own hit distance: strictly-before means
+    # no lane may report a hit
+    at = traverse_fast(tree, quads, orig, dir, t_max=jnp.asarray(t_hit))
+    assert not np.asarray(at["hit"]).any()
+
+    # nudge the bound one ulp past the hit: every lane hits again
+    above = np.nextafter(t_hit, np.inf).astype(np.float32)
+    # float32 nextafter can round back; use a small relative bump instead
+    above = t_hit * (1 + 1e-5)
+    past = traverse_fast(tree, quads, orig, dir, t_max=jnp.asarray(above))
+    assert np.asarray(past["hit"]).all()
