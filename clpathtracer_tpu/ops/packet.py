@@ -24,9 +24,12 @@ Intra-leaf tie order matches the reference scan order; across-subtree
 exact-t ties may resolve differently than the rope walk (both are valid
 nearest hits with equal t).
 
-Stage A scope: node table + triangle rows must fit VMEM. Larger scenes
-fall back to the wavefront; treelet staging from HBM is the planned
-stage B.
+Engines (see packet_mode): "vmem" keeps the whole scene on-chip;
+"tri_stream" keeps the node table on-chip and double-buffer-DMAs leaf
+triangles from HBM; "wide" (CLPT_WIDE=1) walks an experimental 8-wide
+supernode table. The kernels share every building block below — one
+packet-bound calculation, one interval test, one streaming MT pipeline —
+so a kernel change happens exactly once.
 """
 
 from __future__ import annotations
@@ -43,6 +46,8 @@ BIG = 3.4e38
 TILE = 1024          # default rays per packet: 8 sublanes x 128 lanes
 STACK_DEPTH = 128
 VMEM_BUDGET = 12 * 1024 * 1024
+CHUNK_ROWS = 8       # [8, 128] tri rows per leaf DMA = 64 triangles
+INV_BIG = 1e30
 
 
 def packet_mode(tree, n_rays: int, tile: int = TILE):
@@ -76,229 +81,117 @@ def packet_supported(tree, n_rays: int, tile: int = TILE) -> bool:
     return packet_mode(tree, n_rays, tile) is not None
 
 
-def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stats_ref,
-            stack_ref, *, tile):
-    # --- per-tile ray data: [1, T] row vectors (SoA rows) ---
-    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
-    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+# ---------------------------------------------------------------------------
+# shared kernel building blocks
+# ---------------------------------------------------------------------------
 
-    # --- conservative packet bounds (scalars) ---
-    inv_big = 1e30
+
+def _ray_rows(o_ref, d_ref):
+    """Per-tile ray data as [1, T] SoA row vectors."""
+    return (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :],
+            d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
+
+
+def _packet_bounds(rays):
+    """Conservative scalar bounds of the whole packet: per-axis
+    (origin_lo, origin_hi) and (invdir_lo, invdir_hi)."""
+    ox, oy, oz, dx, dy, dz = rays
+
     def inv_bounds(dc):
-        inv = jnp.clip(1.0 / dc, -inv_big, inv_big)
+        inv = jnp.clip(1.0 / dc, -INV_BIG, INV_BIG)
         return jnp.min(inv), jnp.max(inv)
-    ixl, ixh = inv_bounds(dx)
-    iyl, iyh = inv_bounds(dy)
-    izl, izh = inv_bounds(dz)
+
     obnd = ((jnp.min(ox), jnp.max(ox)), (jnp.min(oy), jnp.max(oy)),
             (jnp.min(oz), jnp.max(oz)))
-    ibnd = ((ixl, ixh), (iyl, iyh), (izl, izh))
-
-    def axis_interval(lo_a, hi_a, ob, ib):
-        """Conservative [min t_near, max t_far] for one axis over the whole
-        packet; non-uniform direction sign → unbounded (axis can't cull)."""
-        ol, oh = ob
-        il, ih = ib
-        uniform = il * ih > 0.0
-        pos = il > 0.0
-        nearb = jnp.where(pos, lo_a, hi_a)
-        farb = jnp.where(pos, hi_a, lo_a)
-        def prods(b):
-            c1 = (b - ol) * il
-            c2 = (b - ol) * ih
-            c3 = (b - oh) * il
-            c4 = (b - oh) * ih
-            return (jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
-                    jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)))
-        near_min, _ = prods(nearb)
-        _, far_max = prods(farb)
-        near_min = jnp.where(uniform, near_min, -inv_big)
-        far_max = jnp.where(uniform, far_max, inv_big)
-        return near_min, far_max
-
-    # --- traversal state ---
-    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
-    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
-    stack_ref[0] = 0  # root
-
-    def mt_block(qbase, count_left, best_t, best_s):
-        """Dense [4, T] Moller-Trumbore of one quad row (4 consecutive
-        16-wide tri rows starting at tri row qbase)."""
-        blk = tris_ref[pl.ds(qbase, 4), :]       # [4, 16]
-        def col(j):
-            return blk[:, j:j + 1]               # [4, 1]
-        v0x, v0y, v0z = col(0), col(1), col(2)
-        e1x, e1y, e1z = col(3), col(4), col(5)
-        e2x, e2y, e2z = col(6), col(7), col(8)
-        tid = col(9)
-        # pvec = cross(d, e2) ; [4, T] via [4,1]x[1,T]
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = det > 0.0
-        invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
-        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-        u = (tx * px + ty * py + tz * pz) * invd
-        ok = ok & (u >= 0.0) & (u <= 1.0)
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * invd
-        ok = ok & (v >= 0.0) & (u + v <= 1.0)
-        tt = (e2x * qx + e2y * qy + e2z * qz) * invd
-        ok = ok & (tt > 0.0) & (tid >= 0.0)
-        # sequential lanes preserve the reference's later-wins tie order
-        for k in range(4):
-            okk = ok[k:k + 1, :] & (k < count_left)
-            tk = tt[k:k + 1, :]
-            take = okk & (tk <= best_t)
-            best_t = jnp.where(take, tk, best_t)
-            best_s = jnp.where(take, (qbase + k) * 1.0, best_s)
-        return best_t, best_s
-
-    def body(state):
-        sp, best_t, best_s, t_upper, nv, nl = state
-        node = stack_ref[sp - 1]
-        sp = sp - 1
-        nv = nv + 1
-
-        # Nodes are packed 8 per 128-wide row (narrow VMEM arrays get
-        # lane-padded to 128 — a [M,16] table would physically cost 8x).
-        # Mosaic requires STATIC lane indices, so the sub-slot selects one
-        # of 8 branches, each reading its 12 fields at fixed lanes.
-        nrow = node // 8
-
-        def _slot_reader(k):
-            def f():
-                return tuple(table_ref[nrow, k * 16 + j] for j in range(12))
-            return f
-
-        fields = jax.lax.switch(node % 8,
-                                [_slot_reader(k) for k in range(8)])
-        lo_x, lo_y, lo_z = fields[0], fields[1], fields[2]
-        hi_x, hi_y, hi_z = fields[3], fields[4], fields[5]
-
-        def nf(j):
-            return fields[j]
-        nx_min, nx_max = axis_interval(lo_x, hi_x, obnd[0], ibnd[0])
-        ny_min, ny_max = axis_interval(lo_y, hi_y, obnd[1], ibnd[1])
-        nz_min, nz_max = axis_interval(lo_z, hi_z, obnd[2], ibnd[2])
-        t_enter = jnp.maximum(jnp.maximum(nx_min, ny_min), nz_min)
-        t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
-        overlap = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter <= t_upper)
-
-        flags = nf(7).astype(jnp.int32)
-        is_leaf = flags >= 4
-
-        def do_leaf(sp, best_t, best_s, t_upper, nl):
-            qstart = nf(10).astype(jnp.int32)
-            count = nf(11).astype(jnp.int32)
-            nrows = (count + 3) // 4
-
-            def row_body(r, c):
-                bt, bs = c
-                return mt_block(qstart * 4 + r * 4, count - r * 4, bt, bs)
-
-            best_t, best_s = jax.lax.fori_loop(
-                0, nrows, row_body, (best_t, best_s))
-            return sp, best_t, best_s, jnp.max(best_t), nl + 1
-
-        def do_split(sp, best_t, best_s, t_upper, nl):
-            axis = flags & 3
-            cl = nf(8).astype(jnp.int32)
-            ch = nf(9).astype(jnp.int32)
-            il = jax.lax.switch(axis, [lambda: ixl, lambda: iyl,
-                                       lambda: izl])
-            ih_ = jax.lax.switch(axis, [lambda: ixh, lambda: iyh,
-                                        lambda: izh])
-            near_is_lo = il + ih_ > 0.0
-            near = jnp.where(near_is_lo, cl, ch)
-            far = jnp.where(near_is_lo, ch, cl)
-            stack_ref[sp] = far
-            stack_ref[sp + 1] = near
-            return sp + 2, best_t, best_s, t_upper, nl
-
-        def visit(sp, best_t, best_s, t_upper, nl):
-            return jax.lax.cond(is_leaf, do_leaf, do_split,
-                                sp, best_t, best_s, t_upper, nl)
-
-        sp, best_t, best_s, t_upper, nl = jax.lax.cond(
-            overlap, visit,
-            lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
-            sp, best_t, best_s, t_upper, nl)
-        return sp, best_t, best_s, t_upper, nv, nl
-
-    def cond(state):
-        return state[0] > 0
-
-    _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG),
-                     jnp.int32(0), jnp.int32(0)))
-
-    t_ref[:] = best_t
-    slot_ref[:] = best_s
-    # Mosaic has no scatter: build the row with lane masks. TPU block
-    # tiling needs >= 8 sublanes, so the row is replicated.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    stats_ref[:] = jnp.where(
-        lane == 0, nv.astype(jnp.float32),
-        jnp.where(lane == 1, nl.astype(jnp.float32), 0.0))
+    ibnd = (inv_bounds(dx), inv_bounds(dy), inv_bounds(dz))
+    return obnd, ibnd
 
 
-CHUNK_ROWS = 8       # [8, 128] tri rows per leaf DMA = 64 triangles
+def _axis_interval(lo_a, hi_a, ob, ib):
+    """Conservative [min t_near, max t_far] for one axis over the whole
+    packet; non-uniform direction sign → unbounded (axis can't cull)."""
+    ol, oh = ob
+    il, ih = ib
+    uniform = il * ih > 0.0
+    pos = il > 0.0
+    nearb = jnp.where(pos, lo_a, hi_a)
+    farb = jnp.where(pos, hi_a, lo_a)
+
+    def prods(b):
+        c1 = (b - ol) * il
+        c2 = (b - ol) * ih
+        c3 = (b - oh) * il
+        c4 = (b - oh) * ih
+        return (jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
+                jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)))
+
+    near_min, _ = prods(nearb)
+    _, far_max = prods(farb)
+    near_min = jnp.where(uniform, near_min, -INV_BIG)
+    far_max = jnp.where(uniform, far_max, INV_BIG)
+    return near_min, far_max
 
 
-def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
-                       stats_ref, stack_ref, tri_buf, tri_sem, *, tile):
-    """Stage B: node table VMEM-resident (fat leaves shrink it ~8x), but
-    TRIANGLES stream from HBM per leaf as [8, 128] chunks (64 tris, 4 KB —
-    TPU DMAs need 128-wide last dims). Each chunk is intersected as 8
-    interleaved groups of 8 triangles: group i's parameters are the
-    [8, 1] column slices tris[:, i*16+j], so the whole dense test runs on
-    [8, tile] vector shapes with zero scalar extraction.
+def _box_interval(lo_xyz, hi_xyz, obnd, ibnd):
+    """Packet-conservative [t_enter, t_exit] of an AABB given per-axis
+    scalar bounds (lo_xyz/hi_xyz: 3-tuples of scalars)."""
+    nx_min, nx_max = _axis_interval(lo_xyz[0], hi_xyz[0], obnd[0], ibnd[0])
+    ny_min, ny_max = _axis_interval(lo_xyz[1], hi_xyz[1], obnd[1], ibnd[1])
+    nz_min, nz_max = _axis_interval(lo_xyz[2], hi_xyz[2], obnd[2], ibnd[2])
+    t_enter = jnp.maximum(jnp.maximum(nx_min, ny_min), nz_min)
+    t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
+    return t_enter, t_exit
+
+
+def _node_fields(table_ref, node):
+    """Read the 12 packet-relevant fields of one binary node.
+
+    Nodes are packed 8 per 128-wide row (narrow VMEM arrays get lane-padded
+    to 128 — a [M,16] table would physically cost 8x). Mosaic requires
+    STATIC lane indices, so the sub-slot selects one of 8 branches, each
+    reading its 12 fields at fixed lanes.
+    """
+    nrow = node // 8
+
+    def _slot_reader(k):
+        def f():
+            return tuple(table_ref[nrow, k * 16 + j] for j in range(12))
+        return f
+
+    return jax.lax.switch(node % 8, [_slot_reader(k) for k in range(8)])
+
+
+def _near_far_children(fields, ibnd):
+    """Split-node child visit order from the packet's dominant direction
+    sign on the split axis (near pushed last → popped first)."""
+    flags = fields[7].astype(jnp.int32)
+    axis = flags & 3
+    cl = fields[8].astype(jnp.int32)
+    ch = fields[9].astype(jnp.int32)
+    il = jax.lax.switch(axis, [lambda: ibnd[0][0], lambda: ibnd[1][0],
+                               lambda: ibnd[2][0]])
+    ih = jax.lax.switch(axis, [lambda: ibnd[0][1], lambda: ibnd[1][1],
+                               lambda: ibnd[2][1]])
+    near_is_lo = il + ih > 0.0
+    near = jnp.where(near_is_lo, cl, ch)
+    far = jnp.where(near_is_lo, ch, cl)
+    return near, far
+
+
+def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile):
+    """Double-buffered HBM→VMEM leaf-triangle streaming + dense MT.
+
+    Returns (start_chunk, mt_chunk, stream_leaf): start_chunk(row0, slot)
+    begins the async copy of an [8, 128] chunk (64 tris, 4 KB); mt_chunk
+    waits it and intersects all 64 tris against the packet as 8 interleaved
+    [8, tile] groups; stream_leaf runs a whole leaf's chunk sequence with
+    chunk b+1's DMA in flight while b is intersected.
 
     Within-chunk ties pick the lowest slot; chunk order preserves the
     later-wins rule across chunks. (Exact-t tie winners may differ from the
     rope walk — documented freedom, both are valid nearest hits.)
     """
-    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
-    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
-
-    inv_big = 1e30
-    def inv_bounds(dc):
-        inv = jnp.clip(1.0 / dc, -inv_big, inv_big)
-        return jnp.min(inv), jnp.max(inv)
-    ixl, ixh = inv_bounds(dx)
-    iyl, iyh = inv_bounds(dy)
-    izl, izh = inv_bounds(dz)
-    obnd = ((jnp.min(ox), jnp.max(ox)), (jnp.min(oy), jnp.max(oy)),
-            (jnp.min(oz), jnp.max(oz)))
-    ibnd = ((ixl, ixh), (iyl, iyh), (izl, izh))
-
-    def axis_interval(lo_a, hi_a, ob, ib):
-        ol, oh = ob
-        il, ih = ib
-        uniform = il * ih > 0.0
-        pos = il > 0.0
-        nearb = jnp.where(pos, lo_a, hi_a)
-        farb = jnp.where(pos, hi_a, lo_a)
-        def prods(b):
-            c1 = (b - ol) * il
-            c2 = (b - ol) * ih
-            c3 = (b - oh) * il
-            c4 = (b - oh) * ih
-            return (jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
-                    jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)))
-        near_min, _ = prods(nearb)
-        _, far_max = prods(farb)
-        near_min = jnp.where(uniform, near_min, -inv_big)
-        far_max = jnp.where(uniform, far_max, inv_big)
-        return near_min, far_max
-
-    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
-    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
-    stack_ref[0] = 0
+    ox, oy, oz, dx, dy, dz = rays
     n_chunk_rows = tris_ref.shape[0]  # [T/8, 128]
 
     # Mosaic's tpu.iota only produces integers — cast after
@@ -355,209 +248,6 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
         best_s = jnp.where(take, chunk_s, best_s)
         return best_t, best_s
 
-    def body(state):
-        sp, best_t, best_s, t_upper, nv, nl = state
-        node = stack_ref[sp - 1]
-        sp = sp - 1
-        nv = nv + 1
-
-        # Nodes are packed 8 per 128-wide row (narrow VMEM arrays get
-        # lane-padded to 128 — a [M,16] table would physically cost 8x).
-        # Mosaic requires STATIC lane indices, so the sub-slot selects one
-        # of 8 branches, each reading its 12 fields at fixed lanes.
-        nrow = node // 8
-
-        def _slot_reader(k):
-            def f():
-                return tuple(table_ref[nrow, k * 16 + j] for j in range(12))
-            return f
-
-        fields = jax.lax.switch(node % 8,
-                                [_slot_reader(k) for k in range(8)])
-        lo_x, lo_y, lo_z = fields[0], fields[1], fields[2]
-        hi_x, hi_y, hi_z = fields[3], fields[4], fields[5]
-
-        def nf(j):
-            return fields[j]
-        nx_min, nx_max = axis_interval(lo_x, hi_x, obnd[0], ibnd[0])
-        ny_min, ny_max = axis_interval(lo_y, hi_y, obnd[1], ibnd[1])
-        nz_min, nz_max = axis_interval(lo_z, hi_z, obnd[2], ibnd[2])
-        t_enter = jnp.maximum(jnp.maximum(nx_min, ny_min), nz_min)
-        t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
-        overlap = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter <= t_upper)
-
-        flags = nf(7).astype(jnp.int32)
-        is_leaf = flags >= 4
-
-        def do_leaf(sp, best_t, best_s, t_upper, nl):
-            qstart = nf(10).astype(jnp.int32)
-            count = nf(11).astype(jnp.int32)
-            first_tri = qstart * 4
-            row0 = first_tri // 8
-            row_end = (first_tri + count + 7) // 8
-            nchunks = (row_end - row0 + CHUNK_ROWS - 1) // CHUNK_ROWS
-
-            def row_of(b):
-                return jnp.minimum(row0 + b * CHUNK_ROWS,
-                                   n_chunk_rows - CHUNK_ROWS)
-
-            # double-buffered: chunk b+1's DMA flies while b is intersected
-            start_chunk(row_of(0), 0)
-
-            def chunk_body(b, c):
-                bt, bs = c
-                cur = b % 2
-
-                @pl.when(b + 1 < nchunks)
-                def _():
-                    start_chunk(row_of(b + 1), (b + 1) % 2)
-
-                return mt_chunk(row_of(b), cur, bt, bs)
-
-            best_t, best_s = jax.lax.fori_loop(
-                0, nchunks, chunk_body, (best_t, best_s))
-            return (sp, best_t, best_s, jnp.max(best_t),
-                    nl + nchunks)
-
-        def do_split(sp, best_t, best_s, t_upper, nl):
-            axis = flags & 3
-            cl = nf(8).astype(jnp.int32)
-            ch = nf(9).astype(jnp.int32)
-            il = jax.lax.switch(axis, [lambda: ixl, lambda: iyl,
-                                       lambda: izl])
-            ih_ = jax.lax.switch(axis, [lambda: ixh, lambda: iyh,
-                                        lambda: izh])
-            near_is_lo = il + ih_ > 0.0
-            near = jnp.where(near_is_lo, cl, ch)
-            far = jnp.where(near_is_lo, ch, cl)
-            stack_ref[sp] = far
-            stack_ref[sp + 1] = near
-            return sp + 2, best_t, best_s, t_upper, nl
-
-        def visit(sp, best_t, best_s, t_upper, nl):
-            return jax.lax.cond(is_leaf, do_leaf, do_split,
-                                sp, best_t, best_s, t_upper, nl)
-
-        sp, best_t, best_s, t_upper, nl = jax.lax.cond(
-            overlap, visit,
-            lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
-            sp, best_t, best_s, t_upper, nl)
-        return sp, best_t, best_s, t_upper, nv, nl
-
-    def cond(state):
-        return state[0] > 0
-
-    _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG),
-                     jnp.int32(0), jnp.int32(0)))
-
-    t_ref[:] = best_t
-    slot_ref[:] = best_s
-    # Mosaic has no scatter: build the row with lane masks. TPU block
-    # tiling needs >= 8 sublanes, so the row is replicated.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    stats_ref[:] = jnp.where(
-        lane == 0, nv.astype(jnp.float32),
-        jnp.where(lane == 1, nl.astype(jnp.float32), 0.0))
-
-
-def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
-                 stats_ref, stack_ref, tri_buf, tri_sem, *, tile):
-    """8-wide supernode packet traversal (accel/wide.py layout): each pop
-    reads one [*,128] row whose 8 child slots sit at STATIC lane offsets —
-    no per-node switch — culls all children against the packet interval,
-    pushes surviving internals, and streams surviving leaves' triangles
-    from HBM with the double-buffered chunk pipeline."""
-    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
-    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
-
-    inv_big = 1e30
-    def inv_bounds(dc):
-        inv = jnp.clip(1.0 / dc, -inv_big, inv_big)
-        return jnp.min(inv), jnp.max(inv)
-    ixl, ixh = inv_bounds(dx)
-    iyl, iyh = inv_bounds(dy)
-    izl, izh = inv_bounds(dz)
-    obnd = ((jnp.min(ox), jnp.max(ox)), (jnp.min(oy), jnp.max(oy)),
-            (jnp.min(oz), jnp.max(oz)))
-    ibnd = ((ixl, ixh), (iyl, iyh), (izl, izh))
-
-    def axis_interval(lo_a, hi_a, ob, ib):
-        ol, oh = ob
-        il, ih = ib
-        uniform = il * ih > 0.0
-        pos = il > 0.0
-        nearb = jnp.where(pos, lo_a, hi_a)
-        farb = jnp.where(pos, hi_a, lo_a)
-        def prods(b):
-            c1 = (b - ol) * il
-            c2 = (b - ol) * ih
-            c3 = (b - oh) * il
-            c4 = (b - oh) * ih
-            return (jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4)),
-                    jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4)))
-        near_min, _ = prods(nearb)
-        _, far_max = prods(farb)
-        near_min = jnp.where(uniform, near_min, -inv_big)
-        far_max = jnp.where(uniform, far_max, inv_big)
-        return near_min, far_max
-
-    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
-    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
-    stack_ref[0] = 0
-    n_chunk_rows = tris_ref.shape[0]
-
-    sub_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
-
-    def start_chunk(chunk_row0, buf_slot):
-        pltpu.make_async_copy(
-            tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :],
-            tri_buf.at[buf_slot], tri_sem.at[buf_slot]).start()
-
-    def mt_chunk(chunk_row0, buf_slot, best_t, best_s):
-        pltpu.make_async_copy(
-            tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :],
-            tri_buf.at[buf_slot], tri_sem.at[buf_slot]).wait()
-        chunk_t = jnp.full((1, tile), BIG, jnp.float32)
-        chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
-        for i in range(8):
-            def col(j):
-                c = tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1]
-                return c.reshape(CHUNK_ROWS, 1)
-            v0x, v0y, v0z = col(0), col(1), col(2)
-            e1x, e1y, e1z = col(3), col(4), col(5)
-            e2x, e2y, e2z = col(6), col(7), col(8)
-            tid = col(9)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = det > 0.0
-            invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
-            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-            u = (tx * px + ty * py + tz * pz) * invd
-            ok = ok & (u >= 0.0) & (u <= 1.0)
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * invd
-            ok = ok & (v >= 0.0) & (u + v <= 1.0)
-            tt = (e2x * qx + e2y * qy + e2z * qz) * invd
-            ok = ok & (tt > 0.0) & (tid >= 0.0)
-            t_m = jnp.where(ok, tt, BIG)
-            slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)
-            grp_min = jnp.min(t_m, axis=0, keepdims=True)
-            slot_cand = jnp.where(t_m == grp_min, slot, 3.0e38)
-            grp_slot = jnp.min(slot_cand, axis=0, keepdims=True)
-            take = grp_min <= chunk_t
-            chunk_t = jnp.where(take, grp_min, chunk_t)
-            chunk_s = jnp.where(take, grp_slot, chunk_s)
-        take = (chunk_t < BIG) & (chunk_t <= best_t)
-        best_t = jnp.where(take, chunk_t, best_t)
-        best_s = jnp.where(take, chunk_s, best_s)
-        return best_t, best_s
-
     def stream_leaf(qstart, count, best_t, best_s):
         first_tri = qstart * 4
         row0 = first_tri // 8
@@ -568,6 +258,7 @@ def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
             return jnp.minimum(row0 + b * CHUNK_ROWS,
                                n_chunk_rows - CHUNK_ROWS)
 
+        # double-buffered: chunk b+1's DMA flies while b is intersected
         start_chunk(row_of(0), 0)
 
         def chunk_body(b, c):
@@ -584,6 +275,180 @@ def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
             0, nchunks, chunk_body, (best_t, best_s))
         return best_t, best_s, nchunks
 
+    return start_chunk, mt_chunk, stream_leaf
+
+
+def _write_stats(stats_ref, nv, nl):
+    # Mosaic has no scatter: build the row with lane masks. TPU block
+    # tiling needs >= 8 sublanes, so the row is replicated.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    stats_ref[:] = jnp.where(
+        lane == 0, nv.astype(jnp.float32),
+        jnp.where(lane == 1, nl.astype(jnp.float32), 0.0))
+
+
+def _binary_walk(table_ref, stack_ref, obnd, ibnd, tile, do_leaf):
+    """The shared binary-node stack traversal: pops nodes, culls against
+    the packet interval, pushes split children near-first, and hands
+    surviving leaves to `do_leaf(fields, best_t, best_s, t_upper, nl)`
+    (which returns the updated four). Returns (best_t, best_s, nv, nl)."""
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+    stack_ref[0] = 0  # root
+
+    def body(state):
+        sp, best_t, best_s, t_upper, nv, nl = state
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        nv = nv + 1
+
+        fields = _node_fields(table_ref, node)
+        lo = (fields[0], fields[1], fields[2])
+        hi = (fields[3], fields[4], fields[5])
+        t_enter, t_exit = _box_interval(lo, hi, obnd, ibnd)
+        overlap = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter <= t_upper)
+
+        flags = fields[7].astype(jnp.int32)
+        is_leaf = flags >= 4
+
+        def leaf_case(sp, best_t, best_s, t_upper, nl):
+            best_t, best_s, t_upper, nl = do_leaf(
+                fields, best_t, best_s, t_upper, nl)
+            return sp, best_t, best_s, t_upper, nl
+
+        def split_case(sp, best_t, best_s, t_upper, nl):
+            near, far = _near_far_children(fields, ibnd)
+            stack_ref[sp] = far
+            stack_ref[sp + 1] = near
+            return sp + 2, best_t, best_s, t_upper, nl
+
+        def visit(sp, best_t, best_s, t_upper, nl):
+            return jax.lax.cond(is_leaf, leaf_case, split_case,
+                                sp, best_t, best_s, t_upper, nl)
+
+        sp, best_t, best_s, t_upper, nl = jax.lax.cond(
+            overlap, visit,
+            lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
+            sp, best_t, best_s, t_upper, nl)
+        return sp, best_t, best_s, t_upper, nv, nl
+
+    def cond(state):
+        return state[0] > 0
+
+    _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), best_t0, best_s0, jnp.float32(BIG),
+                     jnp.int32(0), jnp.int32(0)))
+    return best_t, best_s, nv, nl
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _kernel(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref, stats_ref,
+            stack_ref, *, tile):
+    """"vmem" engine: whole scene resident on-chip; leaves intersected as
+    [4, T] quad rows straight out of VMEM."""
+    rays = _ray_rows(o_ref, d_ref)
+    ox, oy, oz, dx, dy, dz = rays
+    obnd, ibnd = _packet_bounds(rays)
+
+    def mt_block(qbase, count_left, best_t, best_s):
+        """Dense [4, T] Moller-Trumbore of one quad row (4 consecutive
+        16-wide tri rows starting at tri row qbase)."""
+        blk = tris_ref[pl.ds(qbase, 4), :]       # [4, 16]
+        def col(j):
+            return blk[:, j:j + 1]               # [4, 1]
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        tid = col(9)
+        # pvec = cross(d, e2) ; [4, T] via [4,1]x[1,T]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = det > 0.0
+        invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        u = (tx * px + ty * py + tz * pz) * invd
+        ok = ok & (u >= 0.0) & (u <= 1.0)
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * invd
+        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        tt = (e2x * qx + e2y * qy + e2z * qz) * invd
+        ok = ok & (tt > 0.0) & (tid >= 0.0)
+        # sequential lanes preserve the reference's later-wins tie order
+        for k in range(4):
+            okk = ok[k:k + 1, :] & (k < count_left)
+            tk = tt[k:k + 1, :]
+            take = okk & (tk <= best_t)
+            best_t = jnp.where(take, tk, best_t)
+            best_s = jnp.where(take, (qbase + k) * 1.0, best_s)
+        return best_t, best_s
+
+    def do_leaf(fields, best_t, best_s, t_upper, nl):
+        qstart = fields[10].astype(jnp.int32)
+        count = fields[11].astype(jnp.int32)
+        nrows = (count + 3) // 4
+
+        def row_body(r, c):
+            bt, bs = c
+            return mt_block(qstart * 4 + r * 4, count - r * 4, bt, bs)
+
+        best_t, best_s = jax.lax.fori_loop(
+            0, nrows, row_body, (best_t, best_s))
+        return best_t, best_s, jnp.max(best_t), nl + 1
+
+    best_t, best_s, nv, nl = _binary_walk(
+        table_ref, stack_ref, obnd, ibnd, tile, do_leaf)
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+    _write_stats(stats_ref, nv, nl)
+
+
+def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
+                       stats_ref, stack_ref, tri_buf, tri_sem, *, tile):
+    """"tri_stream" engine: node table VMEM-resident (fat leaves shrink it
+    ~8x), but TRIANGLES stream from HBM per leaf via the shared
+    double-buffered chunk pipeline."""
+    rays = _ray_rows(o_ref, d_ref)
+    obnd, ibnd = _packet_bounds(rays)
+    _, _, stream_leaf = _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays,
+                                        tile)
+
+    def do_leaf(fields, best_t, best_s, t_upper, nl):
+        qstart = fields[10].astype(jnp.int32)
+        count = fields[11].astype(jnp.int32)
+        best_t, best_s, nchunks = stream_leaf(qstart, count, best_t, best_s)
+        return best_t, best_s, jnp.max(best_t), nl + nchunks
+
+    best_t, best_s, nv, nl = _binary_walk(
+        table_ref, stack_ref, obnd, ibnd, tile, do_leaf)
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+    _write_stats(stats_ref, nv, nl)
+
+
+def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
+                 stats_ref, stack_ref, tri_buf, tri_sem, *, tile):
+    """8-wide supernode packet traversal (accel/wide.py layout): each pop
+    reads one [*,128] row whose 8 child slots sit at STATIC lane offsets —
+    no per-node switch — culls all children against the packet interval,
+    pushes surviving internals, and streams surviving leaves' triangles
+    from HBM with the shared double-buffered chunk pipeline."""
+    rays = _ray_rows(o_ref, d_ref)
+    obnd, ibnd = _packet_bounds(rays)
+    _, _, stream_leaf = _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays,
+                                        tile)
+
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+    stack_ref[0] = 0
+
     def body(state):
         sp, best_t, best_s, t_upper, nv, nl = state
         snode = stack_ref[sp - 1]
@@ -594,13 +459,9 @@ def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
             def cf(j, k=k):
                 return table_ref[snode, k * 16 + j]
             kind = cf(6)
-            lo_x, lo_y, lo_z = cf(0), cf(1), cf(2)
-            hi_x, hi_y, hi_z = cf(3), cf(4), cf(5)
-            nx_min, nx_max = axis_interval(lo_x, hi_x, obnd[0], ibnd[0])
-            ny_min, ny_max = axis_interval(lo_y, hi_y, obnd[1], ibnd[1])
-            nz_min, nz_max = axis_interval(lo_z, hi_z, obnd[2], ibnd[2])
-            t_enter = jnp.maximum(jnp.maximum(nx_min, ny_min), nz_min)
-            t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
+            lo = (cf(0), cf(1), cf(2))
+            hi = (cf(3), cf(4), cf(5))
+            t_enter, t_exit = _box_interval(lo, hi, obnd, ibnd)
             overlap = ((t_enter <= t_exit) & (t_exit > 0.0)
                        & (t_enter <= t_upper) & (kind > 0.5))
 
@@ -637,19 +498,19 @@ def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
 
     t_ref[:] = best_t
     slot_ref[:] = best_s
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    stats_ref[:] = jnp.where(
-        lane == 0, nv.astype(jnp.float32),
-        jnp.where(lane == 1, nl.astype(jnp.float32), 0.0))
+    _write_stats(stats_ref, nv, nl)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
-def _packet_call_wide(wide_table, tris128, orig_t, dir_t, interpret=False,
-                      tile=TILE):
-    n = orig_t.shape[1]
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _streaming_specs(n, tile):
+    """in/out specs shared by the tri-streaming kernels (tri_stream, wide):
+    table in VMEM, tris in HBM (pl.ANY), per-tile ray/result blocks."""
     n_tiles = n // tile
-    return pl.pallas_call(
-        functools.partial(_kernel_wide, tile=tile),
+    return dict(
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
@@ -657,7 +518,7 @@ def _packet_call_wide(wide_table, tris128, orig_t, dir_t, interpret=False,
         ],
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # supernode table
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # node table
             pl.BlockSpec(memory_space=pl.ANY),        # tri chunks (HBM)
             pl.BlockSpec((3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -672,11 +533,23 @@ def _packet_call_wide(wide_table, tris128, orig_t, dir_t, interpret=False,
             pl.BlockSpec((8, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+    )
+
+
+_STREAM_SCRATCH = [
+    pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+    pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
+    pltpu.SemaphoreType.DMA((2,)),
+]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _packet_call_wide(wide_table, tris128, orig_t, dir_t, interpret=False,
+                      tile=TILE):
+    return pl.pallas_call(
+        functools.partial(_kernel_wide, tile=tile),
+        **_streaming_specs(orig_t.shape[1], tile),
+        scratch_shapes=_STREAM_SCRATCH,
         interpret=interpret,
     )(wide_table, tris128, orig_t, dir_t)
 
@@ -684,72 +557,29 @@ def _packet_call_wide(wide_table, tris128, orig_t, dir_t, interpret=False,
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def _packet_call_tri_stream(table, tris128, orig_t, dir_t, interpret=False,
                             tile=TILE):
-    n = orig_t.shape[1]
-    n_tiles = n // tile
     return pl.pallas_call(
         functools.partial(_kernel_tri_stream, tile=tile),
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
-        ],
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # node table (VMEM)
-            pl.BlockSpec(memory_space=pl.ANY),        # tri chunks (HBM)
-            pl.BlockSpec((3, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        **_streaming_specs(orig_t.shape[1], tile),
+        scratch_shapes=_STREAM_SCRATCH,
         interpret=interpret,
     )(table, tris128, orig_t, dir_t)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def _packet_call(table, tris16, orig_t, dir_t, interpret=False, tile=TILE):
-    n = orig_t.shape[1]
-    n_tiles = n // tile
+    specs = _streaming_specs(orig_t.shape[1], tile)
+    specs["in_specs"][1] = pl.BlockSpec(memory_space=pltpu.VMEM)  # tris
     return pl.pallas_call(
         functools.partial(_kernel, tile=tile),
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
-        ],
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # node table
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # tri rows
-            pl.BlockSpec((3, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),       # origins
-            pl.BlockSpec((3, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),       # directions
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        **specs,
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=interpret,
     )(table, tris16, orig_t, dir_t)
+
+
+# ---------------------------------------------------------------------------
+# host-side entry
+# ---------------------------------------------------------------------------
 
 
 def _blockify(x, h, w, th, tw):
@@ -766,6 +596,17 @@ def _unblockify(x, h, w, th, tw):
     x = x.reshape(h // th, w // tw, th, tw, *tail)
     x = jnp.swapaxes(x, 1, 2)
     return x.reshape(h * w, *tail)
+
+
+def _pad_rows8(tris16):
+    """Pad [T, 16] tri rows to a multiple of 8 with -1 sentinels and fold
+    into the [T/8, 128] DMA layout."""
+    t_rows = tris16.shape[0]
+    pad_rows = (-t_rows) % 8
+    if pad_rows:
+        tris16 = jnp.concatenate(
+            [tris16, jnp.full((pad_rows, 16), -1.0, tris16.dtype)], axis=0)
+    return tris16.reshape(-1, 128)
 
 
 def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
@@ -809,26 +650,13 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                 [t16, jnp.zeros((pad_m, 16), t16.dtype)], axis=0)
         table16 = t16.reshape(-1, 128)
     if mode == "wide":
-        t_rows = tris16.shape[0]
-        pad_rows = (-t_rows) % 8
-        if pad_rows:
-            tris16 = jnp.concatenate(
-                [tris16, jnp.full((pad_rows, 16), -1.0, tris16.dtype)],
-                axis=0)
         out_t, out_s, tile_stats = _packet_call_wide(
-            tree.wide_table, tris16.reshape(-1, 128),
+            tree.wide_table, _pad_rows8(tris16),
             orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
             interpret=interpret, tile=tile)
     elif mode == "tri_stream":
-        t_rows = tris16.shape[0]
-        pad_rows = (-t_rows) % 8
-        if pad_rows:
-            tris16 = jnp.concatenate(
-                [tris16, jnp.full((pad_rows, 16), -1.0, tris16.dtype)],
-                axis=0)
-        tris128 = tris16.reshape(-1, 128)
         out_t, out_s, tile_stats = _packet_call_tri_stream(
-            table16, tris128,
+            table16, _pad_rows8(tris16),
             orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
             interpret=interpret, tile=tile)
     else:
