@@ -1,0 +1,167 @@
+"""Scaling-efficiency + backward/forward benches (BASELINE metric line).
+
+Runs on the SIMULATED n-device CPU mesh (the only multi-chip this image
+has — see CLAUDE.md), so the numbers measure *distribution overhead*, not
+hardware speedup: all simulated devices share the host's cores, so perfect
+scaling shows as t(n) ≈ t(1) (efficiency = t1/tn). Collectives, resharding
+and shard_map plumbing are real XLA work and show up as efficiency < 1.
+
+Emits one JSON line per measurement:
+  * GSPMD wavefront renderer, rows-sharded, n = 1..8
+  * shard_map packet renderer, n = 1..8
+  * treelet ppermute ring renderer (scene axis), n = 2..8
+  * backward/forward wall ratio of the inverse-rendering train step
+
+Run: python bench_scaling.py            (writes BENCH_scaling.json too)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import numpy as np
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def timeit(f, reps=3):
+    f()  # warm/compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(f())
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main():
+    global jax
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import optax
+    from clpathtracer_tpu.accel.sah import build_kd_tree
+    from clpathtracer_tpu.core.camera import Camera
+    from clpathtracer_tpu.parallel.mesh import (
+        default_mesh, make_sharded_packet_renderer, make_sharded_renderer)
+    from clpathtracer_tpu.parallel.train import make_train_step
+    from clpathtracer_tpu.parallel.treelet import (
+        build_sharded_tree, make_treelet_renderer)
+    from clpathtracer_tpu.render.integrator import RenderOptions, render_image
+    from clpathtracer_tpu.scene.procedural import random_tri_soup
+
+    ntris = int(os.environ.get("SCALE_TRIS", 100_000))
+    res = int(os.environ.get("SCALE_RES", 256))
+    reps = int(os.environ.get("SCALE_REPS", 3))
+
+    devices = jax.devices()
+    assert len(devices) >= 8, devices
+    scene = random_tri_soup(ntris, seed=0, extent=10.0,
+                            tri_size=0.01).bake_shading()
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, max_depth=18, leaf_size=32, tri_block=4)
+    cam = Camera.create(position=[0.0, 0.0, -25.0], forward=[0.0, 0.0, 1.0])
+    log(f"# scene {ntris} tris, tree {tree.stats()}")
+
+    results = []
+
+    def emit(metric, value, unit, detail=None):
+        rec = {"metric": metric, "value": value, "unit": unit}
+        if detail:
+            rec["detail"] = detail
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # --- 1) GSPMD wavefront renderer, rows axis = n ---
+    base = {}
+    for n in (1, 2, 4, 8):
+        mesh = default_mesh(devices=devices[:n], scene_parallel=1)
+        opts = RenderOptions(width=res, height=res, mode="normal",
+                             intersector="wavefront")
+        render = make_sharded_renderer(opts, mesh)
+        repl = NamedSharding(mesh, P())
+        sc = jax.device_put(scene, repl)
+        tr = jax.device_put(tree, repl)
+        cm = jax.device_put(cam, repl)
+        t = timeit(lambda: render(sc, cm, tr, None), reps)
+        base.setdefault("wavefront", t if n == 1 else base["wavefront"])
+        eff = base["wavefront"] / t
+        emit(f"sim-mesh efficiency, GSPMD wavefront, {n} devices", eff,
+             "t1/tn", {"frame_s": t})
+        log(f"# wavefront n={n}: {t:.3f}s eff={eff:.2f}")
+
+    # --- 2) shard_map packet renderer ---
+    for n in (1, 2, 4, 8):
+        mesh = default_mesh(devices=devices[:n], scene_parallel=1)
+        opts = RenderOptions(width=res, height=res, mode="normal",
+                             intersector="packet", packet_tile=1024)
+        render = make_sharded_packet_renderer(opts, mesh)
+        repl = NamedSharding(mesh, P())
+        sc = jax.device_put(scene, repl)
+        tr = jax.device_put(tree, repl)
+        cm = jax.device_put(cam, repl)
+        t = timeit(lambda: render(sc, cm, tr, None), reps)
+        base.setdefault("packet", t if n == 1 else base["packet"])
+        eff = base["packet"] / t
+        emit(f"sim-mesh efficiency, shard_map packet, {n} devices", eff,
+             "t1/tn", {"frame_s": t})
+        log(f"# packet n={n}: {t:.3f}s eff={eff:.2f}")
+
+    # --- 3) treelet ppermute ring (scene axis = n/2, rows = 2) ---
+    for n in (2, 4, 8):
+        sp = n // 2
+        mesh = default_mesh(devices=devices[:n], scene_parallel=sp)
+        stree = build_sharded_tree(tv, n_shards=sp, max_depth=18,
+                                   leaf_size=32)
+        opts = RenderOptions(width=res, height=res, mode="normal",
+                             intersector="wavefront")
+        render = make_treelet_renderer(opts, mesh)
+        sc = jax.device_put(scene, NamedSharding(mesh, P()))
+        st = jax.device_put(stree, NamedSharding(mesh, P("scene")))
+        t = timeit(lambda: render(st, sc, cam, None), reps)
+        emit(f"treelet ring frame, rows=2 x scene={sp}", t, "s",
+             {"blocks": sp})
+        log(f"# ring n={n} (scene={sp}): {t:.3f}s")
+
+    # --- 4) backward/forward ratio (train step vs forward render) ---
+    mesh = default_mesh(devices=devices, scene_parallel=1)
+    opts = RenderOptions(width=64, height=64, mode="normal",
+                         differentiable=True)
+    target = render_image(scene, cam, opts, tree=tree)
+    step, init = make_train_step(scene, opts, mesh, optax.adam(1e-3),
+                                 tree=tree, param_fields=("verts",))
+    state = init()
+    target = jax.device_put(target,
+                            NamedSharding(mesh, P("rows", None, None)))
+    key = jax.random.PRNGKey(0)
+
+    fwd_render = make_sharded_renderer(opts, mesh)
+    repl = NamedSharding(mesh, P())
+    sc = jax.device_put(scene, repl)
+    tr = jax.device_put(tree, repl)
+    cm = jax.device_put(cam, repl)
+    t_fwd = timeit(lambda: fwd_render(sc, cm, tr, None), reps)
+    t_step = timeit(lambda: step(state, cam, target, key)[1], reps)
+    emit("backward/forward wall ratio, 8-device train step",
+         t_step / t_fwd, "x",
+         {"forward_s": t_fwd, "train_step_s": t_step})
+    log(f"# fwd {t_fwd:.3f}s, step {t_step:.3f}s, "
+        f"ratio {t_step/t_fwd:.2f}")
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_scaling.json"), "w") as fh:
+        for r in results:
+            fh.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

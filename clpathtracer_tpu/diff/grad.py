@@ -40,21 +40,56 @@ BIG = 3.4e38  # plain float: avoids a hoisted jaxpr constant
 
 
 def intersect_diff(scene, tree, orig, dir, tri_block: int = 4,
-                   max_iters: int = 4096):
+                   max_iters: int = 4096, scene_axis: str = None,
+                   packet: bool = False, coherent: bool = True,
+                   packet_tile: int = 1024, image_shape=None, active=None):
     """Nearest triangle hit with differentiable t/u/v and detached topology.
 
     Returns dict(hit [N] bool, tri [N] i32, t [N], u [N], v [N]) where t/u/v
     carry gradients w.r.t. (orig, dir, scene.verts) and hit/tri do not.
+
+    tree may be a parallel.treelet.ShardedTree: topology then comes from the
+    (detached) ppermute treelet ring — acceleration data stays sharded over
+    `scene_axis` while gradients flow through the replicated verts via the
+    same per-winner re-resolve.
     """
     sg = jax.lax.stop_gradient
-    if tree is not None:
+    if type(tree).__name__ == "ShardedTree":
+        from clpathtracer_tpu.parallel.treelet import intersect_ring
+        rec = intersect_ring(sg(tree), sg(orig), sg(dir),
+                             axis_name=scene_axis, max_iters=max_iters)
+        tri = rec["tri"]
+        hit = rec["hit"]
+    elif tree is not None:
         v0, v1, v2 = scene.tri_verts()
         if tree.node_table is not None and tri_block == 4:
+            from clpathtracer_tpu.ops.packet import (
+                packet_supported, traverse_packet)
             from clpathtracer_tpu.ops.traverse_fast import (
                 pack_quads, traverse_fast)
             quads = pack_quads(tree.tri_indices, sg(v0), sg(v1), sg(v2))
-            rec = traverse_fast(tree, quads, sg(orig), sg(dir),
-                                max_iters=max_iters)
+            n = orig.shape[0]
+            if packet and packet_supported(tree, n, packet_tile):
+                # topology is detached anyway, so the fast Pallas packet
+                # engine is eligible as the forward intersector
+                # (VERDICT r1 #7): coherent primaries go straight in,
+                # scattered bounce wavefronts Morton-sort first
+                if coherent:
+                    rec = traverse_packet(tree, quads, sg(orig), sg(dir),
+                                          image_shape=image_shape,
+                                          tile=packet_tile, active=active)
+                else:
+                    from clpathtracer_tpu.ops.sort import sort_rays
+                    perm, inv = sort_rays(sg(orig), sg(dir), alive=active)
+                    act_p = active[perm] if active is not None else None
+                    rec = traverse_packet(tree, quads, sg(orig)[perm],
+                                          sg(dir)[perm], tile=packet_tile,
+                                          active=act_p)
+                    rec = {k: v[inv] if v.shape[:1] == perm.shape else v
+                           for k, v in rec.items()}
+            else:
+                rec = traverse_fast(tree, quads, sg(orig), sg(dir),
+                                    max_iters=max_iters, active=active)
         else:
             packed = PackedTris.pack(tree, sg(v0), sg(v1), sg(v2))
             rec = traverse(tree, packed, sg(orig), sg(dir),

@@ -50,25 +50,41 @@ CHUNK_ROWS = 8       # [8, 128] tri rows per leaf DMA = 64 triangles
 INV_BIG = 1e30
 
 
-def packet_mode(tree, n_rays: int, tile: int = TILE):
-    """None (unsupported) | "vmem" (whole scene resident on-chip) |
-    "tri_stream" (node table on-chip, triangles DMA'd per leaf)."""
+def packet_mode(tree, n_rays: int, tile: int = TILE, engine: str = "auto"):
+    """Selected engine, or None when the packet tracer can't run:
+
+    * "stream"     — v2 interval walk, node fields on-chip (32 B/node),
+                     triangles streamed from HBM (the default)
+    * "vmem"       — v1 walk, whole scene resident on-chip
+    * "tri_stream" — v1 walk, node table on-chip, triangles streamed
+    * "wide"       — experimental 8-wide supernode walk (CLPT_WIDE=1)
+
+    engine: "auto" (stream when it fits, else v1 fallbacks), "stream", or
+    "legacy" (v1 selection only — comparison/bench baseline).
+    """
     if tree is None or tree.node_table is None:
         return None
     if n_rays % tile != 0:
         return None
+    import os
+    m = tree.node_table.shape[0]
     # 8-wide supernode table (opt-in via CLPT_WIDE=1): one 512 B row per
     # ~7 binary nodes, children at static lane offsets. Measured slower
     # than the binary tri-stream at 1M tris (the 8 sequential per-child
     # conds outweigh the pop savings) — kept as an experimental engine.
-    import os
     wide = getattr(tree, "wide_table", None)
     if (os.environ.get("CLPT_WIDE") and wide is not None
             and wide.shape[0] * 512 <= VMEM_BUDGET):
         return "wide"
-    # packet kernels use a ropeless 16-wide slice of the node table
+    if engine in ("auto", "stream"):
+        # packed16 worst case: 32 B/node (+1 header row)
+        if (1 + (m + 15) // 16) * 512 <= VMEM_BUDGET:
+            return "stream"
+        if engine == "stream":
+            return None
+    # v1 packet kernels use a ropeless 16-wide slice of the node table
     # (stack traversal never follows ropes) — 64 B per node
-    table_bytes = tree.node_table.shape[0] * 16 * 4
+    table_bytes = m * 16 * 4
     tri_bytes = tree.tri_indices.shape[0] * 16 * 4
     if table_bytes + tri_bytes <= VMEM_BUDGET:
         return "vmem"
@@ -104,6 +120,27 @@ def _packet_bounds(rays):
     obnd = ((jnp.min(ox), jnp.max(ox)), (jnp.min(oy), jnp.max(oy)),
             (jnp.min(oz), jnp.max(oz)))
     ibnd = (inv_bounds(dx), inv_bounds(dy), inv_bounds(dz))
+    return obnd, ibnd
+
+
+def _packet_bounds_masked(rays, act):
+    """_packet_bounds over the ACTIVE lanes only (act: [1, T] 1.0/0.0).
+    Dead lanes otherwise poison the conservative bounds (their origins and
+    directions are stale). Caller guarantees at least one active lane."""
+    ox, oy, oz, dx, dy, dz = rays
+    on = act > 0.0
+
+    def mm(x):
+        return (jnp.min(jnp.where(on, x, BIG)),
+                jnp.max(jnp.where(on, x, -BIG)))
+
+    def inv_mm(dc):
+        inv = jnp.clip(1.0 / dc, -INV_BIG, INV_BIG)
+        return (jnp.min(jnp.where(on, inv, INV_BIG)),
+                jnp.max(jnp.where(on, inv, -INV_BIG)))
+
+    obnd = (mm(ox), mm(oy), mm(oz))
+    ibnd = (inv_mm(dx), inv_mm(dy), inv_mm(dz))
     return obnd, ibnd
 
 
@@ -178,7 +215,7 @@ def _near_far_children(fields, ibnd):
     return near, far
 
 
-def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile):
+def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile, act_row=None):
     """Double-buffered HBM→VMEM leaf-triangle streaming + dense MT.
 
     Returns (start_chunk, mt_chunk, stream_leaf): start_chunk(row0, slot)
@@ -235,6 +272,8 @@ def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile):
             ok = ok & (v >= 0.0) & (u + v <= 1.0)
             tt = (e2x * qx + e2y * qy + e2z * qz) * invd
             ok = ok & (tt > 0.0) & (tid >= 0.0)
+            if act_row is not None:
+                ok = ok & (act_row > 0.0)  # dead lanes never take hits
             t_m = jnp.where(ok, tt, BIG)                    # [8, tile]
             slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)  # [8, 1]
             grp_min = jnp.min(t_m, axis=0, keepdims=True)   # [1, tile]
@@ -501,6 +540,165 @@ def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
     _write_stats(stats_ref, nv, nl)
 
 
+def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
+                   stats_ref, nstack, tlo_stack, thi_stack, tri_buf, tri_sem,
+                   *, tile, layout):
+    """"stream" engine (v2): interval-arithmetic packet walk + HBM leaf
+    streaming + active-lane masking.
+
+    The node pop is restructured around the classic kd-tree t-interval
+    traversal: each stack entry carries the packet-conservative
+    [t_lo, t_hi] along the ray, tightened at every split plane — so a pop
+    reads SIX node fields (flags, split, children, leaf range; no AABB) and
+    runs ~15 scalar flops, where the v1 walk read 12 fields behind an 8-way
+    switch and re-slab-tested the full AABB (~45 flops). Two node layouts:
+
+      layout="padded":   nodes_ref [1+M, 8] — node fields at dynamic
+                         sublane, static lane (no switch at all; physically
+                         lane-padded to 128, so only for M ≤ ~8k).
+      layout="packed16": nodes_ref [1+ceil(M/16), 128] — 16 nodes per row,
+                         16-way switch, 32 B/node.
+
+    Row 0 is a header holding the root AABB (lanes 0-5), which seeds the
+    interval. `a_ref` [1, T] is the active mask: packet bounds and hit
+    acceptance ignore dead lanes, and a fully-dead tile skips traversal
+    entirely (~µs) — the per-tile half of wavefront compaction (the
+    integrator sorts dead rays to the tail, ops/sort.py).
+    """
+    rays = _ray_rows(o_ref, d_ref)
+    act = a_ref[0:1, :]
+    n_act = jnp.sum(act)
+
+    t_ref[:] = jnp.full((1, tile), BIG, jnp.float32)
+    slot_ref[:] = jnp.full((1, tile), -1.0, jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    stats_ref[:] = jnp.where(lane == 2, n_act, 0.0)
+
+    @pl.when(n_act > 0.0)
+    def _run():
+        obnd, ibnd = _packet_bounds_masked(rays, act)
+        _, _, stream_leaf = _chunk_pipeline(tris_ref, tri_buf, tri_sem,
+                                            rays, tile, act_row=act)
+
+        # per-axis packet constants for the split-plane interval
+        axinfo = []
+        for ax in range(3):
+            il, ih = ibnd[ax]
+            ol, oh = obnd[ax]
+            axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+
+        if layout == "padded":
+            def read6(node):
+                r = node + 1
+                return tuple(nodes_ref[r, j] for j in range(6))
+        else:
+            def read6(node):
+                r = 1 + node // 16
+
+                def rd(k):
+                    def f():
+                        return tuple(nodes_ref[r, k * 8 + j]
+                                     for j in range(6))
+                    return f
+
+                return jax.lax.switch(node % 16, [rd(k) for k in range(16)])
+
+        # root interval from the header AABB
+        hdr = tuple(nodes_ref[0, j] for j in range(6))
+        rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
+        nstack[0] = 0
+        tlo_stack[0] = rt_lo
+        thi_stack[0] = rt_hi
+        sp0 = ((rt_lo <= rt_hi) & (rt_hi > 0.0)).astype(jnp.int32)
+
+        best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+        best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+
+        def body(state):
+            sp, best_t, best_s, t_upper, nv, nl = state
+            node = nstack[sp - 1]
+            tlo = tlo_stack[sp - 1]
+            thi = thi_stack[sp - 1]
+            sp = sp - 1
+            nv = nv + 1
+            # re-check at pop time: t_upper may have shrunk since push
+            live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
+
+            def visit(sp, best_t, best_s, t_upper, nl):
+                flags_f, split, cl_f, ch_f, qs_f, cnt_f = read6(node)
+                flags = flags_f.astype(jnp.int32)
+                is_leaf = flags >= 4
+
+                def leaf_case(sp, best_t, best_s, t_upper, nl):
+                    best_t, best_s, nch = stream_leaf(
+                        qs_f.astype(jnp.int32), cnt_f.astype(jnp.int32),
+                        best_t, best_s)
+                    t_up = jnp.max(jnp.where(act > 0.0, best_t, -BIG))
+                    return sp, best_t, best_s, t_up, nl + nch
+
+                def split_case(sp, best_t, best_s, t_upper, nl):
+                    il, ih, ol, oh, uni, nlo = jax.lax.switch(
+                        flags & 3,
+                        [lambda i=i: axinfo[i] for i in range(3)])
+                    c1 = (split - ol) * il
+                    c2 = (split - ol) * ih
+                    c3 = (split - oh) * il
+                    c4 = (split - oh) * ih
+                    tp_min = jnp.minimum(jnp.minimum(c1, c2),
+                                         jnp.minimum(c3, c4))
+                    tp_max = jnp.maximum(jnp.maximum(c1, c2),
+                                         jnp.maximum(c3, c4))
+                    tp_min = jnp.where(uni, tp_min, -INV_BIG)
+                    tp_max = jnp.where(uni, tp_max, INV_BIG)
+                    cl = cl_f.astype(jnp.int32)
+                    ch = ch_f.astype(jnp.int32)
+                    near = jnp.where(nlo, cl, ch)
+                    far = jnp.where(nlo, ch, cl)
+                    far_lo = jnp.maximum(tlo, tp_min)
+                    near_hi = jnp.minimum(thi, tp_max)
+                    # far pushed first, near last → near popped first
+                    push_far = far_lo <= jnp.minimum(thi, t_upper)
+
+                    @pl.when(push_far)
+                    def _():
+                        nstack[sp] = far
+                        tlo_stack[sp] = far_lo
+                        thi_stack[sp] = thi
+
+                    sp = sp + push_far.astype(jnp.int32)
+                    push_near = tlo <= jnp.minimum(near_hi, t_upper)
+
+                    @pl.when(push_near)
+                    def _():
+                        nstack[sp] = near
+                        tlo_stack[sp] = tlo
+                        thi_stack[sp] = near_hi
+
+                    sp = sp + push_near.astype(jnp.int32)
+                    return sp, best_t, best_s, t_upper, nl
+
+                return jax.lax.cond(is_leaf, leaf_case, split_case,
+                                    sp, best_t, best_s, t_upper, nl)
+
+            sp, best_t, best_s, t_upper, nl = jax.lax.cond(
+                live, visit,
+                lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
+                sp, best_t, best_s, t_upper, nl)
+            return sp, best_t, best_s, t_upper, nv, nl
+
+        _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
+            lambda st: st[0] > 0, body,
+            (sp0, best_t0, best_s0, jnp.float32(BIG), jnp.int32(0),
+             jnp.int32(0)))
+
+        t_ref[:] = best_t
+        slot_ref[:] = best_s
+        stats_ref[:] = jnp.where(
+            lane == 0, nv.astype(jnp.float32),
+            jnp.where(lane == 1, nl.astype(jnp.float32),
+                      jnp.where(lane == 2, n_act, 0.0)))
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -565,6 +763,52 @@ def _packet_call_tri_stream(table, tris128, orig_t, dir_t, interpret=False,
     )(table, tris128, orig_t, dir_t)
 
 
+PAD_NODE_LIMIT = 8192  # padded layout: [M, 8] lane-pads to 512 B/node
+
+
+def _stream_layout(num_nodes: int) -> str:
+    return "padded" if num_nodes <= PAD_NODE_LIMIT else "packed16"
+
+
+def _stream_nodes(tree):
+    """Node data for the stream kernel: header row (root AABB) + per-node
+    [flags, split, child_lo, child_hi, quad_start, tri_count, 0, 0]."""
+    nt = tree.node_table
+    m = nt.shape[0]
+    body = jnp.concatenate(
+        [nt[:, 7:8], nt[:, 6:7], nt[:, 8:12], jnp.zeros((m, 2), nt.dtype)],
+        axis=1)                                        # [M, 8]
+    hdr = jnp.concatenate([nt[0, 0:6], jnp.zeros((2,), nt.dtype)])[None]
+    if _stream_layout(m) == "padded":
+        return jnp.concatenate([hdr, body], axis=0)    # [1+M, 8]
+    pad = (-m) % 16
+    if pad:
+        body = jnp.concatenate(
+            [body, jnp.zeros((pad, 8), nt.dtype)], axis=0)
+    return jnp.concatenate(
+        [jnp.pad(hdr, ((0, 0), (0, 120))), body.reshape(-1, 128)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "layout"))
+def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, interpret=False,
+                        tile=TILE, layout="padded"):
+    specs = _streaming_specs(orig_t.shape[1], tile)
+    specs["in_specs"].append(
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_kernel_stream, tile=tile, layout=layout),
+        **specs,
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(nodes, tris128, orig_t, dir_t, act)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def _packet_call(table, tris16, orig_t, dir_t, interpret=False, tile=TILE):
     specs = _streaming_specs(orig_t.shape[1], tile)
@@ -599,19 +843,21 @@ def _unblockify(x, h, w, th, tw):
 
 
 def _pad_rows8(tris16):
-    """Pad [T, 16] tri rows to a multiple of 8 with -1 sentinels and fold
-    into the [T/8, 128] DMA layout."""
+    """Pad [T, 16] tri rows with -1 sentinels and fold into the [T/8, 128]
+    DMA layout. Minimum CHUNK_ROWS*8 tri rows so even a tiny scene holds
+    one full DMA chunk (the kernels clamp chunk starts, never lengths)."""
     t_rows = tris16.shape[0]
-    pad_rows = (-t_rows) % 8
-    if pad_rows:
+    target = max((t_rows + 7) // 8 * 8, CHUNK_ROWS * 8)
+    if target != t_rows:
         tris16 = jnp.concatenate(
-            [tris16, jnp.full((pad_rows, 16), -1.0, tris16.dtype)], axis=0)
+            [tris16, jnp.full((target - t_rows, 16), -1.0, tris16.dtype)],
+            axis=0)
     return tris16.reshape(-1, 128)
 
 
 def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                     interpret: bool = None, image_shape=None,
-                    tile: int = TILE):
+                    tile: int = TILE, engine: str = "auto", active=None):
     """Packet-trace a coherent wavefront. Same record contract as
     traverse_fast (minus per-ray step counts, which have no meaning for a
     shared-stack packet walk: steps = 0).
@@ -620,6 +866,12 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
     when divisible into sqrt(tile)-square blocks, rays are regrouped so
     each packet is a square screen tile instead of a scanline sliver —
     much tighter packet bounds, several-fold fewer node visits.
+
+    engine: "auto" | "stream" | "legacy" (see packet_mode).
+    active: optional [N] bool — dead lanes are excluded from packet bounds
+    and never report hits; a fully dead tile skips traversal (the kernel
+    half of wavefront compaction; sort dead rays to the tail first).
+    Only the stream engine honors it.
     """
     n = orig.shape[0]
     assert n % tile == 0, (n, tile)
@@ -637,9 +889,9 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         orig_b, dir_b = orig, dir
 
     tris16 = quads.reshape(-1, 16)
-    mode = packet_mode(tree, n, tile)
+    mode = packet_mode(tree, n, tile, engine=engine)
     assert mode is not None, "scene/ray shape unsupported by packet tracer"
-    if mode != "wide":
+    if mode in ("vmem", "tri_stream"):
         # ropeless node rows packed 8-per-128-lane-row: cols 0-11 are all
         # the packet walk reads; narrow VMEM arrays lane-pad to 128 anyway
         t16 = tree.node_table[:, :16]
@@ -649,7 +901,20 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             t16 = jnp.concatenate(
                 [t16, jnp.zeros((pad_m, 16), t16.dtype)], axis=0)
         table16 = t16.reshape(-1, 128)
-    if mode == "wide":
+    if mode == "stream":
+        if active is None:
+            act = jnp.ones((1, n), jnp.float32)
+        else:
+            act = active.astype(jnp.float32)
+            if blocked:
+                act = _blockify(act, h, w, side, side)
+            act = act[None, :]
+        out_t, out_s, tile_stats = _packet_call_stream(
+            _stream_nodes(tree), _pad_rows8(tris16),
+            orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
+            act, interpret=interpret, tile=tile,
+            layout=_stream_layout(tree.node_table.shape[0]))
+    elif mode == "wide":
         out_t, out_s, tile_stats = _packet_call_wide(
             tree.wide_table, _pad_rows8(tris16),
             orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
@@ -690,7 +955,8 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         "v": jnp.where(hit, v, 0.0),
         "steps": jnp.zeros((n,), jnp.int32),
         # per-tile diagnostics: [:, 0] node visits, [:, 1] leaf visits
-        # (vmem) / tri chunks DMA'd (tri_stream); kernel emits 8 replicated
+        # (vmem) / tri chunks DMA'd (streaming engines), [:, 2] active lanes
+        # (stream engine; legacy kernels write 0); kernel emits 8 replicated
         # sublane rows per tile
-        "tile_stats": tile_stats[::8, :2],
+        "tile_stats": tile_stats[::8, :3],
     }

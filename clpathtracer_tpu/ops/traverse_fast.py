@@ -107,7 +107,7 @@ def _mt_pre(v0, e1, e2, orig, dir, eps=0.0):
 
 def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
                   max_iters: int = 16384, compact: bool = True,
-                  t_max=None):
+                  t_max=None, active=None):
     """Trace a wavefront through the packed kd-tree.
 
     tree: FlatKdTree with a `node_table` (built by build_kd_tree with
@@ -123,6 +123,11 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
     ignored AND the walk early-exits once every reachable node lies beyond
     it. The cheap occlusion/shadow-ray query: pass the light distance and
     read `hit`.
+
+    active: optional [N] bool — dead lanes never enter the walk (they
+    start inactive and report no hit). With wind-down compaction they fold
+    out on the first round, so a mostly-dead wavefront costs a fraction of
+    a full one.
     """
     n = orig.shape[0]
     table = tree.node_table
@@ -138,6 +143,8 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
     rhit, rtmin, _, _, _ = hit_aabb(root_lo, root_hi, orig, invdir, sign)
     p = orig + jnp.where(rtmin > 0, rtmin, 0.0)[:, None] * dir
 
+    if active is not None:
+        rhit = rhit & active
     node0 = jnp.where(rhit, 0, -1).astype(jnp.int32)
     # derive constants from varying inputs (node0*0) so the while_loop
     # carry stays type-stable under shard_map's varying-axes analysis

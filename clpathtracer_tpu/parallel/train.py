@@ -55,16 +55,56 @@ def make_train_step(scene, opts: RenderOptions, mesh: Mesh,
             "(detached-topology hits; the raw traversal while_loop is not "
             "reverse-differentiable)")
 
-    def loss_fn(params, base_scene, base_tree, camera, target, key):
-        s = apply_params(base_scene, params)
-        cam_inv = cam_matrix(camera, opts.height)
-        orig, dir = generate_rays(cam_inv, opts.width, opts.height)
-        spec = NamedSharding(mesh, P("rows", None))
-        orig = jax.lax.with_sharding_constraint(orig, spec)
-        dir = jax.lax.with_sharding_constraint(dir, spec)
-        img = render_rays(s, base_tree, orig, dir, opts, key)
-        img = img.reshape(opts.height, opts.width, 3)
-        return jnp.mean((img - target) ** 2)
+    scene_sharded = type(tree).__name__ == "ShardedTree"
+    if scene_sharded:
+        # scene-parallel training: acceleration blocks stay sharded over
+        # "scene" and ring-rotate inside the loss (intersect_ring under
+        # shard_map); rays/pixels shard over BOTH axes; parameter
+        # cotangents are psummed by shard_map's transpose (replicated
+        # in_spec) — the gradient all-reduce, derived not hand-written.
+        import dataclasses
+
+        from jax import shard_map
+
+        S = mesh.shape["scene"]
+        n_px = opts.width * opts.height
+        assert n_px % (n_rows * S) == 0, (n_px, n_rows, S)
+        opts_local = dataclasses.replace(opts, scene_axis="scene")
+
+        def render_local(params, base_scene, stree_blk, key, orig, dir):
+            s = apply_params(base_scene, params)
+            if key is not None:
+                shard = (jax.lax.axis_index("rows") * S
+                         + jax.lax.axis_index("scene"))
+                key = jax.random.fold_in(key, shard)
+            return render_rays(s, stree_blk, orig, dir, opts_local, key)
+
+        render_sharded = shard_map(
+            render_local, mesh=mesh,
+            in_specs=(P(), P(), P("scene"), P(),
+                      P(("rows", "scene"), None),
+                      P(("rows", "scene"), None)),
+            out_specs=P(("rows", "scene"), None),
+        )
+
+        def loss_fn(params, base_scene, base_tree, camera, target, key):
+            cam_inv = cam_matrix(camera, opts.height)
+            orig, dir = generate_rays(cam_inv, opts.width, opts.height)
+            img = render_sharded(params, base_scene, base_tree, key,
+                                 orig, dir)
+            img = img.reshape(opts.height, opts.width, 3)
+            return jnp.mean((img - target) ** 2)
+    else:
+        def loss_fn(params, base_scene, base_tree, camera, target, key):
+            s = apply_params(base_scene, params)
+            cam_inv = cam_matrix(camera, opts.height)
+            orig, dir = generate_rays(cam_inv, opts.width, opts.height)
+            spec = NamedSharding(mesh, P("rows", None))
+            orig = jax.lax.with_sharding_constraint(orig, spec)
+            dir = jax.lax.with_sharding_constraint(dir, spec)
+            img = render_rays(s, base_tree, orig, dir, opts, key)
+            img = img.reshape(opts.height, opts.width, 3)
+            return jnp.mean((img - target) ** 2)
 
     def step_impl(state: TrainState, base_scene, base_tree, camera, target,
                   key):
@@ -85,7 +125,13 @@ def make_train_step(scene, opts: RenderOptions, mesh: Mesh,
     repl = replicated(mesh)
     jitted = jax.jit(step_impl)
     scene_r = jax.device_put(scene, repl)
-    tree_r = jax.device_put(tree, repl) if tree is not None else None
+    if tree is None:
+        tree_r = None
+    elif scene_sharded:
+        # treelet blocks live sharded over the "scene" axis — the point
+        tree_r = jax.device_put(tree, NamedSharding(mesh, P("scene")))
+    else:
+        tree_r = jax.device_put(tree, repl)
 
     def step(state: TrainState, camera, target, key):
         camera = jax.device_put(camera, repl)

@@ -35,10 +35,19 @@ class ShardedTree:
 
     node_table: [S, M, 24] f32 (ops/traverse_fast.py layout)
     tri_slots:  [S, T] i32 — LOCAL slot → ORIGINAL triangle id (-1 pad)
+    quads:      [S, T/4, 64] f32 — per-shard baked quad rows whose tri-id
+                field holds ORIGINAL (global) triangle ids, so a shard
+                traversal needs no replicated vertex table at all (this is
+                what makes the ring memory-scale: each chip holds 1/S of
+                the acceleration data AND 1/S of the geometry)
+    total_blocks: static S — survives shard_map splitting the leading axis
+                to 1, so ring code knows how many rotations a full pass is
     """
 
     node_table: jnp.ndarray
     tri_slots: jnp.ndarray
+    quads: jnp.ndarray = None
+    total_blocks: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_shards(self) -> int:
@@ -92,11 +101,140 @@ def build_sharded_tree(tri_verts: np.ndarray, n_shards: int,
     tmax = max(s.shape[0] for s in slots)
     node_table = np.zeros((n_shards, m, 24), np.float32)
     tri_slots = np.full((n_shards, tmax), -1, np.int32)
-    for i, (t, s) in enumerate(zip(tables, slots)):
+    quads = np.zeros((n_shards, tmax, 16), np.float32)
+    quads[:, :, 9] = -1.0  # tid pad sentinel
+    for i, (t, s, chunk) in enumerate(zip(tables, slots, chunks)):
         node_table[i, :t.shape[0]] = t
         tri_slots[i, :s.shape[0]] = s
+        # bake quad rows from the chunk's OWN geometry, tri-id field =
+        # GLOBAL triangle id (so hit records are globally meaningful and
+        # no replicated vertex table is needed during traversal)
+        tv = tri_verts[np.maximum(s, 0)].astype(np.float32)  # [Ts, 3, 3]
+        q = np.zeros((s.shape[0], 16), np.float32)
+        q[:, 0:3] = tv[:, 0]
+        q[:, 3:6] = tv[:, 1] - tv[:, 0]
+        q[:, 6:9] = tv[:, 2] - tv[:, 0]
+        q[:, 9] = s.astype(np.float32)               # global ids; -1 pads
+        quads[i, :s.shape[0]] = q
     return ShardedTree(node_table=jnp.asarray(node_table),
-                       tri_slots=jnp.asarray(tri_slots))
+                       tri_slots=jnp.asarray(tri_slots),
+                       quads=jnp.asarray(quads.reshape(
+                           n_shards, tmax // 4, 64)),
+                       total_blocks=n_shards)
+
+
+def _block_shim(table, n_slots):
+    """traverse_fast's tree interface for one treelet block: node_table +
+    a shape-carrier for the slot count (values unused by the walk)."""
+    import types
+    return types.SimpleNamespace(
+        node_table=table,
+        tri_indices=jnp.zeros((n_slots,), jnp.int32))
+
+
+def intersect_ring(stree: ShardedTree, orig, dir, axis_name: str = None,
+                   max_iters: int = 16384, compact: bool = False):
+    """Ring-rotation treelet intersection — the SURVEY §5 long-context
+    analogue (ring attention with rays as tokens): every chip keeps its
+    RESIDENT rays; treelet blocks (node table + baked quads) rotate around
+    the mesh "scene" axis with `ppermute`, and the rotation of block s+1 is
+    issued BEFORE block s is traversed so XLA's scheduler overlaps the
+    collective with local traversal compute. Per-ray running (best_t, tri,
+    u, v) takes the place of the online-softmax accumulator; each round
+    passes the current best_t as traverse_fast's t_max so later blocks walk
+    distance-bounded (cheaper as the image resolves).
+
+    axis_name=None runs the same loop sequentially over stree's S local
+    blocks on one device — the reference implementation the distributed
+    path must bit-match on hit/t (cross-block exact-t ties resolve by
+    arrival order, which depends on the device's ring position; hit and t
+    are order-independent).
+
+    Replaces: the reference's whole-scene single-device upload
+    (src/CLState.c:124-202) for scenes that don't fit one chip.
+    """
+    from clpathtracer_tpu.ops.traverse_fast import traverse_fast
+
+    n = orig.shape[0]
+    S = stree.total_blocks or stree.node_table.shape[0]
+    assert stree.quads is not None, "build_sharded_tree bakes quads now"
+    table, quads = stree.node_table, stree.quads
+    n_slots = stree.quads.shape[1] * 4
+
+    best = {
+        "hit": jnp.zeros((n,), bool),
+        "t": jnp.full((n,), BIG),
+        "tri": jnp.full((n,), -1, jnp.int32),
+        "u": jnp.zeros((n,)),
+        "v": jnp.zeros((n,)),
+    }
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    for s in range(S):
+        cur_table, cur_quads = table, quads
+        if axis_name is not None and s < S - 1:
+            # issue the rotation of the NEXT block now — independent of the
+            # traversal below, so the ICI transfer hides under compute
+            table = jax.lax.ppermute(table, axis_name, perm)
+            quads = jax.lax.ppermute(quads, axis_name, perm)
+        blk_t = cur_table[0] if axis_name is not None else cur_table[s]
+        blk_q = cur_quads[0] if axis_name is not None else cur_quads[s]
+        rec = traverse_fast(_block_shim(blk_t, n_slots),
+                            blk_q.reshape(-1, 64), orig, dir,
+                            max_iters=max_iters, compact=compact,
+                            t_max=best["t"])
+        take = rec["hit"]  # strictly closer than best by t_max semantics
+        best = {
+            "hit": best["hit"] | take,
+            "t": jnp.where(take, rec["t"], best["t"]),
+            "tri": jnp.where(take, rec["tri"], best["tri"]),
+            "u": jnp.where(take, rec["u"], best["u"]),
+            "v": jnp.where(take, rec["v"], best["v"]),
+        }
+    return best
+
+
+def make_treelet_renderer(opts, mesh: Mesh, n_blocks: int = None):
+    """Scene-parallel frame renderer: rays sharded over BOTH mesh axes
+    (each device owns N/(R·S) rays), treelet blocks sharded over "scene"
+    and ring-rotated during intersection (intersect_ring), materials/verts
+    replicated (small next to acceleration+geometry data).
+
+    Returns render(stree, scene, camera, key) -> [H, W, 3].
+    """
+    import dataclasses
+
+    from clpathtracer_tpu.core.camera import cam_matrix, generate_rays
+    from clpathtracer_tpu.render.integrator import render_rays
+    from jax import shard_map
+
+    S = mesh.shape["scene"]
+    n = opts.width * opts.height
+    n_dev = S * mesh.shape["rows"]
+    assert n % n_dev == 0, (n, n_dev)
+    opts_local = dataclasses.replace(opts, scene_axis="scene")
+
+    def local(stree_blk, scene, key, orig, dir):
+        if key is not None:
+            shard = (jax.lax.axis_index("rows") * S
+                     + jax.lax.axis_index("scene"))
+            key = jax.random.fold_in(key, shard)
+        return render_rays(scene, stree_blk, orig, dir, opts_local, key)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("scene"), P(), P(), P(("rows", "scene"), None),
+                  P(("rows", "scene"), None)),
+        out_specs=P(("rows", "scene"), None),
+    )
+
+    @jax.jit
+    def render(stree, scene, camera, key):
+        cam_inv = cam_matrix(camera, opts.height)
+        orig, dir = generate_rays(cam_inv, opts.width, opts.height)
+        img = sharded(stree, scene, key, orig, dir)
+        return img.reshape(opts.height, opts.width, 3)
+
+    return render
 
 
 def intersect_sharded(stree: ShardedTree, scene, orig, dir, mesh: Mesh,

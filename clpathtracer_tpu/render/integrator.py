@@ -72,6 +72,9 @@ class RenderOptions:
     #   emitters
     differentiable: bool = False  # detached-topology hits (diff/grad.py) so
     #   jax.grad flows through t/u/v to camera, verts and materials
+    scene_axis: str = None     # treelet ring: mesh axis name the scene is
+    #   sharded over (set by parallel/treelet.py wrappers when rendering
+    #   inside shard_map; None = scene replicated / sequential ring)
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +83,7 @@ class RenderOptions:
 
 
 def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
-                    coherent: bool = True):
+                    coherent: bool = True, active=None):
     """Nearest hit against triangles (+ spheres). Returns dict with
     hit [N] bool, t [N], tri [N] (-1 if none), u/v [N], sphere [N] (-1 if
     the nearest hit is not a sphere).
@@ -88,14 +91,35 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
     coherent: whether the wavefront is screen-coherent (primary rays).
     The packet tracer only pays off for coherent tiles — scattered bounce
     rays give every packet near-unbounded interval bounds, so those always
-    take the per-ray wavefront."""
+    take the per-ray wavefront.
+
+    active: optional [N] bool — lanes whose paths already terminated.
+    Passed to the engines as the wavefront-compaction mask (north star:
+    path-state compaction): the bounce sort clusters dead lanes into tail
+    tiles which the packet kernel then skips wholesale, and the wavefront
+    folds them out in its first wind-down round."""
     n = orig.shape[0]
+    is_stree = type(tree).__name__ == "ShardedTree"
     if opts.differentiable and scene.num_tris > 0:
         from clpathtracer_tpu.diff.grad import intersect_diff
         out = intersect_diff(
             scene, tree if opts.use_tree else None, orig, dir,
-            tri_block=opts.tri_block, max_iters=opts.max_iters)
+            tri_block=opts.tri_block, max_iters=opts.max_iters,
+            scene_axis=opts.scene_axis,
+            packet=(opts.intersector == "packet" and not is_stree),
+            coherent=coherent, packet_tile=opts.packet_tile,
+            image_shape=((opts.height, opts.width)
+                         if n == opts.width * opts.height else None),
+            active=active)
         out = dict(out)
+    elif is_stree and opts.use_tree and scene.num_tris > 0:
+        # scene-parallel treelet ring (parallel/treelet.py): blocks rotate
+        # with ppermute when opts.scene_axis names a live mesh axis, else
+        # the sequential single-device loop
+        from clpathtracer_tpu.parallel.treelet import intersect_ring
+        out = dict(intersect_ring(tree, orig, dir,
+                                  axis_name=opts.scene_axis,
+                                  max_iters=opts.max_iters))
     elif opts.use_tree and tree is not None and scene.num_tris > 0:
         v0, v1, v2 = scene.tri_verts()
         if tree.node_table is not None and opts.tri_block == 4:
@@ -115,23 +139,27 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                     opts.width * opts.height) else None
                 rec = traverse_packet(tree, quads, orig, dir,
                                       image_shape=shape,
-                                      tile=opts.packet_tile)
+                                      tile=opts.packet_tile,
+                                      active=active)
             elif (opts.intersector == "packet" and opts.sort_bounces
                   and packet_supported(tree, orig.shape[0],
                                        opts.packet_tile)):
                 # scattered bounce rays: Morton/octant-sort the wavefront
-                # into coherent packets, trace, restore order (ops/sort.py)
+                # into coherent packets — dead lanes cluster at the tail
+                # where whole tiles skip — trace, restore order
+                # (ops/sort.py)
                 from clpathtracer_tpu.ops.sort import sort_rays
-                perm, inv = sort_rays(orig, dir)
+                perm, inv = sort_rays(orig, dir, alive=active)
+                act_p = active[perm] if active is not None else None
                 rec = traverse_packet(tree, quads, orig[perm], dir[perm],
-                                      tile=opts.packet_tile)
+                                      tile=opts.packet_tile, active=act_p)
                 rec = {k: v[inv] if v.shape[:1] == perm.shape else v
                        for k, v in rec.items()}
             else:
                 # gather-packed fast path (ops/traverse_fast.py)
                 rec = traverse_fast(tree, quads, orig, dir,
                                     max_iters=opts.max_iters,
-                                    compact=opts.compact)
+                                    compact=opts.compact, active=active)
         else:
             packed = PackedTris.pack(tree, v0, v1, v2)
             rec = traverse(tree, packed, orig, dir,
@@ -225,7 +253,8 @@ def shade_mirror(scene, tree, orig, dir, opts: RenderOptions):
     alive = jnp.ones((n,), bool)
     o, d = orig, dir
     for b in range(opts.bounces):
-        rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0))
+        rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0),
+                              active=None if b == 0 else alive)
         point, normal, _, _ = _surface(scene, rec, o, d, opts)
         hit = rec["hit"] & alive
         nc = normal_color(normal)
@@ -251,7 +280,8 @@ def shade_mirror(scene, tree, orig, dir, opts: RenderOptions):
     return col
 
 
-def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions):
+def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions,
+              active=None):
     """Boolean shadow query: anything closer than `dist` along dir?
 
     Uses the distance-bounded wavefront (traverse_fast t_max) when a
@@ -261,14 +291,20 @@ def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions):
     """
     sg = jax.lax.stop_gradient
     o, d, dd = sg(orig), sg(dir), sg(dist)
-    if (opts.use_tree and tree is not None
+    if type(tree).__name__ == "ShardedTree":
+        from clpathtracer_tpu.parallel.treelet import intersect_ring
+        rec = intersect_ring(sg(tree), o, d, axis_name=opts.scene_axis,
+                             max_iters=opts.max_iters)
+        occ = rec["hit"] & (rec["t"] < dd - 1e-3)
+    elif (opts.use_tree and tree is not None
             and getattr(tree, "node_table", None) is not None
             and opts.tri_block == 4):
         quads = (tree.quads if getattr(tree, "quads", None) is not None
                  else pack_quads(tree.tri_indices, *scene.tri_verts()))
         rec = traverse_fast(tree, sg(quads), o, d,
                             max_iters=opts.max_iters, compact=opts.compact,
-                            t_max=dd - 1e-3)
+                            t_max=dd - 1e-3,
+                            active=None if active is None else sg(active))
         occ = rec["hit"]
     else:
         srec = intersect_scene(scene, tree, o, d, opts, coherent=False)
@@ -330,7 +366,8 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
     alive = jnp.ones((n,), bool)
     o, d = orig, dir
     for b in range(opts.bounces):
-        rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0))
+        rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0),
+                              active=None if b == 0 else alive)
         point, normal, albedo, emission = _surface(scene, rec, o, d, opts)
         # one-sided emitters: the surface emits from its front face only,
         # matching NEE's cos_l > 0 gate below so nee=True and nee=False
@@ -366,7 +403,7 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key):
             facing = (cos_s > 0.0) & (cos_l > 0.0)
             unoccluded = ~_occluded(
                 scene, tree, point + normal * opts.bounce_eps, wi, dist,
-                opts)
+                opts, active=hit)
             g = cos_s * cos_l / dist2
             contrib = (throughput * (albedo / jnp.pi) * lemit
                        * (g / jnp.maximum(pdf_a, 1e-30))[:, None])

@@ -1,8 +1,16 @@
 """Probe: packet-kernel work breakdown on the real chip.
 
 Emits JSON lines with per-tile node-visit / leaf-chunk distributions and
-rays/s for several (leaf_size, tile) configs on the 1M-tri bench scene —
-the denominators VERDICT r1 asked for, measured before kernel surgery.
+rays/s for several (leaf_size, depth, tile, engine) configs on the 1M-tri
+bench scene — the denominators VERDICT r1 asked for, measured before/after
+kernel surgery.
+
+Timing protocol: the tunnel's device→host fetch latency is unpredictable
+(30 ms on a good day, ~90 s when congested), so instead of per-rep fetches
+the probe compiles ONE function that runs `n` data-chained renders
+(lax.fori_loop with a traced bound — each iteration's rays are perturbed
+by the previous checksum so XLA cannot parallelize) and times wall(n=1)
+vs wall(n=1+K): per-frame = (tK - t1)/K, fetch latency cancels.
 
 Run: env PYTHONPATH=/root/.axon_site:/root/repo python probes/probe_packet_stats.py
 """
@@ -22,9 +30,11 @@ def log(m):
 def main():
     ntris = int(os.environ.get("PROBE_TRIS", 1_000_000))
     res = int(os.environ.get("PROBE_RES", 512))
-    reps = int(os.environ.get("PROBE_REPS", 5))
+    reps = int(os.environ.get("PROBE_REPS", 10))
     configs = os.environ.get(
-        "PROBE_CFGS", "512:14:256,512:14:1024,128:18:256").split(",")
+        "PROBE_CFGS",
+        "512:14:256:stream,512:14:256:legacy,512:14:1024:stream,"
+        "128:18:256:stream,128:18:1024:stream").split(",")
 
     import jax
     import jax.numpy as jnp
@@ -50,21 +60,13 @@ def main():
         log(f"# scene gen {time.time()-t0:.1f}s")
     orig = jax.device_put(orig, dev)
     dir = jax.device_put(dir, dev)
-
-    # tunnel rtt floor
-    triv = jax.jit(lambda x: x + 1.0)
-    _ = float(triv(jnp.float32(0.0)))
-    rtts = []
-    for _ in range(5):
-        t0 = time.time()
-        _ = float(triv(jnp.float32(1.0)))
-        rtts.append(time.time() - t0)
-    rtt = min(rtts)
-    log(f"# rtt {rtt*1e3:.1f}ms")
+    log("# rays on device")
 
     trees = {}
     for cfg in configs:
-        leaf, depth, tile = (int(x) for x in cfg.split(":"))
+        parts = cfg.split(":")
+        leaf, depth, tile = int(parts[0]), int(parts[1]), int(parts[2])
+        engine = parts[3] if len(parts) > 3 else "auto"
         key = (leaf, depth)
         if key not in trees:
             t0 = time.time()
@@ -76,61 +78,75 @@ def main():
             trees[key] = (jax.device_put(tree, dev), tree.stats())
         tree, stats = trees[key]
 
-        mode = packet_mode(tree, res * res, tile)
-        log(f"# cfg leaf={leaf} depth={depth} tile={tile} mode={mode}")
+        mode = packet_mode(tree, res * res, tile, engine=engine)
+        log(f"# cfg leaf={leaf} depth={depth} tile={tile} engine={engine} "
+            f"mode={mode}")
+        n_tiles = res * res // tile
 
-        def run(orig, dir, tree=tree, tile=tile):
-            rec = traverse_packet(tree, tree.quads, orig, dir,
-                                  image_shape=(res, res), tile=tile)
-            ok = rec["hit"]
-            chk = jnp.sum(jnp.where(ok, rec["t"], 0.0))
-            return chk, jnp.sum(rec["tri"] % 97), rec["tile_stats"]
+        def chain(n, tree, quads, orig, dir, tile=tile, engine=engine):
+            def body(i, c):
+                chk, _, _ = c
+                eps = chk * 1e-38
+                rec = traverse_packet(tree, quads, orig + eps, dir,
+                                      image_shape=(res, res), tile=tile,
+                                      engine=engine)
+                ok = rec["hit"]
+                chk = jnp.sum(jnp.where(ok, rec["t"], 0.0))
+                t2 = jnp.sum(rec["tri"] % 97).astype(jnp.float32)
+                return (chk, t2, rec["tile_stats"])
+            z = (jnp.float32(0.0), jnp.float32(0.0),
+                 jnp.zeros((n_tiles, 3), jnp.float32))
+            return jax.lax.fori_loop(0, n, body, z)
 
-        jf = jax.jit(run)
+        jf = jax.jit(chain)
+
         t0 = time.time()
-        chk, tchk, tstats = jf(orig, dir)
-        chk = float(chk)
+        out = jf(1, tree, tree.quads, orig, dir)
+        chk = float(out[0])
         compile_s = time.time() - t0
-        tstats = np.asarray(tstats)
-        log(f"# compile+run {compile_s:.1f}s checksum {chk:.6g}/{int(tchk)}")
+        log(f"# compile+first {compile_s:.1f}s checksum {chk:.6g}")
 
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            out = jf(orig, dir)
-            _ = float(out[0])
-            times.append(time.time() - t0)
-        best = max(min(times) - rtt, 1e-9)
+        t0 = time.time()
+        out = jf(1, tree, tree.quads, orig, dir)
+        _ = float(out[0])
+        t1 = time.time() - t0
+        t0 = time.time()
+        out = jf(1 + reps, tree, tree.quads, orig, dir)
+        chk2 = float(out[0])
+        tk = time.time() - t0
+        best = max((tk - t1) / reps, 1e-9)
+        log(f"# t1={t1:.2f}s t{1+reps}={tk:.2f}s -> frame {best*1e3:.1f}ms "
+            f"(chk {chk2:.6g})")
+        if abs(chk2 - chk) > 1e-3 * abs(chk):
+            log("# WARNING checksum drift across chain")
 
+        tstats = np.asarray(out[2])
         nv, nl = tstats[:, 0], tstats[:, 1]
         n_rays = res * res
-        n_tiles = n_rays // tile
-        chunk_tris = 64 if mode in ("tri_stream", "wide") else None
         rec = {
             "cfg": {"leaf": leaf, "depth": depth, "tile": tile,
-                    "mode": mode, "tris": ntris, "res": res},
+                    "engine": engine, "mode": mode, "tris": ntris,
+                    "res": res},
             "tree": stats,
             "rays_per_s": n_rays / best,
             "frame_s": best,
             "compile_s": compile_s,
-            "node_visits": {"mean": float(nv.mean()), "p50": float(np.median(nv)),
+            "node_visits": {"mean": float(nv.mean()),
+                            "p50": float(np.median(nv)),
                             "p90": float(np.percentile(nv, 90)),
                             "max": float(nv.max()), "sum": float(nv.sum())},
-            "leaf_chunks": {"mean": float(nl.mean()), "p50": float(np.median(nl)),
+            "leaf_chunks": {"mean": float(nl.mean()),
+                            "p50": float(np.median(nl)),
                             "p90": float(np.percentile(nl, 90)),
                             "max": float(nl.max()), "sum": float(nl.sum())},
             "derived": {
                 "node_pops_per_s": float(nv.sum()) / best,
                 "chunks_per_s": float(nl.sum()) / best,
-                "tri_tests_per_s": (float(nl.sum()) * chunk_tris * tile / best
-                                    if chunk_tris else
-                                    float(nl.sum()) * leaf * tile / best),
-                "tests_per_ray": (float(nl.sum()) * chunk_tris * tile / n_rays
-                                  if chunk_tris else None),
-                "hbm_gb_per_frame": (float(nl.sum()) * 4096 / 1e9
-                                     if chunk_tris else 0.0),
+                "tri_tests_per_s": float(nl.sum()) * 64 * tile / best,
+                "tests_per_ray": float(nl.sum()) * 64 * tile / n_rays,
+                "hbm_gb_per_frame": float(nl.sum()) * 4096 / 1e9,
                 "us_per_tile": best / n_tiles * 1e6,
-                "us_per_pop": best / max(nv.sum(), 1) * 1e6,
+                "us_per_pop": best / max(float(nv.sum()), 1.0) * 1e6,
             },
         }
         print(json.dumps(rec), flush=True)

@@ -26,18 +26,19 @@ def _fixture(scene, w=32, h=32, pos=(0.0, 0.0, -1.0)):
     return tree, quads, orig, dir
 
 
+@pytest.mark.parametrize("engine", ["auto", "legacy"])
 @pytest.mark.parametrize("make,pos", [
     (lambda: cornell_box(light=False), (0.0, 0.0, -1.0)),
     (lambda: icosphere(2), (0.0, 0.0, -1.0)),
     (lambda: random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
      (0.0, 0.0, -4.0)),
 ])
-def test_packet_matches_wavefront(make, pos):
+def test_packet_matches_wavefront(make, pos, engine):
     tree, quads, orig, dir = _fixture(make(), pos=pos)
     assert packet_supported(tree, orig.shape[0])
 
     ref = traverse_fast(tree, quads, orig, dir)
-    pkt = traverse_packet(tree, quads, orig, dir)
+    pkt = traverse_packet(tree, quads, orig, dir, engine=engine)
 
     np.testing.assert_array_equal(np.asarray(ref["hit"]),
                                   np.asarray(pkt["hit"]))
@@ -61,9 +62,10 @@ def test_packet_hbm_variant_matches(monkeypatch):
     tree, quads, orig, dir = _fixture(
         random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
         pos=(0.0, 0.0, -4.0))
-    assert pk.packet_mode(tree, orig.shape[0]) == "tri_stream"
+    assert pk.packet_mode(tree, orig.shape[0],
+                          engine="legacy") == "tri_stream"
     ref = traverse_fast(tree, quads, orig, dir)
-    pkt = pk.traverse_packet(tree, quads, orig, dir)
+    pkt = pk.traverse_packet(tree, quads, orig, dir, engine="legacy")
     np.testing.assert_array_equal(np.asarray(ref["hit"]),
                                   np.asarray(pkt["hit"]))
     h = np.asarray(ref["hit"])
@@ -144,3 +146,134 @@ def test_wide_kernel_matches_wavefront(make, pos, monkeypatch):
     h = np.asarray(ref["hit"])
     np.testing.assert_allclose(np.asarray(ref["t"])[h],
                                np.asarray(pkt["t"])[h], rtol=1e-5)
+
+
+class TestStreamEngine:
+    """v2 interval-walk kernel (engine="stream", the default): parity with
+    the wavefront, active-lane masking, dead-tile skip, and integrator
+    compaction end-to-end."""
+
+    def test_stream_is_default_engine(self):
+        tree, quads, orig, dir = _fixture(cornell_box(light=False))
+        from clpathtracer_tpu.ops.packet import packet_mode
+        assert packet_mode(tree, orig.shape[0]) == "stream"
+
+    @pytest.mark.parametrize("make,pos,leaf", [
+        (lambda: cornell_box(light=False), (0.0, 0.0, -1.0), 1),
+        (lambda: icosphere(2), (0.0, 0.0, -1.0), 4),
+        (lambda: random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+         (0.0, 0.0, -4.0), 16),
+    ])
+    def test_stream_matches_wavefront(self, make, pos, leaf):
+        scene = make()
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4, leaf_size=leaf)
+        cam = Camera.create(position=list(pos), forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        quads = pack_quads(tree.tri_indices, v0, v1, v2)
+        ref = traverse_fast(tree, quads, orig, dir)
+        pkt = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                              engine="stream")
+        np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                      np.asarray(pkt["hit"]))
+        h = np.asarray(ref["hit"])
+        rt = np.asarray(ref["t"])[h]
+        pt = np.asarray(pkt["t"])[h]
+        np.testing.assert_allclose(rt, pt, rtol=1e-5, atol=1e-6)
+        rtri = np.asarray(ref["tri"])[h]
+        ptri = np.asarray(pkt["tri"])[h]
+        diff = rtri != ptri
+        assert np.allclose(rt[diff], pt[diff], rtol=1e-6), (
+            f"{diff.sum()} non-tie tri mismatches")
+
+    def test_stream_packed16_layout(self, monkeypatch):
+        """Force the packed16 node layout (large-tree path) and check
+        parity with the padded layout."""
+        import clpathtracer_tpu.ops.packet as pk
+        scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4, leaf_size=16)
+        cam = Camera.create(position=[0, 0, -4.0], forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        quads = pack_quads(tree.tri_indices, v0, v1, v2)
+        a = traverse_packet(tree, quads, orig, dir, engine="stream")
+        monkeypatch.setattr(pk, "PAD_NODE_LIMIT", 0)
+        b = pk.traverse_packet(tree, quads, orig, dir, engine="stream")
+        np.testing.assert_array_equal(np.asarray(a["hit"]),
+                                      np.asarray(b["hit"]))
+        np.testing.assert_array_equal(np.asarray(a["tri"]),
+                                      np.asarray(b["tri"]))
+
+    def test_active_mask(self):
+        import jax.numpy as jnp
+        scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4, leaf_size=16)
+        cam = Camera.create(position=[0, 0, -4.0], forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        quads = pack_quads(tree.tri_indices, v0, v1, v2)
+        rng = np.random.default_rng(0)
+        act = jnp.asarray(rng.random(orig.shape[0]) < 0.5)
+        full = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32))
+        msk = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                              active=act)
+        a = np.asarray(act)
+        # dead lanes never hit; alive lanes identical to the unmasked run
+        assert not np.asarray(msk["hit"])[~a].any()
+        np.testing.assert_array_equal(np.asarray(msk["hit"])[a],
+                                      np.asarray(full["hit"])[a])
+        hh = a & np.asarray(full["hit"])
+        np.testing.assert_allclose(np.asarray(msk["t"])[hh],
+                                   np.asarray(full["t"])[hh], rtol=1e-6)
+
+    def test_dead_tiles_skip_traversal(self):
+        import jax.numpy as jnp
+        tree, quads, orig, dir = _fixture(
+            random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+            pos=(0.0, 0.0, -4.0))
+        dead = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                               active=jnp.zeros(orig.shape[0], bool))
+        assert not np.asarray(dead["hit"]).any()
+        st = np.asarray(dead["tile_stats"])
+        assert st[:, 0].sum() == 0  # zero node pops anywhere
+
+    def test_wavefront_active_mask(self):
+        import jax.numpy as jnp
+        tree, quads, orig, dir = _fixture(
+            random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+            pos=(0.0, 0.0, -4.0))
+        rng = np.random.default_rng(1)
+        act = jnp.asarray(rng.random(orig.shape[0]) < 0.3)
+        full = traverse_fast(tree, quads, orig, dir)
+        msk = traverse_fast(tree, quads, orig, dir, active=act)
+        a = np.asarray(act)
+        assert not np.asarray(msk["hit"])[~a].any()
+        np.testing.assert_array_equal(np.asarray(msk["hit"])[a],
+                                      np.asarray(full["hit"])[a])
+
+    def test_compacted_path_mode_matches(self):
+        """Integrator-level compaction (active masks through bounces) must
+        not change the image: path mode, fixed key, packet vs wavefront
+        intersector — Monte-Carlo draws are identical, so any drift is a
+        masking bug."""
+        import jax
+        from clpathtracer_tpu.render.integrator import (
+            RenderOptions, render_image)
+        scene = cornell_box(light=True)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        key = jax.random.PRNGKey(5)
+        base = dict(width=16, height=16, mode="path", bounces=4,
+                    background=0.0)
+        a = np.asarray(render_image(
+            scene, cam, RenderOptions(**base), tree=tree, key=key))
+        b = np.asarray(render_image(
+            scene, cam, RenderOptions(**base, intersector="packet",
+                                      packet_tile=256), tree=tree, key=key))
+        close = np.isclose(a, b, atol=1e-4).all(axis=-1)
+        assert close.mean() > 0.99, f"{(~close).sum()} pixels differ"
