@@ -1,21 +1,23 @@
 """Benchmark: rays/s on the real TPU chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"detail": {...}}.
 
 The headline metric is primary rays traced per second through the kd-tree
 on a large random-triangle scene (BASELINE config[3] shape; north-star
 target 2e8 rays/s/chip at 1M tris). The reference publishes no numbers
 (SURVEY.md §6), so vs_baseline is measured against the BASELINE.json
-north-star target.
+north-star target. `detail` carries the perf denominators (VERDICT r1 #2):
+node visits/tile, leaf chunks/tile, tri-tests/ray, tri-tests/s and an HBM
+byte estimate from the packet kernel's tile_stats.
 
-Timing notes for the tunneled-TPU environment this runs in:
-* scene/tree construction is pinned to the host CPU backend (eager ops on
-  the remote device round-trip a network tunnel),
-* `block_until_ready` does not reliably block through the tunnel, so each
-  timed rep materializes a jitted scalar reduction of the image — the
-  device must finish the full render to produce it,
-* the tunnel round-trip latency is measured with a trivial jitted op and
-  subtracted.
+Timing protocol for the tunneled-TPU environment (fetch latency has been
+observed anywhere from 30 ms to 90 s): ONE compiled function runs `n`
+data-chained renders (lax.fori_loop over a traced bound; each iteration's
+key is folded from the previous checksum so XLA cannot parallelize or
+elide), timed at n=1 and n=1+reps — per-frame = (t_k - t_1)/reps, fetch
+latency and dispatch overhead cancel. Scene/tree build is pinned to the
+host CPU backend (eager ops on the remote device round-trip the tunnel).
 """
 
 import json
@@ -34,11 +36,12 @@ def main():
     scene_tris = int(os.environ.get("BENCH_TRIS", 1_000_000))
     width = int(os.environ.get("BENCH_W", 512))
     height = int(os.environ.get("BENCH_H", 512))
-    reps = int(os.environ.get("BENCH_REPS", 5))
+    reps = int(os.environ.get("BENCH_REPS", 10))
     mode = os.environ.get("BENCH_MODE", "normal")
     bounces = int(os.environ.get("BENCH_BOUNCES", 2))
     nee = bool(int(os.environ.get("BENCH_NEE", "0")))
     intersector = os.environ.get("BENCH_INTERSECTOR", "packet")
+    engine = os.environ.get("BENCH_ENGINE", "auto")
     # fat leaves favor the packet tracer (dense MT is nearly free; node
     # visits cost); the wavefront prefers small leaves
     leaf_size = int(os.environ.get(
@@ -87,8 +90,9 @@ def main():
     log(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}")
 
     from clpathtracer_tpu.ops.packet import packet_mode
-    log(f"# intersector: {intersector} "
-        f"(packet mode: {packet_mode(tree, width * height)})")
+    kmode = packet_mode(tree, width * height, packet_tile, engine=engine)
+    log(f"# intersector: {intersector} engine={engine} "
+        f"(packet mode: {kmode})")
 
     cam = Camera.create(position=[0.0, 0.0, -25.0], forward=[0.0, 0.0, 1.0])
     opts = RenderOptions(width=width, height=height, mode=mode,
@@ -99,44 +103,85 @@ def main():
 
     scene = jax.device_put(scene, dev)
     tree = jax.device_put(tree, dev)
-    key = jax.device_put(jax.random.PRNGKey(0), dev)
 
-    # Jitted render → scalar checksum; fetching the scalar forces the full
-    # render to complete on device (block_until_ready is unreliable here).
-    def render_sum(scene, camera, tree, key):
-        img = render_image(scene, camera, opts, tree=tree, key=key)
-        return jnp.sum(img), jnp.mean((img < 1.0).any(-1).astype(jnp.float32))
+    # n data-chained frames in one program (traced bound → one compile);
+    # consecutive frames use keys folded from the previous checksum so the
+    # loop cannot be parallelized or elided.
+    def chain(n, scene, tree):
+        def body(i, c):
+            chk, _ = c
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(0),
+                (chk * 0.0).astype(jnp.int32) + i)
+            key = jax.random.fold_in(key, (chk * 1e-30).astype(jnp.int32))
+            img = render_image(scene, cam, opts, tree=tree, key=key)
+            return (jnp.sum(img),
+                    jnp.mean((img < 1.0).any(-1).astype(jnp.float32)))
+        return jax.lax.fori_loop(0, n, body,
+                                 (jnp.float32(0.0), jnp.float32(0.0)))
 
-    jf = jax.jit(render_sum)
+    jf = jax.jit(chain, static_argnames=())
 
     t0 = time.time()
-    s, hit_frac = jf(scene, cam, tree, key)
+    s, hit_frac = jf(1, scene, tree)
     s = float(s)
-    log(f"# compile+first run: {time.time()-t0:.1f}s  checksum={s:.6g} "
+    compile_s = time.time() - t0
+    log(f"# compile+first run: {compile_s:.1f}s  checksum={s:.6g} "
         f"hit_frac={float(hit_frac):.3f}")
 
-    # tunnel round-trip floor: trivial jitted op, same fetch pattern
-    triv = jax.jit(lambda x: x + 1.0)
-    _ = float(triv(jnp.float32(0.0)))
-    rtts = []
-    for _ in range(5):
-        t0 = time.time()
-        _ = float(triv(jnp.float32(1.0)))
-        rtts.append(time.time() - t0)
-    rtt = min(rtts)
-    log(f"# tunnel rtt floor: {rtt*1e3:.1f}ms")
-
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        s, _ = jf(scene, cam, tree, key)
-        s = float(s)
-        times.append(time.time() - t0)
-    best = max(min(times) - rtt, 1e-9)
+    t0 = time.time()
+    s1, _ = jf(1, scene, tree)
+    s1 = float(s1)
+    t_1 = time.time() - t0
+    t0 = time.time()
+    sk, _ = jf(1 + reps, scene, tree)
+    sk = float(sk)
+    t_k = time.time() - t0
+    best = max((t_k - t_1) / reps, 1e-9)
     n_rays = width * height
     rays_per_s = n_rays / best
-    log(f"# times: {[f'{t:.3f}' for t in times]} (rtt-adjusted best: "
-        f"{best:.3f}s)")
+    log(f"# t(1)={t_1:.2f}s t({1+reps})={t_k:.2f}s -> frame {best*1e3:.1f}ms"
+        f"  checksums {s1:.6g}/{sk:.6g}")
+
+    # perf denominators from the packet kernel's tile_stats (one extra
+    # program; cheap next to the render)
+    detail = {"frame_s": best, "compile_s": compile_s,
+              "leaf_size": leaf_size, "max_depth": max_depth,
+              "packet_tile": packet_tile, "engine": engine,
+              "kernel_mode": kmode, "hit_frac": float(hit_frac)}
+    if intersector == "packet" and kmode is not None:
+        try:
+            from clpathtracer_tpu.core.camera import (
+                cam_matrix, generate_rays)
+            from clpathtracer_tpu.ops.packet import traverse_packet
+
+            def stats_fn(scene, tree):
+                ci = cam_matrix(cam, height)
+                orig, dir = generate_rays(ci, width, height)
+                quads = tree.quads
+                rec = traverse_packet(tree, quads, orig, dir,
+                                      image_shape=(height, width),
+                                      tile=packet_tile, engine=engine)
+                return rec["tile_stats"]
+
+            tstats = np.asarray(jax.jit(stats_fn)(scene, tree))
+            nv, nl = tstats[:, 0], tstats[:, 1]
+            chunk_tris = 128 if kmode == "mxu" else 64
+            detail.update({
+                "node_visits_per_tile": float(nv.mean()),
+                "leaf_chunks_per_tile": float(nl.mean()),
+                "tri_tests_per_ray": float(nl.sum()) * chunk_tris
+                * packet_tile / n_rays,
+                "tri_tests_per_s": float(nl.sum()) * chunk_tris
+                * packet_tile / best,
+                "hbm_gb_per_frame": float(nl.sum()) * chunk_tris * 64 / 1e9,
+                "node_pops_per_s": float(nv.sum()) / best,
+            })
+            log(f"# denominators: nv/tile={nv.mean():.1f} "
+                f"chunks/tile={nl.mean():.1f} "
+                f"tests/ray={detail['tri_tests_per_ray']:.0f}")
+        except Exception as e:  # denominators must never sink the bench
+            log(f"# stats collection failed: {e}")
 
     target = 2e8  # BASELINE.json north-star rays/s/chip
     label = ("primary rays/s/chip" if mode == "normal"
@@ -147,6 +192,7 @@ def main():
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / target,
+        "detail": detail,
     }), flush=True)
 
 

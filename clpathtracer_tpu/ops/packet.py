@@ -76,11 +76,17 @@ def packet_mode(tree, n_rays: int, tile: int = TILE, engine: str = "auto"):
     if (os.environ.get("CLPT_WIDE") and wide is not None
             and wide.shape[0] * 512 <= VMEM_BUDGET):
         return "wide"
-    if engine in ("auto", "stream"):
+    if engine in ("auto", "stream", "stream2", "mxu"):
         # packed16 worst case: 32 B/node (+1 header row)
         if (1 + (m + 15) // 16) * 512 <= VMEM_BUDGET:
+            if engine == "mxu":
+                return "mxu"
+            if engine == "stream2" and n_rays % (2 * tile) == 0:
+                return "stream2"
+            if engine == "stream2":
+                return "stream"
             return "stream"
-        if engine == "stream":
+        if engine in ("stream", "stream2", "mxu"):
             return None
     # v1 packet kernels use a ropeless 16-wide slice of the node table
     # (stack traversal never follows ropes) — 64 B per node
@@ -633,7 +639,15 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
                     best_t, best_s, nch = stream_leaf(
                         qs_f.astype(jnp.int32), cnt_f.astype(jnp.int32),
                         best_t, best_s)
-                    t_up = jnp.max(jnp.where(act > 0.0, best_t, -BIG))
+                    # the t_upper refresh reads a VPU reduction into a
+                    # scalar — a hard scalar-core sync on the vector
+                    # pipeline. Refreshing on every 4th node visit keeps
+                    # pruning nearly as tight at a quarter of the stalls
+                    # (a stale t_upper is only ever conservative).
+                    t_up = jax.lax.cond(
+                        (nv & 3) == 0,
+                        lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
+                        lambda: t_upper)
                     return sp, best_t, best_s, t_up, nl + nch
 
                 def split_case(sp, best_t, best_s, t_upper, nl):
@@ -697,6 +711,282 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
             lane == 0, nv.astype(jnp.float32),
             jnp.where(lane == 1, nl.astype(jnp.float32),
                       jnp.where(lane == 2, n_act, 0.0)))
+
+
+def _machine_init(tile):
+    """Per-packet traversal-machine state: (sp, rem, row0, cur, par,
+    best_t, best_s, t_upper, nv, nl). rem>0 ⇒ mid-leaf, `cur`th chunk of
+    the leaf starting at quad-table row `row0` is DMA'd and due."""
+    return (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.full((1, tile), BIG, jnp.float32),
+            jnp.full((1, tile), -1.0, jnp.float32), jnp.float32(BIG),
+            jnp.int32(0), jnp.int32(0))
+
+
+def _make_machine(nodes_ref, tris_ref, stack_refs, tri_buf, tri_sem,
+                  rays, act, layout, tile, buf_base):
+    """One packet's traversal as a single-STEP state machine, so two
+    machines can interleave inside one while_loop body: each step is
+    either one node pop (scalar work) or one leaf chunk (VPU work + DMA),
+    and the VLIW scheduler overlaps machine A's dense MT with machine B's
+    scalar pops — the two-packet software pipelining of VERDICT r1 #1a.
+
+    buf_base: which pair of DMA buffers/semaphores this machine owns.
+    """
+    nstack, tlo_stack, thi_stack = stack_refs
+    obnd, ibnd = _packet_bounds_masked(rays, act)
+    _, mt_chunk, _ = _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays,
+                                     tile, act_row=act)
+    n_chunk_rows = tris_ref.shape[0]
+
+    axinfo = []
+    for ax in range(3):
+        il, ih = ibnd[ax]
+        ol, oh = obnd[ax]
+        axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+
+    if layout == "padded":
+        def read6(node):
+            r = node + 1
+            return tuple(nodes_ref[r, j] for j in range(6))
+    else:
+        def read6(node):
+            r = 1 + node // 16
+
+            def rd(k):
+                def f():
+                    return tuple(nodes_ref[r, k * 8 + j] for j in range(6))
+                return f
+
+            return jax.lax.switch(node % 16, [rd(k) for k in range(16)])
+
+    def row_of(row0, b):
+        return jnp.minimum(row0 + b * CHUNK_ROWS,
+                           n_chunk_rows - CHUNK_ROWS)
+
+    def start_chunk(row0, b, par):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row_of(row0, b), CHUNK_ROWS), :],
+            tri_buf.at[buf_base + par], tri_sem.at[buf_base + par]).start()
+
+    def seed():
+        """Push the root (header AABB interval); returns initial sp."""
+        hdr = tuple(nodes_ref[0, j] for j in range(6))
+        rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
+        nstack[0] = 0
+        tlo_stack[0] = rt_lo
+        thi_stack[0] = rt_hi
+        return ((rt_lo <= rt_hi) & (rt_hi > 0.0)).astype(jnp.int32)
+
+    def step(state):
+        sp, rem, row0, cur, par, best_t, best_s, t_upper, nv, nl = state
+
+        def chunk_step(sp, rem, row0, cur, par, best_t, best_s, t_upper,
+                       nv, nl):
+            @pl.when(rem > 1)
+            def _():
+                start_chunk(row0, cur + 1, 1 - par)
+
+            best_t2, best_s2 = mt_chunk(row_of(row0, cur), buf_base + par,
+                                        best_t, best_s)
+            rem2 = rem - 1
+            t_up = jax.lax.cond(
+                (rem2 == 0) & ((nv & 3) == 0),
+                lambda: jnp.max(jnp.where(act > 0.0, best_t2, -BIG)),
+                lambda: t_upper)
+            return (sp, rem2, row0, cur + 1, 1 - par, best_t2, best_s2,
+                    t_up, nv, nl)
+
+        def pop_step(sp, rem, row0, cur, par, best_t, best_s, t_upper,
+                     nv, nl):
+            node = nstack[sp - 1]
+            tlo = tlo_stack[sp - 1]
+            thi = thi_stack[sp - 1]
+            sp = sp - 1
+            nv = nv + 1
+            live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
+
+            def visit(sp, rem, row0, cur, par, t_upper, nl):
+                flags_f, split, cl_f, ch_f, qs_f, cnt_f = read6(node)
+                flags = flags_f.astype(jnp.int32)
+                is_leaf = flags >= 4
+
+                def leaf_case(sp, rem, row0, cur, par, t_upper, nl):
+                    qstart = qs_f.astype(jnp.int32)
+                    count = cnt_f.astype(jnp.int32)
+                    first = qstart * 4
+                    r0 = first // 8
+                    r_end = (first + count + 7) // 8
+                    nch = (r_end - r0 + CHUNK_ROWS - 1) // CHUNK_ROWS
+                    start_chunk(r0, 0, 0)
+                    return sp, nch, r0, jnp.int32(0), jnp.int32(0), \
+                        t_upper, nl + nch
+
+                def split_case(sp, rem, row0, cur, par, t_upper, nl):
+                    il, ih, ol, oh, uni, nlo = jax.lax.switch(
+                        flags & 3,
+                        [lambda i=i: axinfo[i] for i in range(3)])
+                    c1 = (split - ol) * il
+                    c2 = (split - ol) * ih
+                    c3 = (split - oh) * il
+                    c4 = (split - oh) * ih
+                    tp_min = jnp.minimum(jnp.minimum(c1, c2),
+                                         jnp.minimum(c3, c4))
+                    tp_max = jnp.maximum(jnp.maximum(c1, c2),
+                                         jnp.maximum(c3, c4))
+                    tp_min = jnp.where(uni, tp_min, -INV_BIG)
+                    tp_max = jnp.where(uni, tp_max, INV_BIG)
+                    cl = cl_f.astype(jnp.int32)
+                    ch = ch_f.astype(jnp.int32)
+                    near = jnp.where(nlo, cl, ch)
+                    far = jnp.where(nlo, ch, cl)
+                    far_lo = jnp.maximum(tlo, tp_min)
+                    near_hi = jnp.minimum(thi, tp_max)
+                    push_far = far_lo <= jnp.minimum(thi, t_upper)
+
+                    @pl.when(push_far)
+                    def _():
+                        nstack[sp] = far
+                        tlo_stack[sp] = far_lo
+                        thi_stack[sp] = thi
+
+                    sp = sp + push_far.astype(jnp.int32)
+                    push_near = tlo <= jnp.minimum(near_hi, t_upper)
+
+                    @pl.when(push_near)
+                    def _():
+                        nstack[sp] = near
+                        tlo_stack[sp] = tlo
+                        thi_stack[sp] = near_hi
+
+                    sp = sp + push_near.astype(jnp.int32)
+                    return sp, rem, row0, cur, par, t_upper, nl
+
+                return jax.lax.cond(is_leaf, leaf_case, split_case,
+                                    sp, rem, row0, cur, par, t_upper, nl)
+
+            sp, rem, row0, cur, par, t_upper, nl = jax.lax.cond(
+                live, visit,
+                lambda sp, rem, row0, cur, par, tu, nl: (
+                    sp, rem, row0, cur, par, tu, nl),
+                sp, rem, row0, cur, par, t_upper, nl)
+            return (sp, rem, row0, cur, par, best_t, best_s, t_upper, nv,
+                    nl)
+
+        def idle(sp, rem, row0, cur, par, best_t, best_s, t_upper, nv, nl):
+            return (sp, rem, row0, cur, par, best_t, best_s, t_upper, nv,
+                    nl)
+
+        busy = (sp > 0) | (rem > 0)
+        return jax.lax.cond(
+            busy,
+            lambda *s: jax.lax.cond(s[1] > 0, chunk_step, pop_step, *s),
+            idle,
+            sp, rem, row0, cur, par, best_t, best_s, t_upper, nv, nl)
+
+    return seed, step
+
+
+def _kernel_stream2(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref,
+                    slot_ref, stats_ref, nstack_a, tlo_a, thi_a, nstack_b,
+                    tlo_b, thi_b, tri_buf, tri_sem, *, tile, layout):
+    """Dual-packet stream engine: one grid program owns TWO adjacent ray
+    tiles, stepping their traversal machines alternately so A's dense
+    chunk intersection (VPU + DMA wait) overlaps B's node pops (scalar
+    core) and vice versa — the scalar walk rides under the vector work
+    instead of serializing with it."""
+    rays_a = tuple(r[:, :tile] for r in _ray_rows(o_ref, d_ref))
+    rays_b = tuple(r[:, tile:] for r in _ray_rows(o_ref, d_ref))
+    act_a = a_ref[0:1, :tile]
+    act_b = a_ref[0:1, tile:]
+    na = jnp.sum(act_a)
+    nb = jnp.sum(act_b)
+
+    t_ref[:] = jnp.full((1, 2 * tile), BIG, jnp.float32)
+    slot_ref[:] = jnp.full((1, 2 * tile), -1.0, jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+
+    seed_a, step_a = _make_machine(
+        nodes_ref, tris_ref, (nstack_a, tlo_a, thi_a), tri_buf, tri_sem,
+        rays_a, act_a, layout, tile, 0)
+    seed_b, step_b = _make_machine(
+        nodes_ref, tris_ref, (nstack_b, tlo_b, thi_b), tri_buf, tri_sem,
+        rays_b, act_b, layout, tile, 2)
+
+    sa = _machine_init(tile)
+    sb = _machine_init(tile)
+    sp_a0 = jax.lax.cond(na > 0.0, seed_a, lambda: jnp.int32(0))
+    sp_b0 = jax.lax.cond(nb > 0.0, seed_b, lambda: jnp.int32(0))
+    sa = (sp_a0,) + sa[1:]
+    sb = (sp_b0,) + sb[1:]
+
+    def busy(s):
+        return (s[0] > 0) | (s[1] > 0)
+
+    def body(st):
+        sa, sb = st
+        return step_a(sa), step_b(sb)
+
+    sa, sb = jax.lax.while_loop(lambda st: busy(st[0]) | busy(st[1]),
+                                body, (sa, sb))
+
+    t_ref[0:1, :tile] = sa[5]
+    t_ref[0:1, tile:] = sb[5]
+    slot_ref[0:1, :tile] = sa[6]
+    slot_ref[0:1, tile:] = sb[6]
+    va = jnp.where(lane == 0, sa[8].astype(jnp.float32),
+                   jnp.where(lane == 1, sa[9].astype(jnp.float32),
+                             jnp.where(lane == 2, na, 0.0)))
+    vb = jnp.where(lane == 0, sb[8].astype(jnp.float32),
+                   jnp.where(lane == 1, sb[9].astype(jnp.float32),
+                             jnp.where(lane == 2, nb, 0.0)))
+    stats_ref[:] = jnp.where(srow < 8, va, vb)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "layout"))
+def _packet_call_stream2(nodes, tris128, orig_t, dir_t, act,
+                         interpret=False, tile=TILE, layout="padded"):
+    n = orig_t.shape[1]
+    n_prog = n // (2 * tile)
+    return pl.pallas_call(
+        functools.partial(_kernel_stream2, tile=tile, layout=layout),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((n // tile * 8, 128), jnp.float32),
+        ],
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 2 * tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 2 * tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2 * tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.VMEM((4, CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(nodes, tris128, orig_t, dir_t, act)
 
 
 # ---------------------------------------------------------------------------
@@ -891,6 +1181,18 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
     tris16 = quads.reshape(-1, 16)
     mode = packet_mode(tree, n, tile, engine=engine)
     assert mode is not None, "scene/ray shape unsupported by packet tracer"
+    if mode == "stream2":
+        if active is None:
+            act = jnp.ones((n,), jnp.float32)
+        else:
+            act = active.astype(jnp.float32)
+            if blocked:
+                act = _blockify(act, h, w, side, side)
+        out_t, out_s, tile_stats = _packet_call_stream2(
+            _stream_nodes(tree), _pad_rows8(tris16),
+            orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
+            act[None, :], interpret=interpret, tile=tile,
+            layout=_stream_layout(tree.node_table.shape[0]))
     if mode in ("vmem", "tri_stream"):
         # ropeless node rows packed 8-per-128-lane-row: cols 0-11 are all
         # the packet walk reads; narrow VMEM arrays lane-pad to 128 anyway
@@ -901,19 +1203,29 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             t16 = jnp.concatenate(
                 [t16, jnp.zeros((pad_m, 16), t16.dtype)], axis=0)
         table16 = t16.reshape(-1, 128)
-    if mode == "stream":
+    if mode in ("stream", "mxu"):
         if active is None:
-            act = jnp.ones((1, n), jnp.float32)
+            act = jnp.ones((n,), jnp.float32)
         else:
             act = active.astype(jnp.float32)
             if blocked:
                 act = _blockify(act, h, w, side, side)
-            act = act[None, :]
-        out_t, out_s, tile_stats = _packet_call_stream(
-            _stream_nodes(tree), _pad_rows8(tris16),
-            orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
-            act, interpret=interpret, tile=tile,
-            layout=_stream_layout(tree.node_table.shape[0]))
+        if mode == "mxu":
+            from clpathtracer_tpu.ops.packet_mxu import (
+                mxu_rows_from_quads, packet_call_mxu)
+            out_t, out_s, tile_stats = packet_call_mxu(
+                _stream_nodes(tree), mxu_rows_from_quads(quads),
+                orig_b.astype(jnp.float32), dir_b.astype(jnp.float32),
+                act[:, None], interpret=interpret, tile=tile,
+                layout=_stream_layout(tree.node_table.shape[0]))
+            out_t = out_t.reshape(1, n)
+            out_s = out_s.reshape(1, n)
+        else:
+            out_t, out_s, tile_stats = _packet_call_stream(
+                _stream_nodes(tree), _pad_rows8(tris16),
+                orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
+                act[None, :], interpret=interpret, tile=tile,
+                layout=_stream_layout(tree.node_table.shape[0]))
     elif mode == "wide":
         out_t, out_s, tile_stats = _packet_call_wide(
             tree.wide_table, _pad_rows8(tris16),
@@ -924,7 +1236,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             table16, _pad_rows8(tris16),
             orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
             interpret=interpret, tile=tile)
-    else:
+    elif mode == "vmem":
         out_t, out_s, tile_stats = _packet_call(table16, tris16,
                                     orig_b.T.astype(jnp.float32),
                                     dir_b.T.astype(jnp.float32),

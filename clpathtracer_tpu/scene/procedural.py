@@ -149,6 +149,51 @@ def random_tri_soup(num_tris: int, seed: int = 0, extent: float = 10.0,
     return Scene.create(verts, f, emission=emission)
 
 
+def terrain_mesh(num_tris: int, seed: int = 0, extent: float = 10.0,
+                 relief: float = 2.5, emissive_frac: float = 0.0) -> Scene:
+    """~num_tris-triangle fractal heightfield — the SURFACE-geometry perf
+    scene (vs random_tri_soup's adversarial fog): realistic meshes are
+    surfaces, rays hit once and occlusion culls everything behind, which
+    is the workload the reference actually renders (bunny/building OBJs).
+
+    A (g x g) grid over [-extent, extent]^2 in x/z with multi-octave
+    sine/cosine heights, triangulated 2 tris per cell; windings face +y so
+    a camera above sees front faces.
+    """
+    g = max(2, int(np.sqrt(num_tris / 2.0)) + 1)
+    r = np.random.default_rng(seed)
+    xs = np.linspace(-extent, extent, g, dtype=np.float32)
+    zs = np.linspace(-extent, extent, g, dtype=np.float32)
+    x, z = np.meshgrid(xs, zs, indexing="ij")
+    y = np.zeros_like(x)
+    for octave in range(5):
+        f = (2.0 ** octave) * np.pi / extent
+        px, pz = r.uniform(0, 2 * np.pi, 2)
+        amp = relief / (2.0 ** octave)
+        y += amp * np.sin(f * x + px) * np.cos(f * z + pz)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+
+    i, j = np.meshgrid(np.arange(g - 1), np.arange(g - 1), indexing="ij")
+    v00 = (i * g + j).ravel()
+    v10 = ((i + 1) * g + j).ravel()
+    v01 = (i * g + j + 1).ravel()
+    v11 = ((i + 1) * g + j + 1).ravel()
+    # CCW as seen from +y (camera above): counter-clockwise around +y
+    tris = np.concatenate([
+        np.stack([v00, v01, v10], axis=1),
+        np.stack([v10, v01, v11], axis=1),
+    ], axis=0).astype(np.int32)
+    f = np.full((len(tris), 3, 3), -1, np.int32)
+    f[:, :, 0] = tris
+    emission = None
+    if emissive_frac > 0:
+        emission = np.zeros((len(tris), 3), np.float32)
+        n_lit = max(1, int(len(tris) * emissive_frac))
+        lit = r.choice(len(tris), n_lit, replace=False)
+        emission[lit] = 5.0
+    return Scene.create(verts, f, emission=emission)
+
+
 def two_triangles() -> Scene:
     """Minimal 2-triangle fixture for unit tests."""
     v = np.array([

@@ -36,13 +36,15 @@ def main():
         "512:14:256:stream,512:14:256:legacy,512:14:1024:stream,"
         "128:18:256:stream,128:18:1024:stream").split(",")
 
+    scene_kind = os.environ.get("PROBE_SCENE", "soup")
+
     import jax
     import jax.numpy as jnp
 
     from clpathtracer_tpu.accel.sah import build_kd_tree
     from clpathtracer_tpu.core.camera import Camera, cam_matrix, generate_rays
     from clpathtracer_tpu.ops.packet import packet_mode, traverse_packet
-    from clpathtracer_tpu.scene.procedural import random_tri_soup
+    from clpathtracer_tpu.scene.procedural import random_tri_soup, terrain_mesh
 
     dev = jax.devices()[0]
     cpu = jax.local_devices(backend="cpu")[0]
@@ -50,14 +52,20 @@ def main():
 
     with jax.default_device(cpu):
         t0 = time.time()
-        scene = random_tri_soup(ntris, seed=0, extent=10.0, tri_size=0.01)
+        if scene_kind == "terrain":
+            scene = terrain_mesh(ntris, seed=0, extent=10.0)
+            cam = Camera.create(position=[0.0, 14.0, 0.0],
+                                forward=[0.0, -1.0, 0.01])
+        else:
+            scene = random_tri_soup(ntris, seed=0, extent=10.0,
+                                    tri_size=0.01)
+            cam = Camera.create(position=[0.0, 0.0, -25.0],
+                                forward=[0.0, 0.0, 1.0])
         v0, v1, v2 = scene.tri_verts()
         tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
-        cam = Camera.create(position=[0.0, 0.0, -25.0],
-                            forward=[0.0, 0.0, 1.0])
         ci = cam_matrix(cam, res)
         orig, dir = generate_rays(ci, res, res)
-        log(f"# scene gen {time.time()-t0:.1f}s")
+        log(f"# scene gen {time.time()-t0:.1f}s kind={scene_kind}")
     orig = jax.device_put(orig, dev)
     dir = jax.device_put(dir, dev)
     log("# rays on device")
@@ -124,7 +132,7 @@ def main():
         nv, nl = tstats[:, 0], tstats[:, 1]
         n_rays = res * res
         rec = {
-            "cfg": {"leaf": leaf, "depth": depth, "tile": tile,
+            "cfg": {"scene": scene_kind, "leaf": leaf, "depth": depth, "tile": tile,
                     "engine": engine, "mode": mode, "tris": ntris,
                     "res": res},
             "tree": stats,

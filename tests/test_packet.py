@@ -277,3 +277,26 @@ class TestStreamEngine:
                                       packet_tile=256), tree=tree, key=key))
         close = np.isclose(a, b, atol=1e-4).all(axis=-1)
         assert close.mean() > 0.99, f"{(~close).sum()} pixels differ"
+
+
+def test_mxu_engine_experimental_parity():
+    """ops/packet_mxu.py (engine="mxu"): MT as MXU matmuls. Measured
+    slower than the VPU stream engine on v5e (f32-HIGHEST costs 6 passes
+    and K=16 wastes 8/9 of the systolic array) — kept as an experimental
+    engine. Its different summation order can flip accept decisions for
+    grazing edge rays, so parity is budgeted, not exact."""
+    scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4, leaf_size=16)
+    cam = Camera.create(position=[0, 0, -4.0], forward=[0.0, 0.0, 1.0])
+    orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    ref = traverse_fast(tree, quads, orig, dir)
+    pkt = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                          engine="mxu")
+    rh, ph = np.asarray(ref["hit"]), np.asarray(pkt["hit"])
+    assert (rh == ph).mean() > 0.995, (rh != ph).sum()
+    both = rh & ph
+    np.testing.assert_allclose(np.asarray(ref["t"])[both],
+                               np.asarray(pkt["t"])[both], rtol=1e-4)
