@@ -49,6 +49,8 @@ def _build_parser() -> argparse.ArgumentParser:
                         default="wavefront",
                         help="packet = Pallas packet tracer (fastest on "
                              "TPU for coherent rays)")
+        sp.add_argument("--packet-tile", type=int, default=1024,
+                        help="rays per packet (256 for huge scenes)")
         sp.add_argument("--no-tree", action="store_true",
                         help="brute-force linear-scan intersector")
         sp.add_argument("--tri-block", type=int, default=4)
@@ -145,6 +147,7 @@ def _opts(args, differentiable=False):
         tri_block=args.tri_block, background=args.background,
         nee=getattr(args, "nee", False),
         intersector=getattr(args, "intersector", "wavefront"),
+        packet_tile=getattr(args, "packet_tile", 1024),
         differentiable=differentiable)
 
 

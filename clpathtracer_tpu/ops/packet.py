@@ -221,6 +221,56 @@ def _near_far_children(fields, ibnd):
     return near, far
 
 
+def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
+                   best_s, act_row=None):
+    """Dense MT of the 64 tris already resident in tri_buf[buf_slot]
+    against `rays` ([1, tile] SoA rows) — the math half of mt_chunk, no
+    DMA wait (callers that share one DMA across sub-packets wait once)."""
+    ox, oy, oz, dx, dy, dz = rays
+    sub_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
+    chunk_t = jnp.full((1, tile), BIG, jnp.float32)
+    chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
+    for i in range(8):  # 8 interleaved groups of 8 tris
+        def col(j):
+            c = tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1]
+            return c.reshape(CHUNK_ROWS, 1)
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        tid = col(9)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = det > 0.0
+        invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        u = (tx * px + ty * py + tz * pz) * invd
+        ok = ok & (u >= 0.0) & (u <= 1.0)
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * invd
+        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        tt = (e2x * qx + e2y * qy + e2z * qz) * invd
+        ok = ok & (tt > 0.0) & (tid >= 0.0)
+        if act_row is not None:
+            ok = ok & (act_row > 0.0)  # dead lanes never take hits
+        t_m = jnp.where(ok, tt, BIG)                    # [8, tile]
+        slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)  # [8, 1]
+        grp_min = jnp.min(t_m, axis=0, keepdims=True)   # [1, tile]
+        slot_cand = jnp.where(t_m == grp_min, slot, 3.0e38)
+        grp_slot = jnp.min(slot_cand, axis=0, keepdims=True)
+        take = grp_min <= chunk_t
+        chunk_t = jnp.where(take, grp_min, chunk_t)
+        chunk_s = jnp.where(take, grp_slot, chunk_s)
+    take = (chunk_t < BIG) & (chunk_t <= best_t)
+    best_t = jnp.where(take, chunk_t, best_t)
+    best_s = jnp.where(take, chunk_s, best_s)
+    return best_t, best_s
+
+
 def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile, act_row=None):
     """Double-buffered HBM→VMEM leaf-triangle streaming + dense MT.
 
@@ -234,12 +284,7 @@ def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile, act_row=None):
     later-wins rule across chunks. (Exact-t tie winners may differ from the
     rope walk — documented freedom, both are valid nearest hits.)
     """
-    ox, oy, oz, dx, dy, dz = rays
     n_chunk_rows = tris_ref.shape[0]  # [T/8, 128]
-
-    # Mosaic's tpu.iota only produces integers — cast after
-    sub_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
 
     def start_chunk(chunk_row0, buf_slot):
         pltpu.make_async_copy(
@@ -251,47 +296,8 @@ def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile, act_row=None):
         pltpu.make_async_copy(
             tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :],
             tri_buf.at[buf_slot], tri_sem.at[buf_slot]).wait()
-        chunk_t = jnp.full((1, tile), BIG, jnp.float32)
-        chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
-        for i in range(8):  # 8 interleaved groups of 8 tris
-            def col(j):
-                # dynamic leading index may keep a size-1 axis; normalize
-                c = tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1]
-                return c.reshape(CHUNK_ROWS, 1)
-            v0x, v0y, v0z = col(0), col(1), col(2)
-            e1x, e1y, e1z = col(3), col(4), col(5)
-            e2x, e2y, e2z = col(6), col(7), col(8)
-            tid = col(9)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = det > 0.0
-            invd = 1.0 / jnp.where(det == 0.0, 1.0, det)
-            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-            u = (tx * px + ty * py + tz * pz) * invd
-            ok = ok & (u >= 0.0) & (u <= 1.0)
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * invd
-            ok = ok & (v >= 0.0) & (u + v <= 1.0)
-            tt = (e2x * qx + e2y * qy + e2z * qz) * invd
-            ok = ok & (tt > 0.0) & (tid >= 0.0)
-            if act_row is not None:
-                ok = ok & (act_row > 0.0)  # dead lanes never take hits
-            t_m = jnp.where(ok, tt, BIG)                    # [8, tile]
-            slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)  # [8, 1]
-            grp_min = jnp.min(t_m, axis=0, keepdims=True)   # [1, tile]
-            slot_cand = jnp.where(t_m == grp_min, slot, 3.0e38)
-            grp_slot = jnp.min(slot_cand, axis=0, keepdims=True)
-            take = grp_min <= chunk_t
-            chunk_t = jnp.where(take, grp_min, chunk_t)
-            chunk_s = jnp.where(take, grp_slot, chunk_s)
-        take = (chunk_t < BIG) & (chunk_t <= best_t)
-        best_t = jnp.where(take, chunk_t, best_t)
-        best_s = jnp.where(take, chunk_s, best_s)
-        return best_t, best_s
+        return _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0,
+                              best_t, best_s, act_row=act_row)
 
     def stream_leaf(qstart, count, best_t, best_s):
         first_tri = qstart * 4
@@ -714,16 +720,22 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
 
 
 def _machine_init(tile):
-    """Per-packet traversal-machine state: (sp, rem, row0, cur, par,
-    best_t, best_s, t_upper, nv, nl). rem>0 ⇒ mid-leaf, `cur`th chunk of
-    the leaf starting at quad-table row `row0` is DMA'd and due."""
+    """Per-packet traversal-machine state: (sp, rem, row0, cur, par, go_l,
+    go_r, best_l, slot_l, best_r, slot_r, tu_l, tu_r, nv, nl). rem>0 ⇒
+    mid-leaf: chunk `cur` of the leaf at quad-table row `row0` is DMA'd
+    and due; go_l/go_r say which HALF-packets the leaf survives for."""
+    h = tile // 2
     return (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.int32(0), jnp.full((1, tile), BIG, jnp.float32),
-            jnp.full((1, tile), -1.0, jnp.float32), jnp.float32(BIG),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.full((1, h), BIG, jnp.float32),
+            jnp.full((1, h), -1.0, jnp.float32),
+            jnp.full((1, h), BIG, jnp.float32),
+            jnp.full((1, h), -1.0, jnp.float32),
+            jnp.float32(BIG), jnp.float32(BIG),
             jnp.int32(0), jnp.int32(0))
 
 
-def _make_machine(nodes_ref, tris_ref, stack_refs, tri_buf, tri_sem,
+def _make_machine(nodes_ref, tris_ref, stack_refs, m, tri_buf, tri_sem,
                   rays, act, layout, tile, buf_base):
     """One packet's traversal as a single-STEP state machine, so two
     machines can interleave inside one while_loop body: each step is
@@ -731,19 +743,37 @@ def _make_machine(nodes_ref, tris_ref, stack_refs, tri_buf, tri_sem,
     and the VLIW scheduler overlaps machine A's dense MT with machine B's
     scalar pops — the two-packet software pipelining of VERDICT r1 #1a.
 
+    Each packet is additionally SPLIT-CULLED in halves: the stack carries
+    a [t_lo, t_hi] interval per half-packet (computed from the half's own
+    conservative bounds — about half the spatial footprint), each half
+    keeps its own t_upper, and a leaf's dense MT runs only for the halves
+    it survives — packet granularity for the scalar walk, half-packet
+    granularity for the (dominant) vector work.
+
+    m: this machine's row in the (2, STACK) scratch arrays.
     buf_base: which pair of DMA buffers/semaphores this machine owns.
     """
-    nstack, tlo_stack, thi_stack = stack_refs
-    obnd, ibnd = _packet_bounds_masked(rays, act)
-    _, mt_chunk, _ = _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays,
-                                     tile, act_row=act)
+    nstack, tlo_l_s, thi_l_s, tlo_r_s, thi_r_s = stack_refs
+    h = tile // 2
+    rays_l = tuple(r[:, :h] for r in rays)
+    rays_r = tuple(r[:, h:] for r in rays)
+    act_l, act_r = act[:, :h], act[:, h:]
+    na_l, na_r = jnp.sum(act_l), jnp.sum(act_r)
+    bnd_l = _packet_bounds_masked(rays_l, act_l)
+    bnd_r = _packet_bounds_masked(rays_r, act_r)
     n_chunk_rows = tris_ref.shape[0]
 
-    axinfo = []
-    for ax in range(3):
-        il, ih = ibnd[ax]
-        ol, oh = obnd[ax]
-        axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+    def axinfo_of(bnd):
+        obnd, ibnd = bnd
+        out = []
+        for ax in range(3):
+            il, ih = ibnd[ax]
+            ol, oh = obnd[ax]
+            out.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+        return out
+
+    ax_l = axinfo_of(bnd_l)
+    ax_r = axinfo_of(bnd_r)
 
     if layout == "padded":
         def read6(node):
@@ -769,49 +799,86 @@ def _make_machine(nodes_ref, tris_ref, stack_refs, tri_buf, tri_sem,
             tris_ref.at[pl.ds(row_of(row0, b), CHUNK_ROWS), :],
             tri_buf.at[buf_base + par], tri_sem.at[buf_base + par]).start()
 
+    def wait_chunk(row0, b, par):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row_of(row0, b), CHUNK_ROWS), :],
+            tri_buf.at[buf_base + par], tri_sem.at[buf_base + par]).wait()
+
     def seed():
-        """Push the root (header AABB interval); returns initial sp."""
+        """Push the root (header AABB interval per half); initial sp."""
         hdr = tuple(nodes_ref[0, j] for j in range(6))
-        rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
-        nstack[0] = 0
-        tlo_stack[0] = rt_lo
-        thi_stack[0] = rt_hi
-        return ((rt_lo <= rt_hi) & (rt_hi > 0.0)).astype(jnp.int32)
+        lo_h, hi_h = hdr[0:3], hdr[3:6]
+        lt_lo, lt_hi = _box_interval(lo_h, hi_h, *bnd_l)
+        rt_lo, rt_hi = _box_interval(lo_h, hi_h, *bnd_r)
+        # an empty half must never go live: poison its interval
+        lt_hi = jnp.where(na_l > 0.0, lt_hi, -BIG)
+        rt_hi = jnp.where(na_r > 0.0, rt_hi, -BIG)
+        nstack[m, 0] = 0
+        tlo_l_s[m, 0] = lt_lo
+        thi_l_s[m, 0] = lt_hi
+        tlo_r_s[m, 0] = rt_lo
+        thi_r_s[m, 0] = rt_hi
+        ok = (((lt_lo <= lt_hi) & (lt_hi > 0.0))
+              | ((rt_lo <= rt_hi) & (rt_hi > 0.0)))
+        return ok.astype(jnp.int32)
 
     def step(state):
-        sp, rem, row0, cur, par, best_t, best_s, t_upper, nv, nl = state
+        (sp, rem, row0, cur, par, go_l, go_r, best_l, slot_l, best_r,
+         slot_r, tu_l, tu_r, nv, nl) = state
 
-        def chunk_step(sp, rem, row0, cur, par, best_t, best_s, t_upper,
-                       nv, nl):
+        def chunk_step(sp, rem, row0, cur, par, go_l, go_r, best_l,
+                       slot_l, best_r, slot_r, tu_l, tu_r, nv, nl):
             @pl.when(rem > 1)
             def _():
                 start_chunk(row0, cur + 1, 1 - par)
 
-            best_t2, best_s2 = mt_chunk(row_of(row0, cur), buf_base + par,
-                                        best_t, best_s)
-            rem2 = rem - 1
-            t_up = jax.lax.cond(
-                (rem2 == 0) & ((nv & 3) == 0),
-                lambda: jnp.max(jnp.where(act > 0.0, best_t2, -BIG)),
-                lambda: t_upper)
-            return (sp, rem2, row0, cur + 1, 1 - par, best_t2, best_s2,
-                    t_up, nv, nl)
+            wait_chunk(row0, cur, par)
+            crow = row_of(row0, cur)
 
-        def pop_step(sp, rem, row0, cur, par, best_t, best_s, t_upper,
-                     nv, nl):
-            node = nstack[sp - 1]
-            tlo = tlo_stack[sp - 1]
-            thi = thi_stack[sp - 1]
+            def mt_l(bt, bs):
+                return _mt_chunk_math(tri_buf, buf_base + par, rays_l, h,
+                                      crow, bt, bs, act_row=act_l)
+
+            def mt_r(bt, bs):
+                return _mt_chunk_math(tri_buf, buf_base + par, rays_r, h,
+                                      crow, bt, bs, act_row=act_r)
+
+            best_l, slot_l = jax.lax.cond(
+                go_l > 0, mt_l, lambda bt, bs: (bt, bs), best_l, slot_l)
+            best_r, slot_r = jax.lax.cond(
+                go_r > 0, mt_r, lambda bt, bs: (bt, bs), best_r, slot_r)
+            rem2 = rem - 1
+            refresh = (rem2 == 0) & ((nv & 3) == 0)
+            tu_l = jax.lax.cond(
+                refresh & (go_l > 0),
+                lambda: jnp.max(jnp.where(act_l > 0.0, best_l, -BIG)),
+                lambda: tu_l)
+            tu_r = jax.lax.cond(
+                refresh & (go_r > 0),
+                lambda: jnp.max(jnp.where(act_r > 0.0, best_r, -BIG)),
+                lambda: tu_r)
+            return (sp, rem2, row0, cur + 1, 1 - par, go_l, go_r, best_l,
+                    slot_l, best_r, slot_r, tu_l, tu_r, nv, nl)
+
+        def pop_step(sp, rem, row0, cur, par, go_l, go_r, best_l, slot_l,
+                     best_r, slot_r, tu_l, tu_r, nv, nl):
+            node = nstack[m, sp - 1]
+            tlo_l = tlo_l_s[m, sp - 1]
+            thi_l = thi_l_s[m, sp - 1]
+            tlo_r = tlo_r_s[m, sp - 1]
+            thi_r = thi_r_s[m, sp - 1]
             sp = sp - 1
             nv = nv + 1
-            live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
+            # re-check at pop time: the t_uppers shrank since push
+            live_l = (tlo_l <= jnp.minimum(thi_l, tu_l)) & (thi_l > 0.0)
+            live_r = (tlo_r <= jnp.minimum(thi_r, tu_r)) & (thi_r > 0.0)
 
-            def visit(sp, rem, row0, cur, par, t_upper, nl):
+            def visit(sp, rem, row0, cur, par, go_l, go_r, nl):
                 flags_f, split, cl_f, ch_f, qs_f, cnt_f = read6(node)
                 flags = flags_f.astype(jnp.int32)
                 is_leaf = flags >= 4
 
-                def leaf_case(sp, rem, row0, cur, par, t_upper, nl):
+                def leaf_case(sp, rem, row0, cur, par, go_l, go_r, nl):
                     qstart = qs_f.astype(jnp.int32)
                     count = cnt_f.astype(jnp.int32)
                     first = qstart * 4
@@ -819,99 +886,124 @@ def _make_machine(nodes_ref, tris_ref, stack_refs, tri_buf, tri_sem,
                     r_end = (first + count + 7) // 8
                     nch = (r_end - r0 + CHUNK_ROWS - 1) // CHUNK_ROWS
                     start_chunk(r0, 0, 0)
-                    return sp, nch, r0, jnp.int32(0), jnp.int32(0), \
-                        t_upper, nl + nch
+                    return (sp, nch, r0, jnp.int32(0), jnp.int32(0),
+                            live_l.astype(jnp.int32),
+                            live_r.astype(jnp.int32), nl + nch)
 
-                def split_case(sp, rem, row0, cur, par, t_upper, nl):
-                    il, ih, ol, oh, uni, nlo = jax.lax.switch(
-                        flags & 3,
-                        [lambda i=i: axinfo[i] for i in range(3)])
-                    c1 = (split - ol) * il
-                    c2 = (split - ol) * ih
-                    c3 = (split - oh) * il
-                    c4 = (split - oh) * ih
-                    tp_min = jnp.minimum(jnp.minimum(c1, c2),
-                                         jnp.minimum(c3, c4))
-                    tp_max = jnp.maximum(jnp.maximum(c1, c2),
-                                         jnp.maximum(c3, c4))
-                    tp_min = jnp.where(uni, tp_min, -INV_BIG)
-                    tp_max = jnp.where(uni, tp_max, INV_BIG)
+                def split_case(sp, rem, row0, cur, par, go_l, go_r, nl):
+                    axis = flags & 3
+
+                    def half_plane(axinfo):
+                        il, ih, ol, oh, uni, nlo = jax.lax.switch(
+                            axis,
+                            [lambda i=i: axinfo[i] for i in range(3)])
+                        c1 = (split - ol) * il
+                        c2 = (split - ol) * ih
+                        c3 = (split - oh) * il
+                        c4 = (split - oh) * ih
+                        tp_min = jnp.minimum(jnp.minimum(c1, c2),
+                                             jnp.minimum(c3, c4))
+                        tp_max = jnp.maximum(jnp.maximum(c1, c2),
+                                             jnp.maximum(c3, c4))
+                        tp_min = jnp.where(uni, tp_min, -INV_BIG)
+                        tp_max = jnp.where(uni, tp_max, INV_BIG)
+                        return tp_min, tp_max, nlo
+
+                    lp_min, lp_max, l_nlo = half_plane(ax_l)
+                    rp_min, rp_max, _ = half_plane(ax_r)
                     cl = cl_f.astype(jnp.int32)
                     ch = ch_f.astype(jnp.int32)
-                    near = jnp.where(nlo, cl, ch)
-                    far = jnp.where(nlo, ch, cl)
-                    far_lo = jnp.maximum(tlo, tp_min)
-                    near_hi = jnp.minimum(thi, tp_max)
-                    push_far = far_lo <= jnp.minimum(thi, t_upper)
+                    # visit order from the LEFT half's dominant sign (the
+                    # halves share a camera; ties are harmless)
+                    near = jnp.where(l_nlo, cl, ch)
+                    far = jnp.where(l_nlo, ch, cl)
+                    # left half's near/far assignment also fixes which
+                    # plane bound applies to which child for the right
+                    # half (same child ids, each half keeps its own t)
+                    lfar_lo = jnp.maximum(tlo_l, lp_min)
+                    rfar_lo = jnp.maximum(tlo_r, rp_min)
+                    lnear_hi = jnp.minimum(thi_l, lp_max)
+                    rnear_hi = jnp.minimum(thi_r, rp_max)
+                    push_far = ((lfar_lo <= jnp.minimum(thi_l, tu_l))
+                                | (rfar_lo <= jnp.minimum(thi_r, tu_r)))
 
                     @pl.when(push_far)
                     def _():
-                        nstack[sp] = far
-                        tlo_stack[sp] = far_lo
-                        thi_stack[sp] = thi
+                        nstack[m, sp] = far
+                        tlo_l_s[m, sp] = lfar_lo
+                        thi_l_s[m, sp] = thi_l
+                        tlo_r_s[m, sp] = rfar_lo
+                        thi_r_s[m, sp] = thi_r
 
                     sp = sp + push_far.astype(jnp.int32)
-                    push_near = tlo <= jnp.minimum(near_hi, t_upper)
+                    push_near = ((tlo_l <= jnp.minimum(lnear_hi, tu_l))
+                                 | (tlo_r <= jnp.minimum(rnear_hi, tu_r)))
 
                     @pl.when(push_near)
                     def _():
-                        nstack[sp] = near
-                        tlo_stack[sp] = tlo
-                        thi_stack[sp] = near_hi
+                        nstack[m, sp] = near
+                        tlo_l_s[m, sp] = tlo_l
+                        thi_l_s[m, sp] = lnear_hi
+                        tlo_r_s[m, sp] = tlo_r
+                        thi_r_s[m, sp] = rnear_hi
 
                     sp = sp + push_near.astype(jnp.int32)
-                    return sp, rem, row0, cur, par, t_upper, nl
+                    return sp, rem, row0, cur, par, go_l, go_r, nl
 
                 return jax.lax.cond(is_leaf, leaf_case, split_case,
-                                    sp, rem, row0, cur, par, t_upper, nl)
+                                    sp, rem, row0, cur, par, go_l, go_r,
+                                    nl)
 
-            sp, rem, row0, cur, par, t_upper, nl = jax.lax.cond(
-                live, visit,
-                lambda sp, rem, row0, cur, par, tu, nl: (
-                    sp, rem, row0, cur, par, tu, nl),
-                sp, rem, row0, cur, par, t_upper, nl)
-            return (sp, rem, row0, cur, par, best_t, best_s, t_upper, nv,
-                    nl)
+            sp, rem, row0, cur, par, go_l, go_r, nl = jax.lax.cond(
+                live_l | live_r, visit,
+                lambda sp, rem, row0, cur, par, gl, gr, nl: (
+                    sp, rem, row0, cur, par, gl, gr, nl),
+                sp, rem, row0, cur, par, go_l, go_r, nl)
+            return (sp, rem, row0, cur, par, go_l, go_r, best_l, slot_l,
+                    best_r, slot_r, tu_l, tu_r, nv, nl)
 
-        def idle(sp, rem, row0, cur, par, best_t, best_s, t_upper, nv, nl):
-            return (sp, rem, row0, cur, par, best_t, best_s, t_upper, nv,
-                    nl)
+        def idle(*s):
+            return s
 
         busy = (sp > 0) | (rem > 0)
         return jax.lax.cond(
             busy,
             lambda *s: jax.lax.cond(s[1] > 0, chunk_step, pop_step, *s),
             idle,
-            sp, rem, row0, cur, par, best_t, best_s, t_upper, nv, nl)
+            sp, rem, row0, cur, par, go_l, go_r, best_l, slot_l, best_r,
+            slot_r, tu_l, tu_r, nv, nl)
 
     return seed, step
 
 
 def _kernel_stream2(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref,
-                    slot_ref, stats_ref, nstack_a, tlo_a, thi_a, nstack_b,
-                    tlo_b, thi_b, tri_buf, tri_sem, *, tile, layout):
+                    slot_ref, stats_ref, nstack, tlo_l, thi_l, tlo_r,
+                    thi_r, tri_buf, tri_sem, *, tile, layout):
     """Dual-packet stream engine: one grid program owns TWO adjacent ray
     tiles, stepping their traversal machines alternately so A's dense
     chunk intersection (VPU + DMA wait) overlaps B's node pops (scalar
     core) and vice versa — the scalar walk rides under the vector work
-    instead of serializing with it."""
+    instead of serializing with it. Each packet is half-split-culled
+    (see _make_machine)."""
     rays_a = tuple(r[:, :tile] for r in _ray_rows(o_ref, d_ref))
     rays_b = tuple(r[:, tile:] for r in _ray_rows(o_ref, d_ref))
     act_a = a_ref[0:1, :tile]
     act_b = a_ref[0:1, tile:]
     na = jnp.sum(act_a)
     nb = jnp.sum(act_b)
+    h = tile // 2
 
     t_ref[:] = jnp.full((1, 2 * tile), BIG, jnp.float32)
     slot_ref[:] = jnp.full((1, 2 * tile), -1.0, jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
     srow = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
 
+    stacks = (nstack, tlo_l, thi_l, tlo_r, thi_r)
     seed_a, step_a = _make_machine(
-        nodes_ref, tris_ref, (nstack_a, tlo_a, thi_a), tri_buf, tri_sem,
+        nodes_ref, tris_ref, stacks, 0, tri_buf, tri_sem,
         rays_a, act_a, layout, tile, 0)
     seed_b, step_b = _make_machine(
-        nodes_ref, tris_ref, (nstack_b, tlo_b, thi_b), tri_buf, tri_sem,
+        nodes_ref, tris_ref, stacks, 1, tri_buf, tri_sem,
         rays_b, act_b, layout, tile, 2)
 
     sa = _machine_init(tile)
@@ -931,15 +1023,19 @@ def _kernel_stream2(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref,
     sa, sb = jax.lax.while_loop(lambda st: busy(st[0]) | busy(st[1]),
                                 body, (sa, sb))
 
-    t_ref[0:1, :tile] = sa[5]
-    t_ref[0:1, tile:] = sb[5]
-    slot_ref[0:1, :tile] = sa[6]
-    slot_ref[0:1, tile:] = sb[6]
-    va = jnp.where(lane == 0, sa[8].astype(jnp.float32),
-                   jnp.where(lane == 1, sa[9].astype(jnp.float32),
+    t_ref[0:1, 0:h] = sa[7]
+    t_ref[0:1, h:tile] = sa[9]
+    t_ref[0:1, tile:tile + h] = sb[7]
+    t_ref[0:1, tile + h:] = sb[9]
+    slot_ref[0:1, 0:h] = sa[8]
+    slot_ref[0:1, h:tile] = sa[10]
+    slot_ref[0:1, tile:tile + h] = sb[8]
+    slot_ref[0:1, tile + h:] = sb[10]
+    va = jnp.where(lane == 0, sa[13].astype(jnp.float32),
+                   jnp.where(lane == 1, sa[14].astype(jnp.float32),
                              jnp.where(lane == 2, na, 0.0)))
-    vb = jnp.where(lane == 0, sb[8].astype(jnp.float32),
-                   jnp.where(lane == 1, sb[9].astype(jnp.float32),
+    vb = jnp.where(lane == 0, sb[13].astype(jnp.float32),
+                   jnp.where(lane == 1, sb[14].astype(jnp.float32),
                              jnp.where(lane == 2, nb, 0.0)))
     stats_ref[:] = jnp.where(srow < 8, va, vb)
 
@@ -976,12 +1072,11 @@ def _packet_call_stream2(nodes, tris128, orig_t, dir_t, act,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((2, STACK_DEPTH), jnp.int32),
+            pltpu.SMEM((2, STACK_DEPTH), jnp.float32),
+            pltpu.SMEM((2, STACK_DEPTH), jnp.float32),
+            pltpu.SMEM((2, STACK_DEPTH), jnp.float32),
+            pltpu.SMEM((2, STACK_DEPTH), jnp.float32),
             pltpu.VMEM((4, CHUNK_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
