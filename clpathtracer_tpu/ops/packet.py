@@ -309,8 +309,15 @@ def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile, act_row=None):
             return jnp.minimum(row0 + b * CHUNK_ROWS,
                                n_chunk_rows - CHUNK_ROWS)
 
-        # double-buffered: chunk b+1's DMA flies while b is intersected
-        start_chunk(row_of(0), 0)
+        # double-buffered: chunk b+1's DMA flies while b is intersected.
+        # EMPTY leaves (count=0 — open space, common in surface scenes)
+        # must not start a DMA: the loop below never waits it, and an
+        # orphaned transfer corrupts the semaphore pairing for every
+        # later chunk (hardware "Internal" crash; interpret mode can't
+        # see it).
+        @pl.when(nchunks > 0)
+        def _():
+            start_chunk(row_of(0), 0)
 
         def chunk_body(b, c):
             bt, bs = c
@@ -885,7 +892,14 @@ def _make_machine(nodes_ref, tris_ref, stack_refs, m, tri_buf, tri_sem,
                     r0 = first // 8
                     r_end = (first + count + 7) // 8
                     nch = (r_end - r0 + CHUNK_ROWS - 1) // CHUNK_ROWS
-                    start_chunk(r0, 0, 0)
+
+                    # empty leaf (count=0): nch=0, and starting a DMA that
+                    # no chunk step will ever wait corrupts the semaphore
+                    # pairing (hardware crash on surface scenes)
+                    @pl.when(nch > 0)
+                    def _():
+                        start_chunk(r0, 0, 0)
+
                     return (sp, nch, r0, jnp.int32(0), jnp.int32(0),
                             live_l.astype(jnp.int32),
                             live_r.astype(jnp.int32), nl + nch)

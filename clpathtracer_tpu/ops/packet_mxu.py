@@ -196,7 +196,11 @@ def _kernel_mxu(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
             def c_of(b):
                 return jnp.minimum(c0 + b, n_chunks - 1)
 
-            start_chunk(c_of(0), 0)
+            # empty leaf: no DMA (an unwaited transfer corrupts the
+            # semaphore pairing — see ops/packet.py stream_leaf)
+            @pl.when(nch > 0)
+            def _():
+                start_chunk(c_of(0), 0)
 
             def body(b, cargo):
                 bt, bs = cargo

@@ -300,3 +300,30 @@ def test_mxu_engine_experimental_parity():
     both = rh & ph
     np.testing.assert_allclose(np.asarray(ref["t"])[both],
                                np.asarray(pkt["t"])[both], rtol=1e-4)
+
+
+def test_empty_leaf_scenes_all_engines():
+    """Surface scenes produce EMPTY kd leaves (open space). Regression for
+    the orphaned-DMA bug: an empty leaf must not start a chunk transfer
+    that nothing waits (corrupted the DMA semaphore pairing and crashed
+    real hardware; results here lock the logic in interpret mode)."""
+    from clpathtracer_tpu.scene.procedural import terrain_mesh
+    scene = terrain_mesh(50000)
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4, leaf_size=512, max_depth=14)
+    il = np.asarray(tree.is_leaf)
+    assert (np.asarray(tree.leaf_count)[il] == 0).any(), \
+        "fixture must contain empty leaves"
+    cam = Camera.create(position=[0.0, 14.0, 0.0], forward=[0.0, -1.0, 0.01])
+    orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    ref = traverse_fast(tree, quads, orig, dir)
+    for engine in ("stream", "stream2"):
+        pkt = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                              tile=256, engine=engine)
+        np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                      np.asarray(pkt["hit"]), err_msg=engine)
+        h = np.asarray(ref["hit"])
+        np.testing.assert_allclose(np.asarray(ref["t"])[h],
+                                   np.asarray(pkt["t"])[h], rtol=1e-5)
