@@ -743,7 +743,7 @@ def _machine_init(tile):
 
 
 def _make_machine(nodes_ref, tris_ref, stack_refs, m, tri_buf, tri_sem,
-                  rays, act, layout, tile, buf_base):
+                  rays_refs, layout, tile, buf_base):
     """One packet's traversal as a single-STEP state machine, so two
     machines can interleave inside one while_loop body: each step is
     either one node pop (scalar work) or one leaf chunk (VPU work + DMA),
@@ -762,9 +762,22 @@ def _make_machine(nodes_ref, tris_ref, stack_refs, m, tri_buf, tri_sem,
     """
     nstack, tlo_l_s, thi_l_s, tlo_r_s, thi_r_s = stack_refs
     h = tile // 2
-    rays_l = tuple(r[:, :h] for r in rays)
-    rays_r = tuple(r[:, h:] for r in rays)
-    act_l, act_r = act[:, :h], act[:, h:]
+    o_ref, d_ref, a_ref, base = rays_refs
+    # read each half directly from the refs at static offsets — chained
+    # lane-slicing of already-sliced VALUES produces layouts Mosaic's
+    # broadcast can't consume ("Invalid input layout")
+    def half(off):
+        return (o_ref[0:1, base + off:base + off + h],
+                o_ref[1:2, base + off:base + off + h],
+                o_ref[2:3, base + off:base + off + h],
+                d_ref[0:1, base + off:base + off + h],
+                d_ref[1:2, base + off:base + off + h],
+                d_ref[2:3, base + off:base + off + h])
+
+    rays_l = half(0)
+    rays_r = half(h)
+    act_l = a_ref[0:1, base:base + h]
+    act_r = a_ref[0:1, base + h:base + tile]
     na_l, na_r = jnp.sum(act_l), jnp.sum(act_r)
     bnd_l = _packet_bounds_masked(rays_l, act_l)
     bnd_r = _packet_bounds_masked(rays_r, act_r)
@@ -999,8 +1012,6 @@ def _kernel_stream2(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref,
     core) and vice versa — the scalar walk rides under the vector work
     instead of serializing with it. Each packet is half-split-culled
     (see _make_machine)."""
-    rays_a = tuple(r[:, :tile] for r in _ray_rows(o_ref, d_ref))
-    rays_b = tuple(r[:, tile:] for r in _ray_rows(o_ref, d_ref))
     act_a = a_ref[0:1, :tile]
     act_b = a_ref[0:1, tile:]
     na = jnp.sum(act_a)
@@ -1015,10 +1026,10 @@ def _kernel_stream2(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref,
     stacks = (nstack, tlo_l, thi_l, tlo_r, thi_r)
     seed_a, step_a = _make_machine(
         nodes_ref, tris_ref, stacks, 0, tri_buf, tri_sem,
-        rays_a, act_a, layout, tile, 0)
+        (o_ref, d_ref, a_ref, 0), layout, tile, 0)
     seed_b, step_b = _make_machine(
         nodes_ref, tris_ref, stacks, 1, tri_buf, tri_sem,
-        rays_b, act_b, layout, tile, 2)
+        (o_ref, d_ref, a_ref, tile), layout, tile, 2)
 
     sa = _machine_init(tile)
     sb = _machine_init(tile)
