@@ -75,6 +75,9 @@ class RenderOptions:
     scene_axis: str = None     # treelet ring: mesh axis name the scene is
     #   sharded over (set by parallel/treelet.py wrappers when rendering
     #   inside shard_map; None = scene replicated / sequential ring)
+    precision: str = "f32"     # "bf16" = preview-quality packet
+    #   intersection (~2x VPU rate; bf16 cancellation costs ~7% of hits
+    #   on small-triangle scenes — previews only). Stream engine only.
 
 
 # ---------------------------------------------------------------------------
@@ -140,7 +143,8 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                 rec = traverse_packet(tree, quads, orig, dir,
                                       image_shape=shape,
                                       tile=opts.packet_tile,
-                                      active=active)
+                                      active=active,
+                                      precision=opts.precision)
             elif (opts.intersector == "packet" and opts.sort_bounces
                   and packet_supported(tree, orig.shape[0],
                                        opts.packet_tile)):
@@ -152,7 +156,8 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                 perm, inv = sort_rays(orig, dir, alive=active)
                 act_p = active[perm] if active is not None else None
                 rec = traverse_packet(tree, quads, orig[perm], dir[perm],
-                                      tile=opts.packet_tile, active=act_p)
+                                      tile=opts.packet_tile, active=act_p,
+                                      precision=opts.precision)
                 rec = {k: v[inv] if v.shape[:1] == perm.shape else v
                        for k, v in rec.items()}
             else:

@@ -327,3 +327,21 @@ def test_empty_leaf_scenes_all_engines():
         h = np.asarray(ref["hit"])
         np.testing.assert_allclose(np.asarray(ref["t"])[h],
                                    np.asarray(pkt["t"])[h], rtol=1e-5)
+
+
+def test_bf16_preview_mode_runs():
+    """precision="bf16" (preview mode): runs, and agreement with the f32
+    engine is high-but-imperfect by design (bf16 o-v0 cancellation; the
+    docstring's measured ~93% bound)."""
+    scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4, leaf_size=16)
+    cam = Camera.create(position=[0, 0, -4.0], forward=[0.0, 0.0, 1.0])
+    orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    ref = traverse_fast(tree, quads, orig, dir)
+    fast = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                           tile=256, engine="stream", precision="bf16")
+    agree = (np.asarray(ref["hit"]) == np.asarray(fast["hit"])).mean()
+    assert agree > 0.88, agree
