@@ -14,8 +14,10 @@ byte estimate from the packet kernel's tile_stats.
 Timing protocol for the tunneled-TPU environment (fetch latency has been
 observed anywhere from 30 ms to 90 s): ONE compiled function runs `n`
 data-chained renders (lax.fori_loop over a traced bound; each iteration's
-key is folded from the previous checksum so XLA cannot parallelize or
-elide), timed at n=1 and n=1+reps — per-frame = (t_k - t_1)/reps, fetch
+camera is nudged by the previous checksum so XLA cannot parallelize,
+CSE or elide the loop body — a dependence it can constant-fold, like
+key-from-chk*0, silently collapses the chain to one frame), timed at n=1
+and n=1+reps — per-frame = (t_k - t_1)/reps, fetch
 latency and dispatch overhead cancel. Scene/tree build is pinned to the
 host CPU backend (eager ops on the remote device round-trip the tunnel).
 """
@@ -104,17 +106,18 @@ def main():
     scene = jax.device_put(scene, dev)
     tree = jax.device_put(tree, dev)
 
-    # n data-chained frames in one program (traced bound → one compile);
-    # consecutive frames use keys folded from the previous checksum so the
-    # loop cannot be parallelized or elided.
-    def chain(n, scene, tree):
+    # n data-chained frames in one program (traced bound → one compile).
+    # The chain dependence must be one XLA cannot constant-fold away
+    # (x*0.0 folds; a key that normal mode ignores doesn't chain): nudge
+    # the camera position by checksum*1e-38 — numerically nothing,
+    # semantically a hard serial dependence.
+    def chain(n, scene, tree, camera):
         def body(i, c):
             chk, _ = c
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(0),
-                (chk * 0.0).astype(jnp.int32) + i)
-            key = jax.random.fold_in(key, (chk * 1e-30).astype(jnp.int32))
-            img = render_image(scene, cam, opts, tree=tree, key=key)
+            cam_i = camera.replace(
+                position=camera.position + chk * 1e-38)
+            img = render_image(scene, cam_i, opts, tree=tree,
+                               key=jax.random.PRNGKey(0))
             return (jnp.sum(img),
                     jnp.mean((img < 1.0).any(-1).astype(jnp.float32)))
         return jax.lax.fori_loop(0, n, body,
@@ -123,18 +126,18 @@ def main():
     jf = jax.jit(chain, static_argnames=())
 
     t0 = time.time()
-    s, hit_frac = jf(1, scene, tree)
+    s, hit_frac = jf(1, scene, tree, cam)
     s = float(s)
     compile_s = time.time() - t0
     log(f"# compile+first run: {compile_s:.1f}s  checksum={s:.6g} "
         f"hit_frac={float(hit_frac):.3f}")
 
     t0 = time.time()
-    s1, _ = jf(1, scene, tree)
+    s1, _ = jf(1, scene, tree, cam)
     s1 = float(s1)
     t_1 = time.time() - t0
     t0 = time.time()
-    sk, _ = jf(1 + reps, scene, tree)
+    sk, _ = jf(1 + reps, scene, tree, cam)
     sk = float(sk)
     t_k = time.time() - t0
     best = max((t_k - t_1) / reps, 1e-9)
