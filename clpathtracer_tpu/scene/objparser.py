@@ -151,9 +151,35 @@ def parse_obj(text: str, mtl_loader=None):
             "albedo": albedo, "emission": emission}
 
 
+def _apply_materials(nf: int, tri_mat, mat_names, mtllib_names, mtl_loader):
+    """Resolve mtllib files + per-tri material ids → albedo/emission
+    arrays (the Python half of the native parse: file IO and Kd/Ke
+    lookup run once per material, not per line)."""
+    materials: dict = {}
+    if mtl_loader is not None:
+        for name in mtllib_names:
+            try:
+                materials.update(parse_mtl(mtl_loader(name)))
+            except OSError:
+                pass  # missing .mtl is non-fatal (skip-bad-asset)
+    albedo = np.full((nf, 3), 0.75, np.float32)
+    emission = np.zeros((nf, 3), np.float32)
+    for mid, name in enumerate(mat_names):
+        if name in materials:
+            sel = tri_mat == mid
+            albedo[sel] = materials[name]["Kd"]
+            emission[sel] = materials[name]["Ke"]
+    return albedo, emission
+
+
 def load_obj(path: str):
     """Read and parse an OBJ file (reference entry: src/model.c:74-145),
-    resolving `mtllib` records relative to the OBJ's directory."""
+    resolving `mtllib` records relative to the OBJ's directory.
+
+    Uses the native C++ scanner (scene/native/, ~20x the line rate of the
+    Python parser — the reference's tinyobj analogue) when it compiles,
+    falling back to parse_obj otherwise.
+    """
     import os
     base = os.path.dirname(os.path.abspath(path))
 
@@ -163,4 +189,15 @@ def load_obj(path: str):
             return fh.read()
 
     with open(path, "r", encoding="utf-8", errors="replace") as fh:
-        return parse_obj(fh.read(), mtl_loader=mtl_loader)
+        text = fh.read()
+
+    try:
+        from clpathtracer_tpu.scene import native as obj_native
+        geo, tri_mat, mats, libs = obj_native.parse_obj_native(text)
+        albedo, emission = _apply_materials(
+            geo["faces"].shape[0], tri_mat, mats, libs, mtl_loader)
+        return {**geo, "albedo": albedo, "emission": emission}
+    except Exception:
+        # native unavailable OR malformed input: the Python parser is the
+        # arbiter (its ObjParseError messages are the contract)
+        return parse_obj(text, mtl_loader=mtl_loader)

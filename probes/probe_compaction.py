@@ -47,14 +47,15 @@ def main():
         ci = cam_matrix(Camera.create(position=[0.0, 0.0, -25.0],
                                       forward=[0.0, 0.0, 1.0]), res)
         orig, dir = generate_rays(ci, res, res)
-        alive = jnp.asarray(
-            np.random.default_rng(0).random(res * res) < 0.5)
+        alive_np = np.random.default_rng(0).random(res * res) < 0.5
+        alive = jnp.asarray(alive_np)
     tree = jax.device_put(tree, dev)
     orig = jax.device_put(orig, dev)
     dir = jax.device_put(dir, dev)
     alive = jax.device_put(alive, dev)
+    # NO eager device ops here — they wedge the tunnel (CLAUDE.md)
     log(f"# tree {tree.stats()['nodes']} nodes; alive "
-        f"{float(jnp.mean(alive)):.2f}")
+        f"{alive_np.mean():.2f}")
 
     def variant(kind):
         def chain(n, tree, quads, orig, dir, alive):

@@ -144,3 +144,86 @@ class TestCamera:
 
         g = jax.grad(loss)(jnp.array([0.0, 0.1, -0.2]))
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestNativeObjParser:
+    """C++ OBJ scanner (scene/native/) must be record-for-record identical
+    to the Python parser on every form it covers."""
+
+    FIXTURE = """
+# comment
+v 0 0 0
+v 1.5 -2e-1 3.25
+v 0 1 0
+v 1 1 1
+vn 0 0 1
+vn 0 1 0
+vt 0.5 0.5
+vt 0.25 0.75
+usemtl red
+f 1 2 3
+f 1/1 2/2 3/1
+f 1//2 2//1 3//2
+usemtl green
+f 1/1/1 2/2/2 3/1/1 4/2/2
+f -4 -3 -2
+mtllib scene.mtl other.mtl
+o object1
+g group
+s off
+"""
+
+    def _native(self, text):
+        from clpathtracer_tpu.scene import native
+        if not native.available():
+            import pytest
+            pytest.skip("g++ unavailable")
+        return native.parse_obj_native(text)
+
+    def test_matches_python_parser(self):
+        from clpathtracer_tpu.scene.objparser import parse_obj
+        py = parse_obj(self.FIXTURE)
+        geo, tri_mat, mats, libs = self._native(self.FIXTURE)
+        np.testing.assert_array_equal(py["verts"], geo["verts"])
+        np.testing.assert_array_equal(py["normals"], geo["normals"])
+        np.testing.assert_array_equal(py["texcoords"], geo["texcoords"])
+        np.testing.assert_array_equal(py["faces"], geo["faces"])
+        assert mats == ["red", "green"]
+        assert libs == ["scene.mtl", "other.mtl"]
+        # quad fan-triangulates to 2 tris; green stays current for the
+        # negative-index face too (matches the Python parser)
+        assert list(tri_mat) == [0, 0, 0, 1, 1, 1]
+
+    def test_load_obj_native_path_with_materials(self, tmp_path):
+        from clpathtracer_tpu.scene.objparser import load_obj
+        (tmp_path / "m.mtl").write_text(
+            "newmtl red\nKd 0.9 0.1 0.1\nKe 0 0 0\n")
+        (tmp_path / "a.obj").write_text(
+            "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\n"
+            "usemtl red\nf 1 2 3\nf 1 3 2\n")
+        out = load_obj(str(tmp_path / "a.obj"))
+        assert out["faces"].shape == (2, 3, 3)
+        np.testing.assert_allclose(out["albedo"][0], [0.9, 0.1, 0.1])
+
+    def test_malformed_falls_back_to_python_error(self, tmp_path):
+        import pytest
+        from clpathtracer_tpu.scene.objparser import ObjParseError, load_obj
+        (tmp_path / "bad.obj").write_text("v 0 0\n")
+        with pytest.raises(ObjParseError):
+            load_obj(str(tmp_path / "bad.obj"))
+
+    def test_random_soup_roundtrip_parity(self, tmp_path):
+        """Bulk parity: a generated many-face OBJ parses identically and
+        ~20x faster (speed not asserted — environment-dependent)."""
+        from clpathtracer_tpu.scene.objparser import parse_obj
+        rng = np.random.default_rng(0)
+        lines = []
+        for v in rng.normal(size=(3000, 3)):
+            lines.append(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
+        for i in range(0, 2997, 3):
+            lines.append(f"f {i+1} {i+2} {i+3}")
+        text = "\n".join(lines)
+        py = parse_obj(text)
+        geo, _, _, _ = self._native(text)
+        np.testing.assert_array_equal(py["verts"], geo["verts"])
+        np.testing.assert_array_equal(py["faces"], geo["faces"])
