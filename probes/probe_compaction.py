@@ -39,6 +39,7 @@ def main():
 
     dev = jax.devices()[0]
     cpu = jax.local_devices(backend="cpu")[0]
+    log("# building scene (cpu)")
     with jax.default_device(cpu):
         scene = random_tri_soup(ntris, seed=0, extent=10.0, tri_size=0.01)
         v0, v1, v2 = scene.tri_verts()
@@ -48,8 +49,12 @@ def main():
                                       forward=[0.0, 0.0, 1.0]), res)
         orig, dir = generate_rays(ci, res, res)
         alive_np = np.random.default_rng(0).random(res * res) < 0.5
-        alive = jnp.asarray(alive_np)
+        # ship as f32 (bool-array transfers have wedged the tunnel);
+        # cast back to bool inside the jitted chain
+        alive = jnp.asarray(alive_np, jnp.float32)
+    log("# putting tree")
     tree = jax.device_put(tree, dev)
+    log("# putting rays")
     orig = jax.device_put(orig, dev)
     dir = jax.device_put(dir, dev)
     alive = jax.device_put(alive, dev)
@@ -58,7 +63,8 @@ def main():
         f"{alive_np.mean():.2f}")
 
     def variant(kind):
-        def chain(n, tree, quads, orig, dir, alive):
+        def chain(n, tree, quads, orig, dir, alive_f):
+            alive = alive_f > 0.5
             def body(i, c):
                 chk = c
                 eps = chk * 1e-38
