@@ -63,8 +63,13 @@ class RenderOptions:
     compact: bool = True       # wavefront wind-down compaction (fast path)
     intersector: str = "wavefront"  # wavefront | packet (Pallas packet
     #   tracer for coherent rays; falls back when the scene exceeds VMEM)
-    sort_bounces: bool = True  # with intersector=packet: Morton/octant-sort
-    #   scattered bounce rays so they too can take the packet engine
+    sort_bounces: bool = False  # with intersector=packet: Morton/octant-
+    #   sort scattered bounce rays before packeting. MEASURED OFF on TPU:
+    #   an XLA sort of 262k keys costs ~6x the traversal it feeds
+    #   (probes/probe_compaction.py). The default bounce path keeps the
+    #   pixel-blocked tile order instead — bounce rays inherit their
+    #   pixels' spatial coherence and dead rays cluster into skippable
+    #   tiles naturally
     packet_tile: int = 1024    # rays per packet (square pixel tiles);
     #   256 favors huge scenes with fat leaves, 1024 small/medium scenes
     nee: bool = False          # path mode: next-event estimation (direct
@@ -110,7 +115,10 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
             tri_block=opts.tri_block, max_iters=opts.max_iters,
             scene_axis=opts.scene_axis,
             packet=(opts.intersector == "packet" and not is_stree),
-            coherent=coherent, packet_tile=opts.packet_tile,
+            # bounce rays keep the blocked-tile path unless the caller
+            # opts into Morton sorting (see RenderOptions.sort_bounces)
+            coherent=(coherent or not opts.sort_bounces),
+            packet_tile=opts.packet_tile,
             image_shape=((opts.height, opts.width)
                          if n == opts.width * opts.height else None),
             active=active)
@@ -132,12 +140,17 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                      else pack_quads(tree.tri_indices, v0, v1, v2))
             from clpathtracer_tpu.ops.packet import (
                 packet_supported, traverse_packet)
-            if (opts.intersector == "packet" and coherent
+            if (opts.intersector == "packet"
+                    and (coherent or not opts.sort_bounces)
                     and packet_supported(tree, orig.shape[0],
                                          opts.packet_tile)):
                 # Pallas packet tracer (ops/packet.py); pass the pixel-grid
                 # shape when the wavefront is a full frame so packets get
-                # square screen tiles
+                # square screen tiles. Bounce rays (coherent=False) take
+                # this path too by default: per-pixel bounce origins stay
+                # spatially coherent within a screen tile, and dead lanes
+                # cluster into tiles the kernel skips — measured far
+                # cheaper than Morton-sorting the wavefront first
                 shape = (opts.height, opts.width) if orig.shape[0] == (
                     opts.width * opts.height) else None
                 rec = traverse_packet(tree, quads, orig, dir,
