@@ -1318,13 +1318,18 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    side = int(math.isqrt(tile))
-    blocked = (image_shape is not None and side * side == tile
-               and image_shape[0] % side == 0 and image_shape[1] % side == 0)
+    # tile → screen-block shape: square when possible, else a 1:2
+    # power-of-two rectangle (tile=512 → 16x32 pixel blocks)
+    th = tw = int(math.isqrt(tile))
+    if th * tw != tile:
+        th = int(math.isqrt(tile // 2))
+        tw = 2 * th
+    blocked = (image_shape is not None and th * tw == tile
+               and image_shape[0] % th == 0 and image_shape[1] % tw == 0)
     if blocked:
         h, w = image_shape
-        orig_b = _blockify(orig, h, w, side, side)
-        dir_b = _blockify(dir, h, w, side, side)
+        orig_b = _blockify(orig, h, w, th, tw)
+        dir_b = _blockify(dir, h, w, th, tw)
     else:
         orig_b, dir_b = orig, dir
 
@@ -1337,7 +1342,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         else:
             act = active.astype(jnp.float32)
             if blocked:
-                act = _blockify(act, h, w, side, side)
+                act = _blockify(act, h, w, th, tw)
         out_t, out_s, tile_stats = _packet_call_stream2(
             _stream_nodes(tree), _pad_rows8(tris16),
             orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
@@ -1359,7 +1364,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         else:
             act = active.astype(jnp.float32)
             if blocked:
-                act = _blockify(act, h, w, side, side)
+                act = _blockify(act, h, w, th, tw)
         if mode == "mxu":
             from clpathtracer_tpu.ops.packet_mxu import (
                 mxu_rows_from_quads, packet_call_mxu)
@@ -1395,8 +1400,8 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
     best_t = out_t[0]
     best_slot = out_s[0].astype(jnp.int32)
     if blocked:
-        best_t = _unblockify(best_t, h, w, side, side)
-        best_slot = _unblockify(best_slot, h, w, side, side)
+        best_t = _unblockify(best_t, h, w, th, tw)
+        best_slot = _unblockify(best_slot, h, w, th, tw)
     hit = best_slot >= 0
     slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
 
