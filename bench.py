@@ -44,6 +44,7 @@ def main():
     nee = bool(int(os.environ.get("BENCH_NEE", "0")))
     intersector = os.environ.get("BENCH_INTERSECTOR", "packet")
     engine = os.environ.get("BENCH_ENGINE", "auto")
+    sort_bounces = bool(int(os.environ.get("BENCH_SORT", "0")))
     # fat leaves favor the packet tracer (dense MT is nearly free; node
     # visits cost); the wavefront prefers small leaves
     leaf_size = int(os.environ.get(
@@ -100,7 +101,7 @@ def main():
     opts = RenderOptions(width=width, height=height, mode=mode,
                          bounces=bounces, use_tree=True, tri_block=4,
                          intersector=intersector, packet_tile=packet_tile,
-                         nee=nee,
+                         nee=nee, sort_bounces=sort_bounces,
                          background=0.0 if mode == "path" else 1.0)
 
     scene = jax.device_put(scene, dev)

@@ -608,143 +608,144 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
     act = a_ref[0:1, :]
     n_act = jnp.sum(act)
 
-    t_ref[:] = jnp.full((1, tile), BIG, jnp.float32)
-    slot_ref[:] = jnp.full((1, tile), -1.0, jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    stats_ref[:] = jnp.where(lane == 2, n_act, 0.0)
 
-    @pl.when(n_act > 0.0)
-    def _run():
-        obnd, ibnd = _packet_bounds_masked(rays, act)
-        _, _, stream_leaf = _chunk_pipeline(tris_ref, tri_buf, tri_sem,
-                                            rays, tile, act_row=act,
-                                            compute_dtype=compute_dtype)
+    # NOTE: no @pl.when around the walk. A conditional region enclosing
+    # DMA issue/wait is exactly the construct that corrupted device state
+    # when fully-dead tiles appeared (path-mode bounces) — instead the
+    # stack seed below is forced empty for a dead tile, so the while loop
+    # runs zero iterations and no DMA is ever issued, unconditionally.
+    obnd, ibnd = _packet_bounds_masked(rays, act)
+    _, _, stream_leaf = _chunk_pipeline(tris_ref, tri_buf, tri_sem,
+                                        rays, tile, act_row=act,
+                                        compute_dtype=compute_dtype)
 
-        # per-axis packet constants for the split-plane interval
-        axinfo = []
-        for ax in range(3):
-            il, ih = ibnd[ax]
-            ol, oh = obnd[ax]
-            axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+    # per-axis packet constants for the split-plane interval
+    axinfo = []
+    for ax in range(3):
+        il, ih = ibnd[ax]
+        ol, oh = obnd[ax]
+        axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
 
-        if layout == "padded":
-            def read6(node):
-                r = node + 1
-                return tuple(nodes_ref[r, j] for j in range(6))
-        else:
-            def read6(node):
-                r = 1 + node // 16
+    if layout == "padded":
+        def read6(node):
+            r = node + 1
+            return tuple(nodes_ref[r, j] for j in range(6))
+    else:
+        def read6(node):
+            r = 1 + node // 16
 
-                def rd(k):
-                    def f():
-                        return tuple(nodes_ref[r, k * 8 + j]
-                                     for j in range(6))
-                    return f
+            def rd(k):
+                def f():
+                    return tuple(nodes_ref[r, k * 8 + j]
+                                 for j in range(6))
+                return f
 
-                return jax.lax.switch(node % 16, [rd(k) for k in range(16)])
+            return jax.lax.switch(node % 16, [rd(k) for k in range(16)])
 
-        # root interval from the header AABB
-        hdr = tuple(nodes_ref[0, j] for j in range(6))
-        rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
-        nstack[0] = 0
-        tlo_stack[0] = rt_lo
-        thi_stack[0] = rt_hi
-        sp0 = ((rt_lo <= rt_hi) & (rt_hi > 0.0)).astype(jnp.int32)
+    # root interval from the header AABB
+    hdr = tuple(nodes_ref[0, j] for j in range(6))
+    rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
+    nstack[0] = 0
+    tlo_stack[0] = rt_lo
+    thi_stack[0] = rt_hi
+    sp0 = ((rt_lo <= rt_hi) & (rt_hi > 0.0)
+           & (n_act > 0.0)).astype(jnp.int32)
 
-        best_t0 = jnp.full((1, tile), BIG, jnp.float32)
-        best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
 
-        def body(state):
-            sp, best_t, best_s, t_upper, nv, nl = state
-            node = nstack[sp - 1]
-            tlo = tlo_stack[sp - 1]
-            thi = thi_stack[sp - 1]
-            sp = sp - 1
-            nv = nv + 1
-            # re-check at pop time: t_upper may have shrunk since push
-            live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
+    def body(state):
+        sp, best_t, best_s, t_upper, nv, nl = state
+        node = nstack[sp - 1]
+        tlo = tlo_stack[sp - 1]
+        thi = thi_stack[sp - 1]
+        sp = sp - 1
+        nv = nv + 1
+        # re-check at pop time: t_upper may have shrunk since push
+        live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
 
-            def visit(sp, best_t, best_s, t_upper, nl):
-                flags_f, split, cl_f, ch_f, qs_f, cnt_f = read6(node)
-                flags = flags_f.astype(jnp.int32)
-                is_leaf = flags >= 4
+        def visit(sp, best_t, best_s, t_upper, nl):
+            flags_f, split, cl_f, ch_f, qs_f, cnt_f = read6(node)
+            flags = flags_f.astype(jnp.int32)
+            is_leaf = flags >= 4
 
-                def leaf_case(sp, best_t, best_s, t_upper, nl):
-                    best_t, best_s, nch = stream_leaf(
-                        qs_f.astype(jnp.int32), cnt_f.astype(jnp.int32),
-                        best_t, best_s)
-                    # the t_upper refresh reads a VPU reduction into a
-                    # scalar — a hard scalar-core sync on the vector
-                    # pipeline. Refreshing on every 4th node visit keeps
-                    # pruning nearly as tight at a quarter of the stalls
-                    # (a stale t_upper is only ever conservative).
-                    t_up = jax.lax.cond(
-                        (nv & 3) == 0,
-                        lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
-                        lambda: t_upper)
-                    return sp, best_t, best_s, t_up, nl + nch
+            def leaf_case(sp, best_t, best_s, t_upper, nl):
+                best_t, best_s, nch = stream_leaf(
+                    qs_f.astype(jnp.int32), cnt_f.astype(jnp.int32),
+                    best_t, best_s)
+                # the t_upper refresh reads a VPU reduction into a
+                # scalar — a hard scalar-core sync on the vector
+                # pipeline. Refreshing on every 4th node visit keeps
+                # pruning nearly as tight at a quarter of the stalls
+                # (a stale t_upper is only ever conservative).
+                t_up = jax.lax.cond(
+                    (nv & 3) == 0,
+                    lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
+                    lambda: t_upper)
+                return sp, best_t, best_s, t_up, nl + nch
 
-                def split_case(sp, best_t, best_s, t_upper, nl):
-                    il, ih, ol, oh, uni, nlo = jax.lax.switch(
-                        flags & 3,
-                        [lambda i=i: axinfo[i] for i in range(3)])
-                    c1 = (split - ol) * il
-                    c2 = (split - ol) * ih
-                    c3 = (split - oh) * il
-                    c4 = (split - oh) * ih
-                    tp_min = jnp.minimum(jnp.minimum(c1, c2),
-                                         jnp.minimum(c3, c4))
-                    tp_max = jnp.maximum(jnp.maximum(c1, c2),
-                                         jnp.maximum(c3, c4))
-                    tp_min = jnp.where(uni, tp_min, -INV_BIG)
-                    tp_max = jnp.where(uni, tp_max, INV_BIG)
-                    cl = cl_f.astype(jnp.int32)
-                    ch = ch_f.astype(jnp.int32)
-                    near = jnp.where(nlo, cl, ch)
-                    far = jnp.where(nlo, ch, cl)
-                    far_lo = jnp.maximum(tlo, tp_min)
-                    near_hi = jnp.minimum(thi, tp_max)
-                    # far pushed first, near last → near popped first
-                    push_far = far_lo <= jnp.minimum(thi, t_upper)
+            def split_case(sp, best_t, best_s, t_upper, nl):
+                il, ih, ol, oh, uni, nlo = jax.lax.switch(
+                    flags & 3,
+                    [lambda i=i: axinfo[i] for i in range(3)])
+                c1 = (split - ol) * il
+                c2 = (split - ol) * ih
+                c3 = (split - oh) * il
+                c4 = (split - oh) * ih
+                tp_min = jnp.minimum(jnp.minimum(c1, c2),
+                                     jnp.minimum(c3, c4))
+                tp_max = jnp.maximum(jnp.maximum(c1, c2),
+                                     jnp.maximum(c3, c4))
+                tp_min = jnp.where(uni, tp_min, -INV_BIG)
+                tp_max = jnp.where(uni, tp_max, INV_BIG)
+                cl = cl_f.astype(jnp.int32)
+                ch = ch_f.astype(jnp.int32)
+                near = jnp.where(nlo, cl, ch)
+                far = jnp.where(nlo, ch, cl)
+                far_lo = jnp.maximum(tlo, tp_min)
+                near_hi = jnp.minimum(thi, tp_max)
+                # far pushed first, near last → near popped first
+                push_far = far_lo <= jnp.minimum(thi, t_upper)
 
-                    @pl.when(push_far)
-                    def _():
-                        nstack[sp] = far
-                        tlo_stack[sp] = far_lo
-                        thi_stack[sp] = thi
+                @pl.when(push_far)
+                def _():
+                    nstack[sp] = far
+                    tlo_stack[sp] = far_lo
+                    thi_stack[sp] = thi
 
-                    sp = sp + push_far.astype(jnp.int32)
-                    push_near = tlo <= jnp.minimum(near_hi, t_upper)
+                sp = sp + push_far.astype(jnp.int32)
+                push_near = tlo <= jnp.minimum(near_hi, t_upper)
 
-                    @pl.when(push_near)
-                    def _():
-                        nstack[sp] = near
-                        tlo_stack[sp] = tlo
-                        thi_stack[sp] = near_hi
+                @pl.when(push_near)
+                def _():
+                    nstack[sp] = near
+                    tlo_stack[sp] = tlo
+                    thi_stack[sp] = near_hi
 
-                    sp = sp + push_near.astype(jnp.int32)
-                    return sp, best_t, best_s, t_upper, nl
+                sp = sp + push_near.astype(jnp.int32)
+                return sp, best_t, best_s, t_upper, nl
 
-                return jax.lax.cond(is_leaf, leaf_case, split_case,
-                                    sp, best_t, best_s, t_upper, nl)
+            return jax.lax.cond(is_leaf, leaf_case, split_case,
+                                sp, best_t, best_s, t_upper, nl)
 
-            sp, best_t, best_s, t_upper, nl = jax.lax.cond(
-                live, visit,
-                lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
-                sp, best_t, best_s, t_upper, nl)
-            return sp, best_t, best_s, t_upper, nv, nl
+        sp, best_t, best_s, t_upper, nl = jax.lax.cond(
+            live, visit,
+            lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
+            sp, best_t, best_s, t_upper, nl)
+        return sp, best_t, best_s, t_upper, nv, nl
 
-        _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
-            lambda st: st[0] > 0, body,
-            (sp0, best_t0, best_s0, jnp.float32(BIG), jnp.int32(0),
-             jnp.int32(0)))
+    _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
+        lambda st: st[0] > 0, body,
+        (sp0, best_t0, best_s0, jnp.float32(BIG), jnp.int32(0),
+         jnp.int32(0)))
 
-        t_ref[:] = best_t
-        slot_ref[:] = best_s
-        stats_ref[:] = jnp.where(
-            lane == 0, nv.astype(jnp.float32),
-            jnp.where(lane == 1, nl.astype(jnp.float32),
-                      jnp.where(lane == 2, n_act, 0.0)))
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+    stats_ref[:] = jnp.where(
+        lane == 0, nv.astype(jnp.float32),
+        jnp.where(lane == 1, nl.astype(jnp.float32),
+                  jnp.where(lane == 2, n_act, 0.0)))
 
 
 def _machine_init(tile):
