@@ -44,7 +44,7 @@ def main():
     nee = bool(int(os.environ.get("BENCH_NEE", "0")))
     intersector = os.environ.get("BENCH_INTERSECTOR", "packet")
     engine = os.environ.get("BENCH_ENGINE", "auto")
-    sort_bounces = bool(int(os.environ.get("BENCH_SORT", "0")))
+    sort_bounces = bool(int(os.environ.get("BENCH_SORT", "1")))
     # fat leaves favor the packet tracer (dense MT is nearly free; node
     # visits cost); the wavefront prefers small leaves
     leaf_size = int(os.environ.get(

@@ -63,13 +63,15 @@ class RenderOptions:
     compact: bool = True       # wavefront wind-down compaction (fast path)
     intersector: str = "wavefront"  # wavefront | packet (Pallas packet
     #   tracer for coherent rays; falls back when the scene exceeds VMEM)
-    sort_bounces: bool = False  # with intersector=packet: Morton/octant-
-    #   sort scattered bounce rays before packeting. MEASURED OFF on TPU:
-    #   an XLA sort of 262k keys costs ~6x the traversal it feeds
-    #   (probes/probe_compaction.py). The default bounce path keeps the
-    #   pixel-blocked tile order instead — bounce rays inherit their
-    #   pixels' spatial coherence and dead rays cluster into skippable
-    #   tiles naturally
+    sort_bounces: bool = True  # with intersector=packet: Morton/octant-
+    #   sort scattered bounce rays before packeting. Measured end-to-end
+    #   at 1M tris 512² on v5e (bench.py): path 2-bounce frame 1.98 s
+    #   sorted vs 12.5 s pixel-blocked (incoherent directions defeat
+    #   packet culling — near-full-tree enumeration per tile); mirror
+    #   3-bounce 4.5 s sorted, blocked crashes the TPU worker in chained
+    #   frames (open hardware issue — see docs/ARCHITECTURE.md). False
+    #   keeps the blocked path (cheap only while bounce directions stay
+    #   screen-coherent, and currently unsafe for chained mirror frames)
     packet_tile: int = 1024    # rays per packet (square pixel tiles);
     #   256 favors huge scenes with fat leaves, 1024 small/medium scenes
     nee: bool = False          # path mode: next-event estimation (direct
@@ -146,11 +148,10 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                                          opts.packet_tile)):
                 # Pallas packet tracer (ops/packet.py); pass the pixel-grid
                 # shape when the wavefront is a full frame so packets get
-                # square screen tiles. Bounce rays (coherent=False) take
-                # this path too by default: per-pixel bounce origins stay
-                # spatially coherent within a screen tile, and dead lanes
-                # cluster into tiles the kernel skips — measured far
-                # cheaper than Morton-sorting the wavefront first
+                # square screen tiles. (With sort_bounces=False, bounce
+                # rays also land here in pixel-blocked order — measured
+                # 6x slower than the sorted branch below for diffuse
+                # bounces, and unsafe for chained mirror frames.)
                 shape = (opts.height, opts.width) if orig.shape[0] == (
                     opts.width * opts.height) else None
                 rec = traverse_packet(tree, quads, orig, dir,
