@@ -48,9 +48,13 @@ BIG = 3.4e38
 TILE = 1024          # default rays per packet: 8 sublanes x 128 lanes
 STACK_DEPTH = 128
 VMEM_BUDGET = 12 * 1024 * 1024
-# [CHUNK_ROWS, 128] tri rows per leaf DMA = CHUNK_ROWS*8 triangles;
-# 8 rows = 64 tris. Tunable for experiments (CLPT_CHUNK_ROWS).
-CHUNK_ROWS = int(_os.environ.get("CLPT_CHUNK_ROWS", "8"))
+# [CHUNK_ROWS, 128] tri rows per leaf DMA = CHUNK_ROWS*8 triangles.
+# Measured on v5e (1M tris, 512², leaf 512 / tile 256): 8 rows (64 tris)
+# 78.6 ms, 16 rows (128 tris) 71.7 ms soup / 63.6 ms terrain, 32 rows
+# 80.9 ms — 16 halves the per-chunk loop+DMA overhead without starving
+# the double buffer, 32 overshoots (first-chunk latency uncovered).
+# Tunable for experiments (CLPT_CHUNK_ROWS).
+CHUNK_ROWS = int(_os.environ.get("CLPT_CHUNK_ROWS", "16"))
 INV_BIG = 1e30
 
 
