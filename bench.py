@@ -170,7 +170,8 @@ def main():
 
             tstats = np.asarray(jax.jit(stats_fn)(scene, tree))
             nv, nl = tstats[:, 0], tstats[:, 1]
-            chunk_tris = 128 if kmode == "mxu" else 64
+            from clpathtracer_tpu.ops.packet import CHUNK_ROWS
+            chunk_tris = 128 if kmode == "mxu" else CHUNK_ROWS * 8
             detail.update({
                 "node_visits_per_tile": float(nv.mean()),
                 "leaf_chunks_per_tile": float(nl.mean()),
@@ -181,6 +182,9 @@ def main():
                 "hbm_gb_per_frame": float(nl.sum()) * chunk_tris * 64 / 1e9,
                 "node_pops_per_s": float(nv.sum()) / best,
             })
+            if tstats.shape[1] > 3:
+                detail["culled_windows_per_tile"] = float(
+                    tstats[:, 3].mean())
             log(f"# denominators: nv/tile={nv.mean():.1f} "
                 f"chunks/tile={nl.mean():.1f} "
                 f"tests/ray={detail['tri_tests_per_ray']:.0f}")

@@ -68,6 +68,15 @@ class FlatKdTree:
     #   differentiable path ignores it and re-packs from live verts
     wide_table: jnp.ndarray = None  # [S, 128] f32 8-wide supernode rows
     #   (accel/wide.py) for the wide packet kernel; built for leaf_size>=8
+    chunk_start: jnp.ndarray = None  # [N] i32 per-node index of the first
+    #   leaf-DMA-window AABB in chunk_bnd (0 for split nodes); lets the
+    #   stream packet kernel cull whole triangle chunks against the packet
+    #   interval before intersecting them
+    chunk_bnd: jnp.ndarray = None  # [ceil(W/16), 128] f32 per-DMA-window
+    #   AABBs, 16 windows per 128-lane row (8 lanes each: lo xyz, hi xyz,
+    #   pad 2); windows follow ops/packet.py stream_leaf's exact clamped
+    #   CHUNK_ROWS grid, so bounds conservatively cover window overhang
+    #   into neighboring leaves
 
     @property
     def num_nodes(self) -> int:
@@ -305,22 +314,34 @@ def tree_from_node_table(table: np.ndarray, tri_indices: np.ndarray,
     assert tri_indices.shape[0] < (1 << 24), (
         f"{tri_indices.shape[0]} tri slots overflows f32-exact int range")
     flags = table[:, 7].astype(np.int32)
-    return FlatKdTree(
+    is_leaf = flags >= 4
+    leaf_start = table[:, 10].astype(np.int32) * 4
+    leaf_count = table[:, 11].astype(np.int32)
+    if tri_verts is not None:
+        # within-leaf Morton order → compact DMA windows for chunk culling
+        tri_indices = sort_leaf_tris_spatial(
+            tri_indices, leaf_start, leaf_count, is_leaf,
+            table[:, 0:3], table[:, 3:6],
+            np.asarray(tri_verts, np.float64).mean(axis=1))
+    tree = FlatKdTree(
         node_min=jnp.asarray(table[:, 0:3]),
         node_max=jnp.asarray(table[:, 3:6]),
-        is_leaf=jnp.asarray(flags >= 4),
+        is_leaf=jnp.asarray(is_leaf),
         split_axis=jnp.asarray(flags & 3),
         split_value=jnp.asarray(table[:, 6]),
         child_lo=jnp.asarray(table[:, 8].astype(np.int32)),
         child_hi=jnp.asarray(table[:, 9].astype(np.int32)),
-        leaf_start=jnp.asarray(table[:, 10].astype(np.int32) * 4),
-        leaf_count=jnp.asarray(table[:, 11].astype(np.int32)),
+        leaf_start=jnp.asarray(leaf_start),
+        leaf_count=jnp.asarray(leaf_count),
         ropes=jnp.asarray(table[:, 12:18].astype(np.int32)),
         tri_indices=jnp.asarray(tri_indices),
         node_table=jnp.asarray(table),
         quads=(jnp.asarray(pack_quads_host(tri_indices, tri_verts))
                if tri_verts is not None else None),
     )
+    if tree.quads is not None:
+        tree = attach_chunk_info(tree)
+    return tree
 
 
 def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
@@ -399,6 +420,10 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
     if tri_block == 4:
         from clpathtracer_tpu.ops.traverse_fast import pack_node_table
         node_table = jnp.asarray(pack_node_table(arrays))
+        tri_indices = sort_leaf_tris_spatial(
+            tri_indices, arrays["leaf_start"], arrays["leaf_count"],
+            arrays["is_leaf"], arrays["node_min"], arrays["node_max"],
+            tri_verts.mean(axis=1))
         quads = jnp.asarray(pack_quads_host(tri_indices, tri_verts))
 
     tree = FlatKdTree(
@@ -419,6 +444,8 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
     if tri_block == 4 and leaf_size >= 8:
         from clpathtracer_tpu.accel.wide import build_wide_table
         tree = tree.replace(wide_table=jnp.asarray(build_wide_table(tree)))
+    if tree.quads is not None:
+        tree = attach_chunk_info(tree)
     return tree
 
 
@@ -439,3 +466,148 @@ def _pad_leaves(tri_indices: np.ndarray, arrays: dict, block: int):
     arrays = dict(arrays)
     arrays["leaf_start"] = new_starts.astype(np.int32)
     return np.asarray(new_indices, np.int32), arrays
+
+
+# ---------------------------------------------------------------------------
+# stream-kernel chunk culling: within-leaf spatial sort + DMA-window bounds
+# ---------------------------------------------------------------------------
+
+
+def _morton10(q: np.ndarray) -> np.ndarray:
+    """Interleave 3x10-bit ints [K, 3] into 30-bit Morton codes."""
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+
+
+def sort_leaf_tris_spatial(tri_indices: np.ndarray, leaf_start: np.ndarray,
+                           leaf_count: np.ndarray, is_leaf: np.ndarray,
+                           node_min: np.ndarray, node_max: np.ndarray,
+                           centroids: np.ndarray) -> np.ndarray:
+    """Reorder each leaf's triangle list by Morton code of the triangle
+    centroid within the leaf's AABB, keeping -1 pad slots at the segment
+    tail. Consecutive DMA windows of a leaf then cover spatially compact
+    sub-volumes, which is what makes per-window AABBs (chunk_bounds_host)
+    tight enough for the packet kernel to cull. Changes only the order
+    within leaves — exact-t tie winners may shift (documented freedom) —
+    and only in leaves spanning more than one DMA window (smaller leaves
+    gain nothing from the sort, so they keep build order and the golden
+    tie-break parity with the brute-force oracle).
+    """
+    idx = np.asarray(tri_indices)
+    t = idx.shape[0]
+    if t == 0:
+        return idx
+    from clpathtracer_tpu.ops.packet import CHUNK_ROWS
+    # per-slot owning leaf (segments are contiguous in node preorder)
+    leaves = np.flatnonzero(np.asarray(is_leaf))
+    starts = np.asarray(leaf_start)[leaves]
+    order = np.argsort(starts, kind="stable")
+    leaves, starts = leaves[order], starts[order]
+    seg_of_slot = np.searchsorted(starts, np.arange(t), side="right") - 1
+    lo = np.asarray(node_min)[leaves][seg_of_slot]
+    hi = np.asarray(node_max)[leaves][seg_of_slot]
+    pad = idx < 0
+    c = centroids[np.maximum(idx, 0)]
+    ext = np.maximum(hi - lo, 1e-30)
+    q = np.clip(((c - lo) / ext) * 1023.0, 0.0, 1023.0).astype(np.uint32)
+    key = _morton10(q)
+    key[pad] = np.uint64(0xFFFFFFFFFFFFFFFF)  # pads stay at the tail
+    # single-window leaves: preserve build order (slot index as key)
+    counts = np.asarray(leaf_count)[leaves][seg_of_slot]
+    small = counts <= CHUNK_ROWS * 8
+    key[small] = np.arange(t, dtype=np.uint64)[small]
+    perm = np.lexsort((key, seg_of_slot))
+    return idx[perm]
+
+
+def chunk_bounds_host(tri_indices: np.ndarray, leaf_start: np.ndarray,
+                      leaf_count: np.ndarray, is_leaf: np.ndarray,
+                      vmin_c: np.ndarray, vmax_c: np.ndarray,
+                      chunk_rows: int):
+    """Per-node chunk_start [N] i32 and packed per-window AABBs
+    [ceil(W/16), 128] f32 for the stream kernel's leaf-DMA windows.
+
+    Replicates ops/packet.py stream_leaf's window grid EXACTLY (row0 =
+    first_tri//8, windows of `chunk_rows` quad-rows, clamped at the padded
+    table end), so window b of leaf L is rows
+    [min(row0 + b*chunk_rows, n_rows - chunk_rows), +chunk_rows). Bounds
+    cover every real triangle in the window — including overhang into
+    neighboring leaves — making the cull conservative. Empty windows get
+    inverted boxes (+BIG/-BIG) and always cull.
+    """
+    idx = np.asarray(tri_indices)
+    n_nodes = np.asarray(leaf_start).shape[0]
+    t = idx.shape[0]
+    # padded DMA table size (ops/packet.py _pad_rows8)
+    target = max((t + 7) // 8 * 8, chunk_rows * 8)
+    n_rows = target // 8
+    # per-slot AABB (pad slots inverted-empty)
+    big = np.float32(3.4e38)
+    slot_lo = np.full((target, 3), big, np.float32)
+    slot_hi = np.full((target, 3), -big, np.float32)
+    real = idx >= 0
+    slot_lo[:t][real] = vmin_c[idx[real]].astype(np.float32)
+    slot_hi[:t][real] = vmax_c[idx[real]].astype(np.float32)
+
+    starts = np.asarray(leaf_start).astype(np.int64)
+    counts = np.asarray(leaf_count).astype(np.int64)
+    leaf_mask = np.asarray(is_leaf)
+    row0 = starts // 8
+    row_end = (starts + counts + 7) // 8
+    nchunks = np.where(leaf_mask & (counts > 0),
+                       (row_end - row0 + chunk_rows - 1) // chunk_rows, 0)
+    chunk_start = np.zeros(n_nodes, np.int64)
+    chunk_start[1:] = np.cumsum(nchunks)[:-1]
+    w_total = int(nchunks.sum())
+    assert w_total < (1 << 24), f"{w_total} chunk windows overflow f32 ids"
+
+    # window -> clamped first row
+    win_leaf = np.repeat(np.arange(n_nodes), nchunks)
+    win_b = np.arange(w_total) - chunk_start[win_leaf]
+    win_r0 = np.minimum(row0[win_leaf] + win_b * chunk_rows,
+                        n_rows - chunk_rows)
+    # reduce slot AABBs over each window's chunk_rows*8 slots
+    span = chunk_rows * 8
+    sl = win_r0[:, None] * 8 + np.arange(span)[None, :]
+    w_lo = slot_lo[sl].min(axis=1)          # [W, 3]
+    w_hi = slot_hi[sl].max(axis=1)
+
+    w_pad = (-w_total) % 16
+    bnd = np.zeros((w_total + w_pad, 8), np.float32)
+    bnd[:, 0:3] = big
+    bnd[:, 3:6] = -big
+    bnd[:w_total, 0:3] = w_lo
+    bnd[:w_total, 3:6] = w_hi
+    return (chunk_start.astype(np.int32), bnd.reshape(-1, 128))
+
+
+def attach_chunk_info(tree: FlatKdTree) -> FlatKdTree:
+    """Compute + attach chunk_start/chunk_bnd for the stream packet
+    kernel's chunk culling. Host-side; requires quads (tri_block=4).
+    Window grid granularity comes from ops/packet.py CHUNK_ROWS at call
+    time — trees cache it via the build-params record (scene/cache.py)."""
+    if tree.quads is None:
+        return tree
+    from clpathtracer_tpu.ops.packet import CHUNK_ROWS
+    rows16 = np.asarray(tree.quads).reshape(-1, 16)
+    idx = rows16[:, 9].astype(np.int64)  # tri id lane (-1 = pad)
+    v0 = rows16[:, 0:3]
+    p1 = v0 + rows16[:, 3:6]
+    p2 = v0 + rows16[:, 6:9]
+    vmin = np.minimum(np.minimum(v0, p1), p2)
+    vmax = np.maximum(np.maximum(v0, p1), p2)
+    # chunk_bounds_host indexes per-TRI extremes by tri id; here bounds are
+    # already per-slot, so feed an identity id list for real slots
+    slot_ids = np.where(idx >= 0, np.arange(idx.shape[0]), -1)
+    cs, bnd = chunk_bounds_host(
+        slot_ids, np.asarray(tree.leaf_start), np.asarray(tree.leaf_count),
+        np.asarray(tree.is_leaf), vmin, vmax, CHUNK_ROWS)
+    return tree.replace(chunk_start=jnp.asarray(cs),
+                        chunk_bnd=jnp.asarray(bnd))

@@ -357,7 +357,56 @@ def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile, act_row=None,
             0, nchunks, chunk_body, (best_t, best_s))
         return best_t, best_s, nchunks
 
-    return start_chunk, mt_chunk, stream_leaf
+    def stream_leaf_culled(qstart, count, win0, surv, best_t, best_s):
+        """stream_leaf, but each DMA window is first tested with `surv`
+        (a scalar window-id → bool packet-interval test against the
+        window's AABB, see _kernel_stream) and skipped wholesale when the
+        packet can't hit it — the chunk-culling half of the fat-leaf
+        bargain. The prefetch tracks the NEXT SURVIVING window, so the
+        double buffer still hides the DMA, and every started transfer is
+        waited exactly once (b0 and every bn < nchunks are both started
+        and later the loop's current chunk; a bn == nchunks is never
+        started). Returns (best_t, best_s, streamed, nchunks)."""
+        first_tri = qstart * 4
+        row0 = first_tri // 8
+        row_end = (first_tri + count + 7) // 8
+        nchunks = (row_end - row0 + CHUNK_ROWS - 1) // CHUNK_ROWS
+
+        def row_of(b):
+            return jnp.minimum(row0 + b * CHUNK_ROWS,
+                               n_chunk_rows - CHUNK_ROWS)
+
+        def next_surv(b):
+            # first surviving window index >= b, or nchunks. surv() is
+            # also evaluated at i == nchunks before the & short-circuits
+            # (it doesn't) — surv clamps its read in-bounds.
+            return jax.lax.while_loop(
+                lambda i: (i < nchunks) & jnp.logical_not(surv(win0 + i)),
+                lambda i: i + 1, b)
+
+        b0 = next_surv(jnp.int32(0))
+
+        @pl.when(b0 < nchunks)
+        def _():
+            start_chunk(row_of(b0), 0)
+
+        def chunk_body(state):
+            b, par, bt, bs, ns = state
+            bn = next_surv(b + 1)
+
+            @pl.when(bn < nchunks)
+            def _():
+                start_chunk(row_of(bn), 1 - par)
+
+            bt, bs = mt_chunk(row_of(b), par, bt, bs)
+            return bn, 1 - par, bt, bs, ns + 1
+
+        _, _, best_t, best_s, streamed = jax.lax.while_loop(
+            lambda st: st[0] < nchunks, chunk_body,
+            (b0, jnp.int32(0), best_t, best_s, jnp.int32(0)))
+        return best_t, best_s, streamed, nchunks
+
+    return start_chunk, mt_chunk, stream_leaf, stream_leaf_culled
 
 
 def _write_stats(stats_ref, nv, nl):
@@ -499,7 +548,7 @@ def _kernel_tri_stream(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
     double-buffered chunk pipeline."""
     rays = _ray_rows(o_ref, d_ref)
     obnd, ibnd = _packet_bounds(rays)
-    _, _, stream_leaf = _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays,
+    _, _, stream_leaf, _ = _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays,
                                         tile)
 
     def do_leaf(fields, best_t, best_s, t_upper, nl):
@@ -524,7 +573,7 @@ def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
     from HBM with the shared double-buffered chunk pipeline."""
     rays = _ray_rows(o_ref, d_ref)
     obnd, ibnd = _packet_bounds(rays)
-    _, _, stream_leaf = _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays,
+    _, _, stream_leaf, _ = _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays,
                                         tile)
 
     best_t0 = jnp.full((1, tile), BIG, jnp.float32)
@@ -583,9 +632,8 @@ def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
     _write_stats(stats_ref, nv, nl)
 
 
-def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
-                   stats_ref, nstack, tlo_stack, thi_stack, tri_buf, tri_sem,
-                   *, tile, layout, compute_dtype=jnp.float32):
+def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
+                   tile, layout, compute_dtype=jnp.float32, cull=False):
     """"stream" engine (v2): interval-arithmetic packet walk + HBM leaf
     streaming + active-lane masking.
 
@@ -607,7 +655,22 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
     acceptance ignore dead lanes, and a fully-dead tile skips traversal
     entirely (~µs) — the per-tile half of wavefront compaction (the
     integrator sorts dead rays to the tail, ops/sort.py).
+
+    cull=True adds a per-DMA-window AABB input (cbnd_ref, 16 windows per
+    128-lane row; accel/sah.py chunk_bounds_host) and each leaf's windows
+    are interval-tested before streaming — a window whose box interval
+    misses [t_lo, min(t_hi, t_upper)] is skipped wholesale. Safe because
+    any hit beyond the leaf interval lies in a neighboring leaf's volume
+    and that leaf's list contains the triangle (straddler duplication) —
+    the same invariant the interval walk itself relies on.
     """
+    if cull:
+        (cbnd_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
+         thi_stack, tri_buf, tri_sem) = refs
+    else:
+        cbnd_ref = None
+        (t_ref, slot_ref, stats_ref, nstack, tlo_stack, thi_stack,
+         tri_buf, tri_sem) = refs
     rays = _ray_rows(o_ref, d_ref)
     act = a_ref[0:1, :]
     n_act = jnp.sum(act)
@@ -620,9 +683,23 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
     # stack seed below is forced empty for a dead tile, so the while loop
     # runs zero iterations and no DMA is ever issued, unconditionally.
     obnd, ibnd = _packet_bounds_masked(rays, act)
-    _, _, stream_leaf = _chunk_pipeline(tris_ref, tri_buf, tri_sem,
-                                        rays, tile, act_row=act,
-                                        compute_dtype=compute_dtype)
+    _, _, stream_leaf, stream_leaf_culled = _chunk_pipeline(
+        tris_ref, tri_buf, tri_sem, rays, tile, act_row=act,
+        compute_dtype=compute_dtype)
+
+    if cull:
+        n_win = cbnd_ref.shape[0] * 16
+
+        def read_cbnd(w):
+            w = jnp.minimum(w, n_win - 1)  # next_surv probes one past
+            r = w // 16
+
+            def rd(k):
+                def f():
+                    return tuple(cbnd_ref[r, k * 8 + j] for j in range(6))
+                return f
+
+            return jax.lax.switch(w % 16, [rd(k) for k in range(16)])
 
     # per-axis packet constants for the split-plane interval
     axinfo = []
@@ -631,10 +708,11 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
         ol, oh = obnd[ax]
         axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
 
+    nf = 7 if cull else 6  # lane 6 carries the node's chunk_start id
     if layout == "padded":
         def read6(node):
             r = node + 1
-            return tuple(nodes_ref[r, j] for j in range(6))
+            return tuple(nodes_ref[r, j] for j in range(nf))
     else:
         def read6(node):
             r = 1 + node // 16
@@ -642,7 +720,7 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
             def rd(k):
                 def f():
                     return tuple(nodes_ref[r, k * 8 + j]
-                                 for j in range(6))
+                                 for j in range(nf))
                 return f
 
             return jax.lax.switch(node % 16, [rd(k) for k in range(16)])
@@ -660,7 +738,7 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
     best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
 
     def body(state):
-        sp, best_t, best_s, t_upper, nv, nl = state
+        sp, best_t, best_s, t_upper, nv, nl, nc = state
         node = nstack[sp - 1]
         tlo = tlo_stack[sp - 1]
         thi = thi_stack[sp - 1]
@@ -669,15 +747,31 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
         # re-check at pop time: t_upper may have shrunk since push
         live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
 
-        def visit(sp, best_t, best_s, t_upper, nl):
-            flags_f, split, cl_f, ch_f, qs_f, cnt_f = read6(node)
+        def visit(sp, best_t, best_s, t_upper, nl, nc):
+            flds = read6(node)
+            flags_f, split, cl_f, ch_f, qs_f, cnt_f = flds[:6]
             flags = flags_f.astype(jnp.int32)
             is_leaf = flags >= 4
 
-            def leaf_case(sp, best_t, best_s, t_upper, nl):
-                best_t, best_s, nch = stream_leaf(
-                    qs_f.astype(jnp.int32), cnt_f.astype(jnp.int32),
-                    best_t, best_s)
+            def leaf_case(sp, best_t, best_s, t_upper, nl, nc):
+                if cull:
+                    win0 = flds[6].astype(jnp.int32)
+
+                    def surv(w):
+                        l0, l1, l2, h0, h1, h2 = read_cbnd(w)
+                        t_en, t_ex = _box_interval(
+                            (l0, l1, l2), (h0, h1, h2), obnd, ibnd)
+                        return ((t_en <= jnp.minimum(thi, t_upper))
+                                & (t_ex >= tlo) & (t_ex > 0.0))
+
+                    best_t, best_s, nch, ntot = stream_leaf_culled(
+                        qs_f.astype(jnp.int32), cnt_f.astype(jnp.int32),
+                        win0, surv, best_t, best_s)
+                    nc = nc + (ntot - nch)
+                else:
+                    best_t, best_s, nch = stream_leaf(
+                        qs_f.astype(jnp.int32), cnt_f.astype(jnp.int32),
+                        best_t, best_s)
                 # the t_upper refresh reads a VPU reduction into a
                 # scalar — a hard scalar-core sync on the vector
                 # pipeline. Refreshing on every 4th node visit keeps
@@ -687,9 +781,9 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
                     (nv & 3) == 0,
                     lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
                     lambda: t_upper)
-                return sp, best_t, best_s, t_up, nl + nch
+                return sp, best_t, best_s, t_up, nl + nch, nc
 
-            def split_case(sp, best_t, best_s, t_upper, nl):
+            def split_case(sp, best_t, best_s, t_upper, nl, nc):
                 il, ih, ol, oh, uni, nlo = jax.lax.switch(
                     flags & 3,
                     [lambda i=i: axinfo[i] for i in range(3)])
@@ -728,28 +822,30 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, t_ref, slot_ref,
                     thi_stack[sp] = near_hi
 
                 sp = sp + push_near.astype(jnp.int32)
-                return sp, best_t, best_s, t_upper, nl
+                return sp, best_t, best_s, t_upper, nl, nc
 
             return jax.lax.cond(is_leaf, leaf_case, split_case,
-                                sp, best_t, best_s, t_upper, nl)
+                                sp, best_t, best_s, t_upper, nl, nc)
 
-        sp, best_t, best_s, t_upper, nl = jax.lax.cond(
+        sp, best_t, best_s, t_upper, nl, nc = jax.lax.cond(
             live, visit,
-            lambda sp, bt, bs, tu, nl: (sp, bt, bs, tu, nl),
-            sp, best_t, best_s, t_upper, nl)
-        return sp, best_t, best_s, t_upper, nv, nl
+            lambda sp, bt, bs, tu, nl, nc: (sp, bt, bs, tu, nl, nc),
+            sp, best_t, best_s, t_upper, nl, nc)
+        return sp, best_t, best_s, t_upper, nv, nl, nc
 
-    _, best_t, best_s, _, nv, nl = jax.lax.while_loop(
+    _, best_t, best_s, _, nv, nl, nc = jax.lax.while_loop(
         lambda st: st[0] > 0, body,
         (sp0, best_t0, best_s0, jnp.float32(BIG), jnp.int32(0),
-         jnp.int32(0)))
+         jnp.int32(0), jnp.int32(0)))
 
     t_ref[:] = best_t
     slot_ref[:] = best_s
     stats_ref[:] = jnp.where(
         lane == 0, nv.astype(jnp.float32),
         jnp.where(lane == 1, nl.astype(jnp.float32),
-                  jnp.where(lane == 2, n_act, 0.0)))
+                  jnp.where(lane == 2, n_act,
+                            jnp.where(lane == 3, nc.astype(jnp.float32),
+                                      0.0))))
 
 
 def _machine_init(tile):
@@ -1208,11 +1304,17 @@ def _stream_layout(num_nodes: int) -> str:
 
 def _stream_nodes(tree):
     """Node data for the stream kernel: header row (root AABB) + per-node
-    [flags, split, child_lo, child_hi, quad_start, tri_count, 0, 0]."""
+    [flags, split, child_lo, child_hi, quad_start, tri_count,
+    chunk_start, 0] (chunk_start 0 when the tree carries no chunk-culling
+    tables)."""
     nt = tree.node_table
     m = nt.shape[0]
+    cs = getattr(tree, "chunk_start", None)
+    cs_col = (cs.astype(nt.dtype)[:, None] if cs is not None
+              else jnp.zeros((m, 1), nt.dtype))
     body = jnp.concatenate(
-        [nt[:, 7:8], nt[:, 6:7], nt[:, 8:12], jnp.zeros((m, 2), nt.dtype)],
+        [nt[:, 7:8], nt[:, 6:7], nt[:, 8:12], cs_col,
+         jnp.zeros((m, 1), nt.dtype)],
         axis=1)                                        # [M, 8]
     hdr = jnp.concatenate([nt[0, 0:6], jnp.zeros((2,), nt.dtype)])[None]
     if _stream_layout(m) == "padded":
@@ -1227,15 +1329,21 @@ def _stream_nodes(tree):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile", "layout",
                                              "precision"))
-def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, interpret=False,
-                        tile=TILE, layout="padded", precision="f32"):
+def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
+                        interpret=False, tile=TILE, layout="padded",
+                        precision="f32"):
     specs = _streaming_specs(orig_t.shape[1], tile)
     specs["in_specs"].append(
         pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM))
+    cull = chunk_bnd is not None
+    args = [nodes, tris128, orig_t, dir_t, act]
+    if cull:
+        specs["in_specs"].append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(chunk_bnd)
     cdtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     return pl.pallas_call(
         functools.partial(_kernel_stream, tile=tile, layout=layout,
-                          compute_dtype=cdtype),
+                          compute_dtype=cdtype, cull=cull),
         **specs,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -1245,7 +1353,7 @@ def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, interpret=False,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(nodes, tris128, orig_t, dir_t, act)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
@@ -1381,10 +1489,23 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             out_t = out_t.reshape(1, n)
             out_s = out_s.reshape(1, n)
         else:
+            # chunk culling: skip whole leaf-DMA windows whose AABB the
+            # packet interval can't hit (tree carries the tables when
+            # built with tri_block=4; CLPT_CHUNK_CULL=0 disables)
+            cbnd = getattr(tree, "chunk_bnd", None)
+            m_nodes = tree.node_table.shape[0]
+            if (cbnd is not None
+                    and _os.environ.get("CLPT_CHUNK_CULL", "1") != "1"):
+                cbnd = None
+            if (cbnd is not None and
+                    (1 + (m_nodes + 15) // 16 + cbnd.shape[0]) * 512
+                    > VMEM_BUDGET):
+                cbnd = None
             out_t, out_s, tile_stats = _packet_call_stream(
                 _stream_nodes(tree), _pad_rows8(tris16),
                 orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
-                act[None, :], interpret=interpret, tile=tile,
+                act[None, :], chunk_bnd=cbnd, interpret=interpret,
+                tile=tile,
                 layout=_stream_layout(tree.node_table.shape[0]),
                 precision=precision)
     elif mode == "wide":
@@ -1429,7 +1550,8 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         "steps": jnp.zeros((n,), jnp.int32),
         # per-tile diagnostics: [:, 0] node visits, [:, 1] leaf visits
         # (vmem) / tri chunks DMA'd (streaming engines), [:, 2] active lanes
-        # (stream engine; legacy kernels write 0); kernel emits 8 replicated
-        # sublane rows per tile
-        "tile_stats": tile_stats[::8, :3],
+        # (stream engine; legacy kernels write 0), [:, 3] leaf-DMA windows
+        # skipped by chunk culling (stream engine w/ chunk tables); kernel
+        # emits 8 replicated sublane rows per tile
+        "tile_stats": tile_stats[::8, :4],
     }

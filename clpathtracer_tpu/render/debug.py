@@ -70,7 +70,7 @@ def packet_tile_image(scene, camera, opts: RenderOptions, tree,
 
     from clpathtracer_tpu.ops.packet import traverse_packet
 
-    col = {"nodes": 0, "chunks": 1, "active": 2}[stat]
+    col = {"nodes": 0, "chunks": 1, "active": 2, "culled": 3}[stat]
     side = int(math.isqrt(opts.packet_tile))
     assert side * side == opts.packet_tile, "square tiles only"
     assert opts.height % side == 0 and opts.width % side == 0

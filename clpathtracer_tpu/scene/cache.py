@@ -22,7 +22,8 @@ CACHE_SUFFIX = ".kd.npz"  # the reference's "<model>.kd" (src/model.c:22)
 
 _TREE_FIELDS = ("node_min", "node_max", "is_leaf", "split_axis",
                 "split_value", "child_lo", "child_hi", "leaf_start",
-                "leaf_count", "ropes", "tri_indices", "node_table", "quads", "wide_table")
+                "leaf_count", "ropes", "tri_indices", "node_table", "quads",
+                "wide_table", "chunk_start", "chunk_bnd")
 _SCENE_FIELDS = ("verts", "faces", "normals", "albedo", "emission",
                  "sphere_pos", "sphere_radius", "sphere_albedo",
                  "sphere_emission", "shade_rows")
@@ -111,8 +112,12 @@ def load_model(path: str, tri_block: int = 4, max_depth: int = 24,
             f"{path}: unsupported file type; supported: .obj, .kd, "
             f"{CACHE_SUFFIX}")
 
+    from clpathtracer_tpu.ops.packet import CHUNK_ROWS
     params = {"tri_block": tri_block, "max_depth": max_depth,
-              "leaf_size": leaf_size}
+              "leaf_size": leaf_size,
+              # chunk-culling window grid is baked into the cached tree
+              # (accel/sah.py attach_chunk_info) — invalidate on retune
+              "chunk_rows": CHUNK_ROWS}
     cache = path[:-len(".obj")] + CACHE_SUFFIX
     if use_cache and os.path.exists(cache) and (
             os.path.getmtime(cache) >= os.path.getmtime(path)):

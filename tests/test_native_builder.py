@@ -82,6 +82,10 @@ def test_native_faster_than_python():
     scene = random_tri_soup(30000, seed=6, extent=5.0, tri_size=0.02)
     v0, v1, v2 = scene.tri_verts()
     tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    # warm both paths first (library load, jit of the quad packer) so the
+    # timed calls compare the builders, not one-time process costs
+    for backend in ("native", "python"):
+        build_kd_tree(tv[:2000], tri_block=4, leaf_size=4, backend=backend)
     t0 = time.time()
     build_kd_tree(tv, tri_block=4, leaf_size=4, backend="native")
     t_native = time.time() - t0

@@ -187,6 +187,57 @@ class TestStreamEngine:
         assert np.allclose(rt[diff], pt[diff], rtol=1e-6), (
             f"{diff.sum()} non-tie tri mismatches")
 
+    def test_chunk_cull_parity_and_effect(self, monkeypatch):
+        """Leaf-DMA-window chunk culling (accel/sah.py chunk_bounds_host +
+        the kernel's stream_leaf_culled) must not change the image, and on
+        a fat-leaf scene with a narrow packet it must actually skip
+        windows (tile_stats lane 3 > 0 somewhere)."""
+        import clpathtracer_tpu.ops.packet as pk
+        scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        # fat leaves -> multiple 128-tri DMA windows per leaf
+        tree = build_kd_tree(tv, tri_block=4, leaf_size=512, max_depth=8)
+        assert tree.chunk_bnd is not None
+        cam = Camera.create(position=[0, 0, -4.0], forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        quads = pack_quads(tree.tri_indices, v0, v1, v2)
+        on = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                             engine="stream")
+        monkeypatch.setenv("CLPT_CHUNK_CULL", "0")
+        off = pk.traverse_packet(tree, quads, orig, dir,
+                                 image_shape=(32, 32), engine="stream")
+        np.testing.assert_array_equal(np.asarray(on["hit"]),
+                                      np.asarray(off["hit"]))
+        h = np.asarray(on["hit"])
+        np.testing.assert_allclose(np.asarray(on["t"])[h],
+                                   np.asarray(off["t"])[h], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(on["tri"]),
+                                      np.asarray(off["tri"]))
+        assert np.asarray(off["tile_stats"])[:, 3].sum() == 0
+
+        # effectiveness needs a NARROW packet (a full-frame tile's frustum
+        # covers every window above): a pencil beam crossing the fat
+        # leaves diagonally must skip windows and DMA fewer chunks
+        import jax.numpy as jnp
+        n = 512
+        po = jnp.tile(jnp.array([[0.05, 0.03, -4.0]]), (n, 1))
+        pd = np.tile(np.array([[0.01, -0.005, 1.0]]), (n, 1))
+        pd += np.random.default_rng(0).normal(0.0, 1e-4, pd.shape)
+        pd = jnp.asarray(pd / np.linalg.norm(pd, axis=1, keepdims=True))
+        monkeypatch.setenv("CLPT_CHUNK_CULL", "1")
+        pon = pk.traverse_packet(tree, quads, po, pd, engine="stream",
+                                 tile=512)
+        monkeypatch.setenv("CLPT_CHUNK_CULL", "0")
+        poff = pk.traverse_packet(tree, quads, po, pd, engine="stream",
+                                  tile=512)
+        np.testing.assert_array_equal(np.asarray(pon["tri"]),
+                                      np.asarray(poff["tri"]))
+        assert np.asarray(pon["tile_stats"])[:, 3].sum() > 0, (
+            "chunk culling never fired on a pencil beam")
+        assert (np.asarray(pon["tile_stats"])[:, 1].sum()
+                < np.asarray(poff["tile_stats"])[:, 1].sum())
+
     def test_stream_packed16_layout(self, monkeypatch):
         """Force the packed16 node layout (large-tree path) and check
         parity with the padded layout."""
