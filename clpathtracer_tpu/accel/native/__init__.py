@@ -89,6 +89,12 @@ def build_kd_native(tri_verts: np.ndarray, max_depth: int, leaf_size: int,
     try:
         m = lib.kd_num_nodes(handle)
         t = lib.kd_num_tri_indices(handle)
+        # node/tri ids ride in the f32 node table; beyond 2^24 they would
+        # silently round and corrupt traversal (same guard as the numpy
+        # packer, accel/sah.py::pack_node_table)
+        assert m < (1 << 24), f"{m} nodes overflows f32-exact int range"
+        assert n < (1 << 24), f"{n} tris overflows f32-exact int range"
+        assert t < (1 << 24), f"{t} tri indices overflow f32-exact range"
         table = np.empty((m, 24), np.float32)
         tri_indices = np.empty((t,), np.int32)
         lib.kd_export(

@@ -606,6 +606,13 @@ def attach_chunk_info(tree: FlatKdTree) -> FlatKdTree:
     # chunk_bounds_host indexes per-TRI extremes by tri id; here bounds are
     # already per-slot, so feed an identity id list for real slots
     slot_ids = np.where(idx >= 0, np.arange(idx.shape[0]), -1)
+    # the SMEM node layout packs a leaf's window count in 6 bits
+    # (ops/packet.py _smem_nodes); enforce the bound where values are
+    # still concrete
+    max_leaf = int(np.asarray(tree.leaf_count).max(initial=0))
+    assert max_leaf <= 63 * CHUNK_ROWS * 8, (
+        f"leaf of {max_leaf} tris exceeds the 63-window SMEM packing "
+        f"(CHUNK_ROWS={CHUNK_ROWS})")
     cs, bnd = chunk_bounds_host(
         slot_ids, np.asarray(tree.leaf_start), np.asarray(tree.leaf_count),
         np.asarray(tree.is_leaf), vmin, vmax, CHUNK_ROWS)

@@ -84,7 +84,7 @@ def packet_mode(tree, n_rays: int, tile: int = TILE, engine: str = "auto"):
     if (os.environ.get("CLPT_WIDE") and wide is not None
             and wide.shape[0] * 512 <= VMEM_BUDGET):
         return "wide"
-    if engine in ("auto", "stream", "stream2", "mxu"):
+    if engine in ("auto", "stream", "stream2", "mxu", "queue"):
         # packed16 worst case: 32 B/node (+1 header row)
         if (1 + (m + 15) // 16) * 512 <= VMEM_BUDGET:
             if engine == "mxu":
@@ -93,8 +93,10 @@ def packet_mode(tree, n_rays: int, tile: int = TILE, engine: str = "auto"):
                 return "stream2"
             if engine == "stream2":
                 return "stream"
+            if engine == "queue":
+                return "queue"
             return "stream"
-        if engine in ("stream", "stream2", "mxu"):
+        if engine in ("stream", "stream2", "mxu", "queue"):
             return None
     # v1 packet kernels use a ropeless 16-wide slice of the node table
     # (stack traversal never follows ropes) — 64 B per node
@@ -192,6 +194,34 @@ def _box_interval(lo_xyz, hi_xyz, obnd, ibnd):
     t_enter = jnp.maximum(jnp.maximum(nx_min, ny_min), nz_min)
     t_exit = jnp.minimum(jnp.minimum(nx_max, ny_max), nz_max)
     return t_enter, t_exit
+
+
+def _axinfo(obnd, ibnd):
+    """Per-axis packet constants for split-plane intervals: (inv_lo,
+    inv_hi, orig_lo, orig_hi, sign-uniform, near-is-lo)."""
+    out = []
+    for ax in range(3):
+        il, ih = ibnd[ax]
+        ol, oh = obnd[ax]
+        out.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+    return out
+
+
+def _split_plane_interval(axinfo, axis, split):
+    """Packet-conservative [t_min, t_max] of the crossing of one axis
+    plane, plus whether the low child is the near child. Non-uniform
+    direction sign on the axis → unbounded (the plane can't cull)."""
+    il, ih, ol, oh, uni, nlo = jax.lax.switch(
+        axis, [lambda i=i: axinfo[i] for i in range(3)])
+    c1 = (split - ol) * il
+    c2 = (split - ol) * ih
+    c3 = (split - oh) * il
+    c4 = (split - oh) * ih
+    tp_min = jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4))
+    tp_max = jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4))
+    tp_min = jnp.where(uni, tp_min, -INV_BIG)
+    tp_max = jnp.where(uni, tp_max, INV_BIG)
+    return tp_min, tp_max, nlo
 
 
 def _node_fields(table_ref, node):
@@ -848,6 +878,822 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
                                       0.0))))
 
 
+def _kernel_queue(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
+                  tile, layout, qdepth, cull=False):
+    """"queue" engine (v3): the stream interval walk, decoupled from the
+    dense intersection by a deep ring of in-flight leaf-window DMAs.
+
+    Measured motivation: the dense MT math alone runs at ~50G pairs/s at
+    tile=256 (probes/probe_mt_layout.py), but inside the stream kernel the
+    delivered rate is 20-27G — the other half of the frame is pipeline
+    bubbles: every leaf's first chunk DMA latency is exposed (the v2
+    double buffer only pipelines *within* one leaf's chunk run, and at
+    leaf_size <= 2*CHUNK_ROWS*8 almost every leaf is a single chunk), and
+    the scalar pops between leaves serialize with the DMA waits.
+
+    Restructure as producer/consumer inside one while loop:
+
+      * PRODUCE (queue not full): either advance the current leaf's
+        window cursor — cull-test the next DMA window and, if it
+        survives, start its copy into ring slot `tail % qdepth` — or pop
+        a node from the interval-walk stack (split: push children; leaf:
+        open its window cursor).
+      * CONSUME (queue full, or nothing left to produce): wait the DMA at
+        `head % qdepth` and run the dense MT for that window.
+
+    Producing is preferred, so the ring fills to `qdepth` windows of
+    lookahead and stays full in steady state: chunk k's MT overlaps the
+    DMAs of chunks k+1..k+qdepth-1 *across leaf boundaries*, and the
+    scalar pops issue between MTs while those DMAs fly. Every started
+    copy sits in exactly one ring slot and is waited exactly once by the
+    consume of that slot; the loop only exits when the ring is empty, and
+    a dead tile never seeds the stack, so no DMA is ever orphaned (the
+    invariant the hardware requires).
+
+    Node layouts, header row, active-lane masking, and the chunk-culling
+    tables are exactly as _kernel_stream.
+    """
+    if cull:
+        (cbnd_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
+         thi_stack, ring_ref, ring_win, ring_tlo, ring_thi, tri_buf,
+         tri_sem) = refs
+    else:
+        cbnd_ref = None
+        (t_ref, slot_ref, stats_ref, nstack, tlo_stack, thi_stack,
+         ring_ref, ring_win, ring_tlo, ring_thi, tri_buf,
+         tri_sem) = refs
+    rays = _ray_rows(o_ref, d_ref)
+    act = a_ref[0:1, :]
+    n_act = jnp.sum(act)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    obnd, ibnd = _packet_bounds_masked(rays, act)
+    n_chunk_rows = tris_ref.shape[0]
+
+    if cull:
+        n_win = cbnd_ref.shape[0] * 16
+
+        def read_cbnd(w):
+            w = jnp.minimum(w, n_win - 1)
+            r = w // 16
+
+            def rd(k):
+                def f():
+                    return tuple(cbnd_ref[r, k * 8 + j] for j in range(6))
+                return f
+
+            return jax.lax.switch(w % 16, [rd(k) for k in range(16)])
+
+    axinfo = []
+    for ax in range(3):
+        il, ih = ibnd[ax]
+        ol, oh = obnd[ax]
+        axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+
+    nf = 7 if cull else 6
+    if layout == "padded":
+        def read6(node):
+            r = node + 1
+            return tuple(nodes_ref[r, j] for j in range(nf))
+    else:
+        def read6(node):
+            r = 1 + node // 16
+
+            def rd(k):
+                def f():
+                    return tuple(nodes_ref[r, k * 8 + j]
+                                 for j in range(nf))
+                return f
+
+            return jax.lax.switch(node % 16, [rd(k) for k in range(16)])
+
+    hdr = tuple(nodes_ref[0, j] for j in range(6))
+    rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
+    nstack[0] = 0
+    tlo_stack[0] = rt_lo
+    thi_stack[0] = rt_hi
+    sp0 = ((rt_lo <= rt_hi) & (rt_hi > 0.0)
+           & (n_act > 0.0)).astype(jnp.int32)
+
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+
+    def start_win(row, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row, CHUNK_ROWS), :],
+            tri_buf.at[slot], tri_sem.at[slot]).start()
+
+    def wait_win(row, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row, CHUNK_ROWS), :],
+            tri_buf.at[slot], tri_sem.at[slot]).wait()
+
+    # Outer loop alternates two phases; vector state (best_t/best_s) only
+    # flows through the outer carry and the consume drain, so the
+    # scalar-heavy produce phase costs no vector copies per step.
+    #
+    #   PRODUCE (scalars only): pop nodes / advance the leaf-window
+    #   cursor, cull-test windows, start their DMAs into ring slots —
+    #   until the ring is full or the walk is exhausted.
+    #   CONSUME: drain a tight MT loop over the ring — ALL of it when the
+    #   walk is exhausted, else only half, so >= qdepth/2 DMAs stay in
+    #   flight and the next batch's transfers land under this batch's MT.
+    #
+    # produce-phase carry: (sp, tail, wcur, wend, lrow0, win0, ltlo,
+    #                       lthi, nv, nc)
+    def produce_step(ps):
+        (sp, tail, wcur, wend, lrow0, win0, ltlo, lthi, nv, nc,
+         t_upper) = ps
+
+        def enqueue(sp, wcur, wend, tail, lrow0, win0, ltlo, lthi, nv,
+                    nc):
+            if cull:
+                def surv(w):
+                    l0, l1, l2, h0, h1, h2 = read_cbnd(win0 + w)
+                    t_en, t_ex = _box_interval(
+                        (l0, l1, l2), (h0, h1, h2), obnd, ibnd)
+                    return ((t_en <= jnp.minimum(lthi, t_upper))
+                            & (t_ex >= ltlo) & (t_ex > 0.0))
+
+                w = jax.lax.while_loop(
+                    lambda w: (w < wend) & jnp.logical_not(surv(w)),
+                    lambda w: w + 1, wcur)
+            else:
+                w = wcur
+            nc = nc + (w - wcur)
+
+            def do_enq(tail):
+                row = jnp.minimum(lrow0 + w * CHUNK_ROWS,
+                                  n_chunk_rows - CHUNK_ROWS)
+                slot = tail % qdepth
+                ring_ref[slot] = row
+                ring_win[slot] = win0 + w
+                ring_tlo[slot] = ltlo
+                ring_thi[slot] = lthi
+                start_win(row, slot)
+                return tail + 1
+
+            tail = jax.lax.cond(w < wend, do_enq, lambda t: t, tail)
+            return (sp, tail, w + 1, wend, lrow0, win0, ltlo, lthi, nv,
+                    nc)
+
+        def pop(sp, wcur, wend, tail, lrow0, win0, ltlo, lthi, nv, nc):
+            node = nstack[sp - 1]
+            tlo = tlo_stack[sp - 1]
+            thi = thi_stack[sp - 1]
+            sp = sp - 1
+            nv = nv + 1
+            live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
+
+            def visit(sp, wcur, wend, nc):
+                flds = read6(node)
+                flags_f, split, cl_f, ch_f, qs_f, cnt_f = flds[:6]
+                flags = flags_f.astype(jnp.int32)
+                is_leaf = flags >= 4
+
+                def leaf_case(sp, wcur, wend, nc):
+                    qstart = qs_f.astype(jnp.int32)
+                    count = cnt_f.astype(jnp.int32)
+                    first = qstart * 4
+                    r0 = first // 8
+                    r_end = (first + count + 7) // 8
+                    nwin = (r_end - r0 + CHUNK_ROWS - 1) // CHUNK_ROWS
+                    return sp, jnp.int32(0), nwin, r0, nc
+
+                def split_case(sp, wcur, wend, nc):
+                    il, ih, ol, oh, uni, nlo = jax.lax.switch(
+                        flags & 3,
+                        [lambda i=i: axinfo[i] for i in range(3)])
+                    c1 = (split - ol) * il
+                    c2 = (split - ol) * ih
+                    c3 = (split - oh) * il
+                    c4 = (split - oh) * ih
+                    tp_min = jnp.minimum(jnp.minimum(c1, c2),
+                                         jnp.minimum(c3, c4))
+                    tp_max = jnp.maximum(jnp.maximum(c1, c2),
+                                         jnp.maximum(c3, c4))
+                    tp_min = jnp.where(uni, tp_min, -INV_BIG)
+                    tp_max = jnp.where(uni, tp_max, INV_BIG)
+                    cl = cl_f.astype(jnp.int32)
+                    ch = ch_f.astype(jnp.int32)
+                    near = jnp.where(nlo, cl, ch)
+                    far = jnp.where(nlo, ch, cl)
+                    far_lo = jnp.maximum(tlo, tp_min)
+                    near_hi = jnp.minimum(thi, tp_max)
+                    push_far = far_lo <= jnp.minimum(thi, t_upper)
+
+                    @pl.when(push_far)
+                    def _():
+                        nstack[sp] = far
+                        tlo_stack[sp] = far_lo
+                        thi_stack[sp] = thi
+
+                    sp = sp + push_far.astype(jnp.int32)
+                    push_near = tlo <= jnp.minimum(near_hi, t_upper)
+
+                    @pl.when(push_near)
+                    def _():
+                        nstack[sp] = near
+                        tlo_stack[sp] = tlo
+                        thi_stack[sp] = near_hi
+
+                    sp = sp + push_near.astype(jnp.int32)
+                    return sp, wcur, wend, r0_keep, nc
+
+                r0_keep = lrow0  # unchanged on split/skip paths
+                sp, wcur, wend, r0, nc = jax.lax.cond(
+                    is_leaf, leaf_case, split_case, sp, wcur, wend, nc)
+                # a fresh leaf's cull interval is the node's own
+                ltlo_n = jnp.where(is_leaf, tlo, ltlo)
+                lthi_n = jnp.where(is_leaf, thi, lthi)
+                if cull:
+                    win0_n = jnp.where(
+                        is_leaf, flds[6].astype(jnp.int32), win0)
+                else:
+                    win0_n = win0
+                return sp, wcur, wend, r0, win0_n, ltlo_n, lthi_n, nc
+
+            def skip(sp, wcur, wend, nc):
+                return sp, wcur, wend, lrow0, win0, ltlo, lthi, nc
+
+            sp, wcur, wend, lr, w0, lt, lh, nc = jax.lax.cond(
+                live, visit, skip, sp, wcur, wend, nc)
+            return sp, tail, wcur, wend, lr, w0, lt, lh, nv, nc
+
+        out = jax.lax.cond(wcur < wend, enqueue, pop,
+                           sp, wcur, wend, tail, lrow0, win0, ltlo, lthi,
+                           nv, nc)
+        return out + (t_upper,)
+
+    # outer carry: (sp, head, tail, wcur, wend, lrow0, win0, ltlo, lthi,
+    #               best_t, best_s, t_upper, nv, nl, nc)
+    def outer(state):
+        (sp, head, tail, wcur, wend, lrow0, win0, ltlo, lthi,
+         best_t, best_s, t_upper, nv, nl, nc) = state
+
+        # ---- produce until ring full or walk exhausted (scalars only)
+        def p_cond(ps):
+            return ((ps[1] - head < qdepth)
+                    & ((ps[2] < ps[3]) | (ps[0] > 0)))
+
+        (sp, tail, wcur, wend, lrow0, win0, ltlo, lthi, nv, nc,
+         _tu) = jax.lax.while_loop(
+            p_cond, produce_step,
+            (sp, tail, wcur, wend, lrow0, win0, ltlo, lthi, nv, nc,
+             t_upper))
+
+        # ---- consume: all if exhausted, else half the ring (keep the
+        # rest in flight); at least one to guarantee progress
+        done = jnp.logical_not((wcur < wend) | (sp > 0))
+        ndrain = jnp.where(done, tail - head,
+                           jnp.maximum(tail - head - qdepth // 2, 1))
+
+        def drain(k, c):
+            best_t, best_s, nl, nc = c
+            idx = head + k
+            slot = idx % qdepth
+            row = ring_ref[slot]
+            # the DMA must be waited no matter what; the MT may be
+            # skipped if the window died since enqueue (t_upper shrank
+            # during the lookahead) — lookahead then costs bandwidth,
+            # not VPU time
+            wait_win(row, slot)
+            if cull:
+                l0, l1, l2, h0, h1, h2 = read_cbnd(ring_win[slot])
+                t_en, t_ex = _box_interval(
+                    (l0, l1, l2), (h0, h1, h2), obnd, ibnd)
+                still = ((t_en <= jnp.minimum(ring_thi[slot], t_upper))
+                         & (t_ex >= ring_tlo[slot]) & (t_ex > 0.0))
+            else:
+                still = ring_tlo[slot] <= jnp.minimum(
+                    ring_thi[slot], t_upper)
+
+            def do_mt(best_t, best_s, nl, nc):
+                best_t, best_s = _mt_chunk_math(
+                    tri_buf, slot, rays, tile, row, best_t, best_s,
+                    act_row=act)
+                return best_t, best_s, nl + 1, nc
+
+            def skip_mt(best_t, best_s, nl, nc):
+                return best_t, best_s, nl, nc + 1
+
+            best_t, best_s, nl, nc = jax.lax.cond(
+                still, do_mt, skip_mt, best_t, best_s, nl, nc)
+            return best_t, best_s, nl, nc
+
+        best_t, best_s, nl, nc = jax.lax.fori_loop(
+            0, ndrain, drain, (best_t, best_s, nl, nc))
+        head = head + ndrain
+        # one scalar<-vector sync per batch instead of per chunk
+        t_upper = jnp.max(jnp.where(act > 0.0, best_t, -BIG))
+        return (sp, head, tail, wcur, wend, lrow0, win0, ltlo, lthi,
+                best_t, best_s, t_upper, nv, nl, nc)
+
+    state0 = (sp0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+              jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
+              jnp.float32(BIG), best_t0, best_s0, jnp.float32(BIG),
+              jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    out = jax.lax.while_loop(
+        lambda st: (st[0] > 0) | (st[3] < st[4]) | (st[1] < st[2]),
+        outer, state0)
+    best_t, best_s = out[9], out[10]
+    nv, nl, nc = out[12], out[13], out[14]
+
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+    stats_ref[:] = jnp.where(
+        lane == 0, nv.astype(jnp.float32),
+        jnp.where(lane == 1, nl.astype(jnp.float32),
+                  jnp.where(lane == 2, n_act,
+                            jnp.where(lane == 3, nc.astype(jnp.float32),
+                                      0.0))))
+
+
+# ---------------------------------------------------------------------------
+# SMEM node tables: the scalar-read fix
+#
+# Measured (probes/probe_kernel_overheads.py, v5e): a SERIAL scalar read
+# from VMEM costs ~56 ns; from SMEM ~17 ns. The interval walk does ~900
+# scalar reads per tile (pops + chunk-cull tests) — ~50 ms/frame at 512²
+# from VMEM, which is HALF the stream kernel's frame time. SMEM arrays
+# lane-pad 2-D shapes (a [M, 8] table would cost 128 lanes/row = 1 MB),
+# so the SMEM tables are FLAT 1-D, and node words are bit-packed so a
+# split pop is 3 reads (w0 = flags|child_lo<<3, w1 = child_hi, split) and
+# a leaf pop is 2 (w0 = flags|quad_start<<3, w1 = win0*16 + n_windows).
+# ---------------------------------------------------------------------------
+
+SMEM_BUDGET = 700 * 1024  # of the ~1 MB scalar memory; stacks use the rest
+
+
+def _smem_nodes(tree):
+    """Flat SMEM node tables (nodes_i int32 [2M], nodes_f f32 [6+M]).
+
+    nodes_f leads with the root AABB (seeds the packet interval), then
+    per-node split values. Leaf w1 packs the chunk-cull window range as
+    win0*64 + n_windows — 6 bits of window count covers leaves up to
+    63*CHUNK_ROWS*8 triangles (the builder asserts the bound)."""
+    nt = tree.node_table
+    m = nt.shape[0]
+    flags = nt[:, 7].astype(jnp.int32)
+    is_leaf = flags >= 4
+    cl = nt[:, 8].astype(jnp.int32)
+    ch = nt[:, 9].astype(jnp.int32)
+    qs = nt[:, 10].astype(jnp.int32)
+    cnt = nt[:, 11].astype(jnp.int32)
+    first = qs * 4
+    r0 = first // 8
+    r_end = (first + cnt + 7) // 8
+    nwin = jnp.where(cnt > 0,
+                     (r_end - r0 + CHUNK_ROWS - 1) // CHUNK_ROWS, 0)
+    cs = getattr(tree, "chunk_start", None)
+    win0 = (cs.astype(jnp.int32) if cs is not None
+            else jnp.zeros((m,), jnp.int32))
+    w0 = flags | jnp.where(is_leaf, qs, cl) << 3
+    w1 = jnp.where(is_leaf, win0 * 64 + jnp.minimum(nwin, 63), ch)
+    nodes_i = jnp.stack([w0, w1], axis=1).reshape(-1)
+    nodes_f = jnp.concatenate([nt[0, 0:6], nt[:, 6]])
+    return nodes_i, nodes_f
+
+
+def _smem_cbnd(tree):
+    """chunk_bnd ([W/16, 128] packed 16 windows/row for the VMEM path)
+    re-flattened to f32 [6W] for SMEM: window w's AABB at [6w, 6w+6)."""
+    cb = tree.chunk_bnd.reshape(-1, 8)  # [16*rows, 8]: lanes 0-5 = AABB
+    return cb[:, 0:6].reshape(-1)
+
+
+def _smem_fits(tree) -> bool:
+    m = tree.node_table.shape[0]
+    n_bytes = (2 * m) * 4 + (6 + m) * 4
+    cb = getattr(tree, "chunk_bnd", None)
+    if cb is not None:
+        n_bytes += cb.reshape(-1, 8).shape[0] * 6 * 4
+    return n_bytes <= SMEM_BUDGET
+
+
+def _smem_readers(nodes_i_ref, nodes_f_ref, cbnd_ref):
+    def read_node(node):
+        w0 = nodes_i_ref[2 * node]
+        w1 = nodes_i_ref[2 * node + 1]
+        sf = nodes_f_ref[6 + node]
+        return w0, w1, sf
+
+    def read_cbnd(w):
+        n_vals = cbnd_ref.shape[0]
+        b = jnp.minimum(6 * w, n_vals - 6)  # next_surv probes one past
+        return tuple(cbnd_ref[b + j] for j in range(6))
+
+    return read_node, read_cbnd
+
+
+def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
+                        a_ref, *refs, tile, cull=False):
+    """_kernel_stream with the node/cull tables in SMEM (flat, packed) —
+    same walk, same outputs; a pop costs 3 scalar reads at ~17 ns instead
+    of 6-7 at ~56 ns, a window cull test 6. See the module comment above
+    _smem_nodes for the measured motivation."""
+    if cull:
+        (cbnd_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
+         thi_stack, tri_buf, tri_sem) = refs
+    else:
+        cbnd_ref = None
+        (t_ref, slot_ref, stats_ref, nstack, tlo_stack, thi_stack,
+         tri_buf, tri_sem) = refs
+    rays = _ray_rows(o_ref, d_ref)
+    act = a_ref[0:1, :]
+    n_act = jnp.sum(act)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    obnd, ibnd = _packet_bounds_masked(rays, act)
+    _, _, stream_leaf, stream_leaf_culled = _chunk_pipeline(
+        tris_ref, tri_buf, tri_sem, rays, tile, act_row=act)
+    read_node, read_cbnd = _smem_readers(nodes_i_ref, nodes_f_ref,
+                                         cbnd_ref)
+    axinfo = _axinfo(obnd, ibnd)
+
+    hdr = tuple(nodes_f_ref[j] for j in range(6))
+    rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
+    nstack[0] = 0
+    tlo_stack[0] = rt_lo
+    thi_stack[0] = rt_hi
+    sp0 = ((rt_lo <= rt_hi) & (rt_hi > 0.0)
+           & (n_act > 0.0)).astype(jnp.int32)
+
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+
+    def body(state):
+        sp, best_t, best_s, t_upper, nv, nl, nc = state
+        node = nstack[sp - 1]
+        tlo = tlo_stack[sp - 1]
+        thi = thi_stack[sp - 1]
+        sp = sp - 1
+        nv = nv + 1
+        live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
+
+        def visit(sp, best_t, best_s, t_upper, nl, nc):
+            w0, w1, sf = read_node(node)
+            flags = w0 & 7
+            payload = w0 >> 3
+            is_leaf = flags >= 4
+
+            def leaf_case(sp, best_t, best_s, t_upper, nl, nc):
+                qstart = payload
+                r0 = qstart // 2  # qstart*4 tris / 8 per row
+                if cull:
+                    win0 = w1 >> 6
+                    nwin = w1 & 63
+
+                    def surv(w):
+                        l0, l1, l2, h0, h1, h2 = read_cbnd(win0 + w)
+                        t_en, t_ex = _box_interval(
+                            (l0, l1, l2), (h0, h1, h2), obnd, ibnd)
+                        return ((t_en <= jnp.minimum(thi, t_upper))
+                                & (t_ex >= tlo) & (t_ex > 0.0))
+
+                    best_t, best_s, nch, ntot = _stream_windows_culled(
+                        r0, nwin, surv, tris_ref, tri_buf, tri_sem,
+                        rays, tile, act, best_t, best_s)
+                    nc = nc + (ntot - nch)
+                else:
+                    # window count from w1 (packed even when cull tables
+                    # are absent the builder stores nwin)
+                    nwin = w1 & 63
+                    best_t, best_s, nch, _ = _stream_windows_culled(
+                        r0, nwin, lambda w: jnp.bool_(True), tris_ref,
+                        tri_buf, tri_sem, rays, tile, act, best_t,
+                        best_s)
+                t_up = jax.lax.cond(
+                    (nv & 3) == 0,
+                    lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
+                    lambda: t_upper)
+                return sp, best_t, best_s, t_up, nl + nch, nc
+
+            def split_case(sp, best_t, best_s, t_upper, nl, nc):
+                tp_min, tp_max, nlo = _split_plane_interval(
+                    axinfo, flags & 3, sf)
+                cl = payload
+                ch = w1
+                near = jnp.where(nlo, cl, ch)
+                far = jnp.where(nlo, ch, cl)
+                far_lo = jnp.maximum(tlo, tp_min)
+                near_hi = jnp.minimum(thi, tp_max)
+                push_far = far_lo <= jnp.minimum(thi, t_upper)
+
+                @pl.when(push_far)
+                def _():
+                    nstack[sp] = far
+                    tlo_stack[sp] = far_lo
+                    thi_stack[sp] = thi
+
+                sp = sp + push_far.astype(jnp.int32)
+                push_near = tlo <= jnp.minimum(near_hi, t_upper)
+
+                @pl.when(push_near)
+                def _():
+                    nstack[sp] = near
+                    tlo_stack[sp] = tlo
+                    thi_stack[sp] = near_hi
+
+                sp = sp + push_near.astype(jnp.int32)
+                return sp, best_t, best_s, t_upper, nl, nc
+
+            return jax.lax.cond(is_leaf, leaf_case, split_case,
+                                sp, best_t, best_s, t_upper, nl, nc)
+
+        sp, best_t, best_s, t_upper, nl, nc = jax.lax.cond(
+            live, visit,
+            lambda sp, bt, bs, tu, nl, nc: (sp, bt, bs, tu, nl, nc),
+            sp, best_t, best_s, t_upper, nl, nc)
+        return sp, best_t, best_s, t_upper, nv, nl, nc
+
+    _, best_t, best_s, _, nv, nl, nc = jax.lax.while_loop(
+        lambda st: st[0] > 0, body,
+        (sp0, best_t0, best_s0, jnp.float32(BIG), jnp.int32(0),
+         jnp.int32(0), jnp.int32(0)))
+
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+    stats_ref[:] = jnp.where(
+        lane == 0, nv.astype(jnp.float32),
+        jnp.where(lane == 1, nl.astype(jnp.float32),
+                  jnp.where(lane == 2, n_act,
+                            jnp.where(lane == 3, nc.astype(jnp.float32),
+                                      0.0))))
+
+
+def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
+                           rays, tile, act, best_t, best_s):
+    """Double-buffered DMA + dense MT over a leaf's `nwin` windows with a
+    per-window survival test (shared by the SMEM kernels; the VMEM path's
+    equivalent lives in _chunk_pipeline.stream_leaf_culled)."""
+    n_chunk_rows = tris_ref.shape[0]
+
+    def row_of(b):
+        return jnp.minimum(r0 + b * CHUNK_ROWS, n_chunk_rows - CHUNK_ROWS)
+
+    def start_chunk(b, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row_of(b), CHUNK_ROWS), :],
+            tri_buf.at[slot], tri_sem.at[slot]).start()
+
+    def wait_chunk(b, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(b, CHUNK_ROWS), :],
+            tri_buf.at[slot], tri_sem.at[slot]).wait()
+
+    def next_surv(b):
+        return jax.lax.while_loop(
+            lambda i: (i < nwin) & jnp.logical_not(surv(i)),
+            lambda i: i + 1, b)
+
+    b0 = next_surv(jnp.int32(0))
+
+    @pl.when(b0 < nwin)
+    def _():
+        start_chunk(b0, 0)
+
+    def chunk_body(state):
+        b, par, bt, bs, ns = state
+        bn = next_surv(b + 1)
+
+        @pl.when(bn < nwin)
+        def _():
+            start_chunk(bn, 1 - par)
+
+        wait_chunk(row_of(b), par)
+        bt, bs = _mt_chunk_math(tri_buf, par, rays, tile, row_of(b), bt,
+                                bs, act_row=act)
+        return bn, 1 - par, bt, bs, ns + 1
+
+    _, _, best_t, best_s, streamed = jax.lax.while_loop(
+        lambda st: st[0] < nwin, chunk_body,
+        (b0, jnp.int32(0), best_t, best_s, jnp.int32(0)))
+    return best_t, best_s, streamed, nwin
+
+
+def _kernel_queue_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
+                       a_ref, *refs, tile, qdepth, cull=False):
+    """_kernel_queue (phased producer/consumer ring) with SMEM node/cull
+    tables — cross-leaf DMA lookahead AND cheap scalar reads."""
+    if cull:
+        (cbnd_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
+         thi_stack, ring_ref, ring_win, ring_tlo, ring_thi, tri_buf,
+         tri_sem) = refs
+    else:
+        cbnd_ref = None
+        (t_ref, slot_ref, stats_ref, nstack, tlo_stack, thi_stack,
+         ring_ref, ring_win, ring_tlo, ring_thi, tri_buf,
+         tri_sem) = refs
+    rays = _ray_rows(o_ref, d_ref)
+    act = a_ref[0:1, :]
+    n_act = jnp.sum(act)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    obnd, ibnd = _packet_bounds_masked(rays, act)
+    n_chunk_rows = tris_ref.shape[0]
+    read_node, read_cbnd = _smem_readers(nodes_i_ref, nodes_f_ref,
+                                         cbnd_ref)
+    axinfo = _axinfo(obnd, ibnd)
+
+    hdr = tuple(nodes_f_ref[j] for j in range(6))
+    rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
+    nstack[0] = 0
+    tlo_stack[0] = rt_lo
+    thi_stack[0] = rt_hi
+    sp0 = ((rt_lo <= rt_hi) & (rt_hi > 0.0)
+           & (n_act > 0.0)).astype(jnp.int32)
+
+    best_t0 = jnp.full((1, tile), BIG, jnp.float32)
+    best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
+
+    def start_win(row, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row, CHUNK_ROWS), :],
+            tri_buf.at[slot], tri_sem.at[slot]).start()
+
+    def wait_win(row, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row, CHUNK_ROWS), :],
+            tri_buf.at[slot], tri_sem.at[slot]).wait()
+
+    # produce carry: (sp, tail, wcur, wend, lrow0, win0, ltlo, lthi, nv,
+    #                 nc, t_upper)
+    def produce_step(ps):
+        (sp, tail, wcur, wend, lrow0, win0, ltlo, lthi, nv, nc,
+         t_upper) = ps
+
+        def enqueue(sp, wcur, wend, tail, lrow0, win0, ltlo, lthi, nv,
+                    nc):
+            if cull:
+                def surv(w):
+                    l0, l1, l2, h0, h1, h2 = read_cbnd(win0 + w)
+                    t_en, t_ex = _box_interval(
+                        (l0, l1, l2), (h0, h1, h2), obnd, ibnd)
+                    return ((t_en <= jnp.minimum(lthi, t_upper))
+                            & (t_ex >= ltlo) & (t_ex > 0.0))
+
+                w = jax.lax.while_loop(
+                    lambda w: (w < wend) & jnp.logical_not(surv(w)),
+                    lambda w: w + 1, wcur)
+            else:
+                w = wcur
+            nc = nc + (w - wcur)
+
+            def do_enq(tail):
+                row = jnp.minimum(lrow0 + w * CHUNK_ROWS,
+                                  n_chunk_rows - CHUNK_ROWS)
+                slot = tail % qdepth
+                ring_ref[slot] = row
+                ring_win[slot] = win0 + w
+                ring_tlo[slot] = ltlo
+                ring_thi[slot] = lthi
+                start_win(row, slot)
+                return tail + 1
+
+            tail = jax.lax.cond(w < wend, do_enq, lambda t: t, tail)
+            return (sp, tail, w + 1, wend, lrow0, win0, ltlo, lthi, nv,
+                    nc)
+
+        def pop(sp, wcur, wend, tail, lrow0, win0, ltlo, lthi, nv, nc):
+            node = nstack[sp - 1]
+            tlo = tlo_stack[sp - 1]
+            thi = thi_stack[sp - 1]
+            sp = sp - 1
+            nv = nv + 1
+            live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
+
+            def visit(sp, wcur, wend, nc):
+                w0, w1, sf = read_node(node)
+                flags = w0 & 7
+                payload = w0 >> 3
+                is_leaf = flags >= 4
+
+                def leaf_case(sp, wcur, wend, nc):
+                    return sp, jnp.int32(0), w1 & 63, payload // 2, nc
+
+                def split_case(sp, wcur, wend, nc):
+                    tp_min, tp_max, nlo = _split_plane_interval(
+                        axinfo, flags & 3, sf)
+                    cl = payload
+                    ch = w1
+                    near = jnp.where(nlo, cl, ch)
+                    far = jnp.where(nlo, ch, cl)
+                    far_lo = jnp.maximum(tlo, tp_min)
+                    near_hi = jnp.minimum(thi, tp_max)
+                    push_far = far_lo <= jnp.minimum(thi, t_upper)
+
+                    @pl.when(push_far)
+                    def _():
+                        nstack[sp] = far
+                        tlo_stack[sp] = far_lo
+                        thi_stack[sp] = thi
+
+                    sp = sp + push_far.astype(jnp.int32)
+                    push_near = tlo <= jnp.minimum(near_hi, t_upper)
+
+                    @pl.when(push_near)
+                    def _():
+                        nstack[sp] = near
+                        tlo_stack[sp] = tlo
+                        thi_stack[sp] = near_hi
+
+                    sp = sp + push_near.astype(jnp.int32)
+                    return sp, wcur, wend, r0_keep, nc
+
+                r0_keep = lrow0
+                sp, wcur, wend, r0, nc = jax.lax.cond(
+                    is_leaf, leaf_case, split_case, sp, wcur, wend, nc)
+                ltlo_n = jnp.where(is_leaf, tlo, ltlo)
+                lthi_n = jnp.where(is_leaf, thi, lthi)
+                if cull:
+                    win0_n = jnp.where(is_leaf, w1 >> 6, win0)
+                else:
+                    win0_n = win0
+                return sp, wcur, wend, r0, win0_n, ltlo_n, lthi_n, nc
+
+            def skip(sp, wcur, wend, nc):
+                return sp, wcur, wend, lrow0, win0, ltlo, lthi, nc
+
+            sp, wcur, wend, lr, w0_, lt, lh, nc = jax.lax.cond(
+                live, visit, skip, sp, wcur, wend, nc)
+            return sp, tail, wcur, wend, lr, w0_, lt, lh, nv, nc
+
+        out = jax.lax.cond(wcur < wend, enqueue, pop,
+                           sp, wcur, wend, tail, lrow0, win0, ltlo, lthi,
+                           nv, nc)
+        return out + (t_upper,)
+
+    def outer(state):
+        (sp, head, tail, wcur, wend, lrow0, win0, ltlo, lthi,
+         best_t, best_s, t_upper, nv, nl, nc) = state
+
+        def p_cond(ps):
+            return ((ps[1] - head < qdepth)
+                    & ((ps[2] < ps[3]) | (ps[0] > 0)))
+
+        (sp, tail, wcur, wend, lrow0, win0, ltlo, lthi, nv, nc,
+         _tu) = jax.lax.while_loop(
+            p_cond, produce_step,
+            (sp, tail, wcur, wend, lrow0, win0, ltlo, lthi, nv, nc,
+             t_upper))
+
+        done = jnp.logical_not((wcur < wend) | (sp > 0))
+        ndrain = jnp.where(done, tail - head,
+                           jnp.maximum(tail - head - qdepth // 2, 1))
+
+        def drain(k, c):
+            best_t, best_s, nl, nc = c
+            idx = head + k
+            slot = idx % qdepth
+            row = ring_ref[slot]
+            wait_win(row, slot)
+            if cull:
+                l0, l1, l2, h0, h1, h2 = read_cbnd(ring_win[slot])
+                t_en, t_ex = _box_interval(
+                    (l0, l1, l2), (h0, h1, h2), obnd, ibnd)
+                still = ((t_en <= jnp.minimum(ring_thi[slot], t_upper))
+                         & (t_ex >= ring_tlo[slot]) & (t_ex > 0.0))
+            else:
+                still = ring_tlo[slot] <= jnp.minimum(
+                    ring_thi[slot], t_upper)
+
+            def do_mt(best_t, best_s, nl, nc):
+                best_t, best_s = _mt_chunk_math(
+                    tri_buf, slot, rays, tile, row, best_t, best_s,
+                    act_row=act)
+                return best_t, best_s, nl + 1, nc
+
+            best_t, best_s, nl, nc = jax.lax.cond(
+                still, do_mt,
+                lambda bt, bs, nl, nc: (bt, bs, nl, nc + 1),
+                best_t, best_s, nl, nc)
+            return best_t, best_s, nl, nc
+
+        best_t, best_s, nl, nc = jax.lax.fori_loop(
+            0, ndrain, drain, (best_t, best_s, nl, nc))
+        head = head + ndrain
+        t_upper = jnp.max(jnp.where(act > 0.0, best_t, -BIG))
+        return (sp, head, tail, wcur, wend, lrow0, win0, ltlo, lthi,
+                best_t, best_s, t_upper, nv, nl, nc)
+
+    state0 = (sp0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+              jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
+              jnp.float32(BIG), best_t0, best_s0, jnp.float32(BIG),
+              jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    out = jax.lax.while_loop(
+        lambda st: (st[0] > 0) | (st[3] < st[4]) | (st[1] < st[2]),
+        outer, state0)
+    best_t, best_s = out[9], out[10]
+    nv, nl, nc = out[12], out[13], out[14]
+
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+    stats_ref[:] = jnp.where(
+        lane == 0, nv.astype(jnp.float32),
+        jnp.where(lane == 1, nl.astype(jnp.float32),
+                  jnp.where(lane == 2, n_act,
+                            jnp.where(lane == 3, nc.astype(jnp.float32),
+                                      0.0))))
+
+
 def _machine_init(tile):
     """Per-packet traversal-machine state: (sp, rem, row0, cur, par, go_l,
     go_r, best_l, slot_l, best_r, slot_r, tu_l, tu_r, nv, nl). rem>0 ⇒
@@ -1356,6 +2202,112 @@ def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
     )(*args)
 
 
+QUEUE_DEPTH = int(_os.environ.get("CLPT_QUEUE_DEPTH", "8"))
+
+
+def _smem_specs(n, tile, cull):
+    """in/out specs for the SMEM-table kernels: flat node tables (and
+    chunk AABBs) in scalar memory, triangles in HBM, per-tile blocks."""
+    specs = _streaming_specs(n, tile)
+    specs["in_specs"] = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # nodes_i (flat i32)
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # nodes_f (flat f32)
+        pl.BlockSpec(memory_space=pl.ANY),        # tri chunks (HBM)
+        pl.BlockSpec((3, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),    # active mask
+    ]
+    if cull:
+        specs["in_specs"].append(
+            pl.BlockSpec(memory_space=pltpu.SMEM))  # cbnd (flat f32)
+    return specs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _packet_call_stream_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
+                             act, chunk_bnd=None, interpret=False,
+                             tile=TILE):
+    cull = chunk_bnd is not None
+    args = [nodes_i, nodes_f, tris128, orig_t, dir_t, act]
+    if cull:
+        args.append(chunk_bnd)
+    return pl.pallas_call(
+        functools.partial(_kernel_stream_smem, tile=tile, cull=cull),
+        **_smem_specs(orig_t.shape[1], tile, cull),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile",
+                                             "qdepth"))
+def _packet_call_queue_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
+                            act, chunk_bnd=None, interpret=False,
+                            tile=TILE, qdepth=QUEUE_DEPTH):
+    cull = chunk_bnd is not None
+    args = [nodes_i, nodes_f, tris128, orig_t, dir_t, act]
+    if cull:
+        args.append(chunk_bnd)
+    return pl.pallas_call(
+        functools.partial(_kernel_queue_smem, tile=tile, qdepth=qdepth,
+                          cull=cull),
+        **_smem_specs(orig_t.shape[1], tile, cull),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((qdepth,), jnp.int32),
+            pltpu.SMEM((qdepth,), jnp.int32),
+            pltpu.SMEM((qdepth,), jnp.float32),
+            pltpu.SMEM((qdepth,), jnp.float32),
+            pltpu.VMEM((qdepth, CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((qdepth,)),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "layout",
+                                             "qdepth"))
+def _packet_call_queue(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
+                       interpret=False, tile=TILE, layout="padded",
+                       qdepth=QUEUE_DEPTH):
+    specs = _streaming_specs(orig_t.shape[1], tile)
+    specs["in_specs"].append(
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM))
+    cull = chunk_bnd is not None
+    args = [nodes, tris128, orig_t, dir_t, act]
+    if cull:
+        specs["in_specs"].append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(chunk_bnd)
+    return pl.pallas_call(
+        functools.partial(_kernel_queue, tile=tile, layout=layout,
+                          qdepth=qdepth, cull=cull),
+        **specs,
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((qdepth,), jnp.int32),      # ring: chunk row
+            pltpu.SMEM((qdepth,), jnp.int32),      # ring: cull window id
+            pltpu.SMEM((qdepth,), jnp.float32),    # ring: leaf t_lo
+            pltpu.SMEM((qdepth,), jnp.float32),    # ring: leaf t_hi
+            pltpu.VMEM((qdepth, CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((qdepth,)),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def _packet_call(table, tris16, orig_t, dir_t, interpret=False, tile=TILE):
     specs = _streaming_specs(orig_t.shape[1], tile)
@@ -1471,7 +2423,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             t16 = jnp.concatenate(
                 [t16, jnp.zeros((pad_m, 16), t16.dtype)], axis=0)
         table16 = t16.reshape(-1, 128)
-    if mode in ("stream", "mxu"):
+    if mode in ("stream", "mxu", "queue"):
         if active is None:
             act = jnp.ones((n,), jnp.float32)
         else:
@@ -1501,13 +2453,40 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                     (1 + (m_nodes + 15) // 16 + cbnd.shape[0]) * 512
                     > VMEM_BUDGET):
                 cbnd = None
-            out_t, out_s, tile_stats = _packet_call_stream(
-                _stream_nodes(tree), _pad_rows8(tris16),
-                orig_b.T.astype(jnp.float32), dir_b.T.astype(jnp.float32),
-                act[None, :], chunk_bnd=cbnd, interpret=interpret,
-                tile=tile,
-                layout=_stream_layout(tree.node_table.shape[0]),
-                precision=precision)
+            # node/cull tables go to SMEM when they fit (scalar reads are
+            # ~3x cheaper there — see _smem_nodes); CLPT_SMEM=0 forces
+            # the VMEM layouts (also the bf16-preview path, which the
+            # SMEM kernels don't implement)
+            use_smem = (_smem_fits(tree) and precision == "f32"
+                        and _os.environ.get("CLPT_SMEM", "1") != "0")
+            if use_smem:
+                nodes_i, nodes_f = _smem_nodes(tree)
+                cb_s = _smem_cbnd(tree) if cbnd is not None else None
+                call = (_packet_call_queue_smem if mode == "queue"
+                        else _packet_call_stream_smem)
+                out_t, out_s, tile_stats = call(
+                    nodes_i, nodes_f, _pad_rows8(tris16),
+                    orig_b.T.astype(jnp.float32),
+                    dir_b.T.astype(jnp.float32),
+                    act[None, :], chunk_bnd=cb_s, interpret=interpret,
+                    tile=tile)
+            elif mode == "queue":
+                out_t, out_s, tile_stats = _packet_call_queue(
+                    _stream_nodes(tree), _pad_rows8(tris16),
+                    orig_b.T.astype(jnp.float32),
+                    dir_b.T.astype(jnp.float32),
+                    act[None, :], chunk_bnd=cbnd, interpret=interpret,
+                    tile=tile,
+                    layout=_stream_layout(tree.node_table.shape[0]))
+            else:
+                out_t, out_s, tile_stats = _packet_call_stream(
+                    _stream_nodes(tree), _pad_rows8(tris16),
+                    orig_b.T.astype(jnp.float32),
+                    dir_b.T.astype(jnp.float32),
+                    act[None, :], chunk_bnd=cbnd, interpret=interpret,
+                    tile=tile,
+                    layout=_stream_layout(tree.node_table.shape[0]),
+                    precision=precision)
     elif mode == "wide":
         out_t, out_s, tile_stats = _packet_call_wide(
             tree.wide_table, _pad_rows8(tris16),

@@ -103,7 +103,7 @@ def main():
                 t2 = jnp.sum(rec["tri"] % 97).astype(jnp.float32)
                 return (chk, t2, rec["tile_stats"])
             z = (jnp.float32(0.0), jnp.float32(0.0),
-                 jnp.zeros((n_tiles, 3), jnp.float32))
+                 jnp.zeros((n_tiles, 4), jnp.float32))
             return jax.lax.fori_loop(0, n, body, z)
 
         jf = jax.jit(chain)
@@ -129,8 +129,10 @@ def main():
             log("# WARNING checksum drift across chain")
 
         tstats = np.asarray(out[2])
-        nv, nl = tstats[:, 0], tstats[:, 1]
+        nv, nl, ncul = tstats[:, 0], tstats[:, 1], tstats[:, 3]
         n_rays = res * res
+        from clpathtracer_tpu.ops.packet import CHUNK_ROWS
+        chunk_tris = CHUNK_ROWS * 8
         rec = {
             "cfg": {"scene": scene_kind, "leaf": leaf, "depth": depth, "tile": tile,
                     "engine": engine, "mode": mode, "tris": ntris,
@@ -147,12 +149,14 @@ def main():
                             "p50": float(np.median(nl)),
                             "p90": float(np.percentile(nl, 90)),
                             "max": float(nl.max()), "sum": float(nl.sum())},
+            "culled_windows": {"mean": float(ncul.mean()),
+                               "sum": float(ncul.sum())},
             "derived": {
                 "node_pops_per_s": float(nv.sum()) / best,
                 "chunks_per_s": float(nl.sum()) / best,
-                "tri_tests_per_s": float(nl.sum()) * 64 * tile / best,
-                "tests_per_ray": float(nl.sum()) * 64 * tile / n_rays,
-                "hbm_gb_per_frame": float(nl.sum()) * 4096 / 1e9,
+                "tri_tests_per_s": float(nl.sum()) * chunk_tris * tile / best,
+                "tests_per_ray": float(nl.sum()) * chunk_tris * tile / n_rays,
+                "hbm_gb_per_frame": float(nl.sum()) * chunk_tris * 64 / 1e9,
                 "us_per_tile": best / n_tiles * 1e6,
                 "us_per_pop": best / max(float(nv.sum()), 1.0) * 1e6,
             },

@@ -370,7 +370,7 @@ def test_empty_leaf_scenes_all_engines():
     orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
     quads = pack_quads(tree.tri_indices, v0, v1, v2)
     ref = traverse_fast(tree, quads, orig, dir)
-    for engine in ("stream", "stream2"):
+    for engine in ("stream", "stream2", "queue"):
         pkt = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
                               tile=256, engine=engine)
         np.testing.assert_array_equal(np.asarray(ref["hit"]),
@@ -378,6 +378,106 @@ def test_empty_leaf_scenes_all_engines():
         h = np.asarray(ref["hit"])
         np.testing.assert_allclose(np.asarray(ref["t"])[h],
                                    np.asarray(pkt["t"])[h], rtol=1e-5)
+
+
+class TestQueueEngine:
+    """v3 producer/consumer kernel (engine="queue"): the stream interval
+    walk decoupled from dense MT by a ring of in-flight window DMAs
+    (cross-leaf lookahead). Must be hit/t-exact vs the wavefront; culling
+    and active-mask semantics identical to the stream engine."""
+
+    @pytest.mark.parametrize("make,pos,leaf", [
+        (lambda: cornell_box(light=False), (0.0, 0.0, -1.0), 1),
+        (lambda: icosphere(2), (0.0, 0.0, -1.0), 4),
+        (lambda: random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+         (0.0, 0.0, -4.0), 16),
+        (lambda: random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+         (0.0, 0.0, -4.0), 512),
+    ])
+    def test_queue_matches_wavefront(self, make, pos, leaf):
+        scene = make()
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4, leaf_size=leaf)
+        cam = Camera.create(position=list(pos), forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        quads = pack_quads(tree.tri_indices, v0, v1, v2)
+        ref = traverse_fast(tree, quads, orig, dir)
+        pkt = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                              engine="queue")
+        np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                      np.asarray(pkt["hit"]))
+        h = np.asarray(ref["hit"])
+        rt = np.asarray(ref["t"])[h]
+        pt = np.asarray(pkt["t"])[h]
+        np.testing.assert_allclose(rt, pt, rtol=1e-5, atol=1e-6)
+        rtri = np.asarray(ref["tri"])[h]
+        ptri = np.asarray(pkt["tri"])[h]
+        diff = rtri != ptri
+        assert np.allclose(rt[diff], pt[diff], rtol=1e-6), (
+            f"{diff.sum()} non-tie tri mismatches")
+
+    def test_queue_cull_parity(self, monkeypatch):
+        import clpathtracer_tpu.ops.packet as pk
+        scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4, leaf_size=512, max_depth=8)
+        assert tree.chunk_bnd is not None
+        cam = Camera.create(position=[0, 0, -4.0], forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        quads = pack_quads(tree.tri_indices, v0, v1, v2)
+        on = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                             engine="queue")
+        monkeypatch.setenv("CLPT_CHUNK_CULL", "0")
+        off = pk.traverse_packet(tree, quads, orig, dir,
+                                 image_shape=(32, 32), engine="queue")
+        np.testing.assert_array_equal(np.asarray(on["hit"]),
+                                      np.asarray(off["hit"]))
+        np.testing.assert_array_equal(np.asarray(on["tri"]),
+                                      np.asarray(off["tri"]))
+
+    def test_queue_packed16_layout(self, monkeypatch):
+        import clpathtracer_tpu.ops.packet as pk
+        scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4, leaf_size=16)
+        cam = Camera.create(position=[0, 0, -4.0], forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        quads = pack_quads(tree.tri_indices, v0, v1, v2)
+        a = traverse_packet(tree, quads, orig, dir, engine="queue")
+        monkeypatch.setattr(pk, "PAD_NODE_LIMIT", 0)
+        b = pk.traverse_packet(tree, quads, orig, dir, engine="queue")
+        np.testing.assert_array_equal(np.asarray(a["hit"]),
+                                      np.asarray(b["hit"]))
+        np.testing.assert_array_equal(np.asarray(a["tri"]),
+                                      np.asarray(b["tri"]))
+
+    def test_queue_active_mask_and_dead_tiles(self):
+        import jax.numpy as jnp
+        scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, tri_block=4, leaf_size=16)
+        cam = Camera.create(position=[0, 0, -4.0], forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        quads = pack_quads(tree.tri_indices, v0, v1, v2)
+        rng = np.random.default_rng(0)
+        act = jnp.asarray(rng.random(orig.shape[0]) < 0.5)
+        full = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                               engine="queue")
+        msk = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                              engine="queue", active=act)
+        a = np.asarray(act)
+        assert not np.asarray(msk["hit"])[~a].any()
+        np.testing.assert_array_equal(np.asarray(msk["hit"])[a],
+                                      np.asarray(full["hit"])[a])
+        dead = traverse_packet(tree, quads, orig, dir, image_shape=(32, 32),
+                               engine="queue",
+                               active=jnp.zeros(orig.shape[0], bool))
+        assert not np.asarray(dead["hit"]).any()
+        assert np.asarray(dead["tile_stats"])[:, 0].sum() == 0
 
 
 def test_bf16_preview_mode_runs():
