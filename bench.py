@@ -36,6 +36,7 @@ def log(msg):
 
 def main():
     scene_tris = int(os.environ.get("BENCH_TRIS", 1_000_000))
+    scene_kind = os.environ.get("BENCH_SCENE", "soup")
     width = int(os.environ.get("BENCH_W", 512))
     height = int(os.environ.get("BENCH_H", 512))
     reps = int(os.environ.get("BENCH_REPS", 10))
@@ -70,7 +71,7 @@ def main():
     from clpathtracer_tpu.accel.sah import build_kd_tree
     from clpathtracer_tpu.core.camera import Camera
     from clpathtracer_tpu.render.integrator import RenderOptions, render_image
-    from clpathtracer_tpu.scene.procedural import random_tri_soup
+    from clpathtracer_tpu.scene.procedural import random_tri_soup, terrain_mesh
 
     dev = jax.devices()[0]
     log(f"# device: {dev}")
@@ -80,13 +81,22 @@ def main():
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         t0 = time.time()
-        scene = random_tri_soup(
-            scene_tris, seed=0, extent=10.0, tri_size=0.01,
-            emissive_frac=0.001 if mode == "path" else 0.0).bake_shading()
+        if scene_kind == "terrain":
+            # surface scene (what the reference renders: OBJ meshes);
+            # the soup is the adversarial fog stress case
+            scene = terrain_mesh(scene_tris, seed=0, extent=10.0)
+            scene = scene.bake_shading()
+            cam_pos, cam_fwd = [0.0, 14.0, 0.0], [0.0, -1.0, 0.01]
+        else:
+            scene = random_tri_soup(
+                scene_tris, seed=0, extent=10.0, tri_size=0.01,
+                emissive_frac=0.001 if mode == "path" else 0.0
+            ).bake_shading()
+            cam_pos, cam_fwd = [0.0, 0.0, -25.0], [0.0, 0.0, 1.0]
         v0, v1, v2 = scene.tri_verts()
         tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)],
                       axis=1)
-        log(f"# scene gen: {time.time()-t0:.1f}s")
+        log(f"# scene gen: {time.time()-t0:.1f}s kind={scene_kind}")
         t0 = time.time()
         tree = build_kd_tree(tv, max_depth=max_depth, leaf_size=leaf_size,
                              tri_block=4)

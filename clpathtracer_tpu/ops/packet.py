@@ -277,8 +277,17 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
         tuple(r.astype(compute_dtype) for r in rays) if bf else rays)
     sub_iota = jax.lax.broadcasted_iota(
         jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
+    miss_val = 3.0e38 if bf else BIG  # bf16 max finite is ~3.39e38
+    # [CR, tile] accumulators across the 8 groups: 3 elementwise ops per
+    # group instead of a 2-reduction winner merge (~16) — one argmin per
+    # CHUNK at the end. Ties: later group wins at equal t (t_m <= acc),
+    # the final reduction picks the lowest slot among equal t — exact-t
+    # tie winners are documented freedom, t/u/v arithmetic is unchanged.
+    merge_old = _os.environ.get("CLPT_MERGE_OLD") == "1"  # A/B probes
     chunk_t = jnp.full((1, tile), BIG, jnp.float32)
     chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
+    t_acc = jnp.full((CHUNK_ROWS, tile), BIG, jnp.float32)
+    s_acc = jnp.full((CHUNK_ROWS, tile), -1.0, jnp.float32)
     for i in range(8):  # 8 interleaved groups of CHUNK_ROWS tris
         def col(j):
             c = tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1]
@@ -306,17 +315,26 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
         ok = ok & (tt > 0.0) & (tid >= 0.0)
         if act_row is not None:
             ok = ok & (act_row > 0.0)  # dead lanes never take hits
-        miss_val = 3.0e38 if bf else BIG  # bf16 max finite is ~3.39e38
         t_m = jnp.where(ok, tt, jnp.asarray(miss_val, compute_dtype))
+        t_m = t_m.astype(jnp.float32)
+        if bf:
+            t_m = jnp.where(t_m >= miss_val, BIG, t_m)
         slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)  # [CR, 1]
-        grp_min = jnp.min(t_m, axis=0, keepdims=True)     # [1, tile]
-        slot_cand = jnp.where(t_m == grp_min, slot, 3.0e38)
-        grp_slot = jnp.min(slot_cand, axis=0, keepdims=True)
-        gm = grp_min.astype(jnp.float32)
-        gm = jnp.where(gm >= miss_val, BIG, gm)
-        take = gm <= chunk_t
-        chunk_t = jnp.where(take, gm, chunk_t)
-        chunk_s = jnp.where(take, grp_slot, chunk_s)
+        if merge_old:
+            grp_min = jnp.min(t_m, axis=0, keepdims=True)
+            slot_cand = jnp.where(t_m == grp_min, slot, BIG)
+            grp_slot = jnp.min(slot_cand, axis=0, keepdims=True)
+            take = grp_min <= chunk_t
+            chunk_t = jnp.where(take, grp_min, chunk_t)
+            chunk_s = jnp.where(take, grp_slot, chunk_s)
+        else:
+            take = t_m <= t_acc
+            t_acc = jnp.where(take, t_m, t_acc)
+            s_acc = jnp.where(take, slot, s_acc)
+    if not merge_old:
+        chunk_t = jnp.min(t_acc, axis=0, keepdims=True)   # [1, tile]
+        slot_cand = jnp.where(t_acc == chunk_t, s_acc, BIG)
+        chunk_s = jnp.min(slot_cand, axis=0, keepdims=True)
     take = (chunk_t < BIG) & (chunk_t <= best_t)
     best_t = jnp.where(take, chunk_t, best_t)
     best_s = jnp.where(take, chunk_s, best_s)
@@ -1221,7 +1239,9 @@ def _kernel_queue(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
 # a leaf pop is 2 (w0 = flags|quad_start<<3, w1 = win0*16 + n_windows).
 # ---------------------------------------------------------------------------
 
-SMEM_BUDGET = 700 * 1024  # of the ~1 MB scalar memory; stacks use the rest
+SMEM_BUDGET = 900 * 1024  # of the ~1 MB scalar memory; stacks/rings use
+#   ~3 KB and Mosaic internals ~1 KB (measured: a 1.00 MB request
+#   overflowed by exactly 1.1 KB)
 
 
 def _smem_nodes(tree):
