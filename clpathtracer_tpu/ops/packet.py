@@ -259,6 +259,87 @@ def _near_far_children(fields, ibnd):
     return near, far
 
 
+def so_rows(tris16: jnp.ndarray, origin) -> jnp.ndarray:
+    """Per-triangle shared-origin precomputation (signed-volume test).
+
+    When every ray in the wavefront shares one origin `o` (primary pinhole
+    rays — the reference's own camera model, /root/reference/src/kernel.cl:443),
+    Moller-Trumbore collapses: with a = v0-o, b = v1-o, c = v2-o, a ray
+    direction d hits the triangle iff the three signed tetrahedron volumes
+    S1 = d.(a x b), S2 = d.(b x c), S3 = d.(c x a) share MT's sign
+    convention (all <= 0 with backface cull d.n < 0, since
+    S1+S2+S3 = d.n), and t = (a.n)/(S1+S2+S3). The cross/plane terms
+    depend only on (o, triangle) — this bakes them ONCE per frame so the
+    dense in-kernel test drops from ~52 to ~35 vector ops per
+    (ray, triangle) pair, with NO per-pair cross products left.
+
+    Conditioning matches standard MT: the crosses are built from MT's own
+    well-conditioned intermediates (w1 = a x e1 = -q, w2 = a x e2,
+    n = e1 x e2; b x c = w2 - w1 + n), never from near-parallel large
+    vectors, so S-values carry the same relative error as the general
+    path and winner flips stay confined to exact-tie noise.
+
+    Layout (matches the [T, 16] quad-row DMA contract): cols 0-2 ab,
+    3-5 bc, 6-8 ca, 9 d0 = a.n, 10 tid. Sentinel rows (tid < 0) zero out,
+    making every S and D exactly 0 — rejected by the kernel's strict
+    D < 0, so pads can never fake a hit.
+    """
+    o = jnp.asarray(origin, jnp.float32).reshape(3)
+    v0, e1, e2 = tris16[:, 0:3], tris16[:, 3:6], tris16[:, 6:9]
+    tid = tris16[:, 9:10]
+    a = v0 - o[None, :]
+    w1 = jnp.cross(a, e1)
+    w2 = jnp.cross(a, e2)
+    nrm = jnp.cross(e1, e2)
+    ab = w1
+    bc = w2 - w1 + nrm
+    ca = -w2
+    d0 = jnp.sum(a * nrm, axis=1, keepdims=True)
+    out = jnp.concatenate(
+        [ab, bc, ca, d0, tid, jnp.zeros((tris16.shape[0], 5), jnp.float32)],
+        axis=1)
+    return jnp.where(tid < 0.0, 0.0, out)
+
+
+def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
+                      best_s, act_row=None):
+    """Dense shared-origin signed-volume test of the CHUNK_ROWS*8 tris in
+    tri_buf[buf_slot] (rows from so_rows) — the SO twin of _mt_chunk_math.
+    Ray origins are ignored (folded into the baked rows); only directions
+    enter. ~35 [CR, tile] vector ops per group vs the general path's ~52:
+    no per-pair crosses, no u/v (winners re-resolve u/v outside)."""
+    _, _, _, dx, dy, dz = rays
+    sub_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
+    t_acc = jnp.full((CHUNK_ROWS, tile), BIG, jnp.float32)
+    s_acc = jnp.full((CHUNK_ROWS, tile), -1.0, jnp.float32)
+    for i in range(8):  # 8 interleaved groups of CHUNK_ROWS tris
+        def col(j):
+            return tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1] \
+                .reshape(CHUNK_ROWS, 1)
+        s1 = dx * col(0) + dy * col(1) + dz * col(2)
+        s2 = dx * col(3) + dy * col(4) + dz * col(5)
+        s3 = dx * col(6) + dy * col(7) + dz * col(8)
+        dsum = s1 + s2 + s3              # = d.n (backface cull: < 0)
+        ok = (s1 <= 0.0) & (s2 <= 0.0) & (s3 <= 0.0) & (dsum < 0.0)
+        tt = col(9) * (1.0 / jnp.where(dsum == 0.0, 1.0, dsum))
+        ok = ok & (tt > 0.0)
+        if act_row is not None:
+            ok = ok & (act_row > 0.0)  # dead lanes never take hits
+        t_m = jnp.where(ok, tt, BIG)
+        slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)  # [CR, 1]
+        take = t_m <= t_acc
+        t_acc = jnp.where(take, t_m, t_acc)
+        s_acc = jnp.where(take, slot, s_acc)
+    chunk_t = jnp.min(t_acc, axis=0, keepdims=True)       # [1, tile]
+    slot_cand = jnp.where(t_acc == chunk_t, s_acc, BIG)
+    chunk_s = jnp.min(slot_cand, axis=0, keepdims=True)
+    take = (chunk_t < BIG) & (chunk_t <= best_t)
+    best_t = jnp.where(take, chunk_t, best_t)
+    best_s = jnp.where(take, chunk_s, best_s)
+    return best_t, best_s
+
+
 def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
                    best_s, act_row=None, compute_dtype=jnp.float32):
     """Dense MT of the CHUNK_ROWS*8 tris already resident in
@@ -341,8 +422,16 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
     return best_t, best_s
 
 
+def _mt_math(so, compute_dtype=jnp.float32):
+    """The dense per-chunk intersection routine: shared-origin
+    signed-volume rows (so_rows) or general MT quad rows."""
+    if so:
+        return _mt_chunk_math_so
+    return functools.partial(_mt_chunk_math, compute_dtype=compute_dtype)
+
+
 def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile, act_row=None,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, so=False):
     """Double-buffered HBM→VMEM leaf-triangle streaming + dense MT.
 
     Returns (start_chunk, mt_chunk, stream_leaf): start_chunk(row0, slot)
@@ -367,9 +456,9 @@ def _chunk_pipeline(tris_ref, tri_buf, tri_sem, rays, tile, act_row=None,
         pltpu.make_async_copy(
             tris_ref.at[pl.ds(chunk_row0, CHUNK_ROWS), :],
             tri_buf.at[buf_slot], tri_sem.at[buf_slot]).wait()
-        return _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0,
-                              best_t, best_s, act_row=act_row,
-                              compute_dtype=compute_dtype)
+        return _mt_math(so, compute_dtype)(
+            tri_buf, buf_slot, rays, tile, chunk_row0,
+            best_t, best_s, act_row=act_row)
 
     def stream_leaf(qstart, count, best_t, best_s):
         first_tri = qstart * 4
@@ -681,6 +770,7 @@ def _kernel_wide(table_ref, tris_ref, o_ref, d_ref, t_ref, slot_ref,
 
 
 def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
+                   so=False,
                    tile, layout, compute_dtype=jnp.float32, cull=False):
     """"stream" engine (v2): interval-arithmetic packet walk + HBM leaf
     streaming + active-lane masking.
@@ -733,7 +823,7 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
     obnd, ibnd = _packet_bounds_masked(rays, act)
     _, _, stream_leaf, stream_leaf_culled = _chunk_pipeline(
         tris_ref, tri_buf, tri_sem, rays, tile, act_row=act,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, so=so)
 
     if cull:
         n_win = cbnd_ref.shape[0] * 16
@@ -897,7 +987,7 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
 
 
 def _kernel_queue(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
-                  tile, layout, qdepth, cull=False):
+                  tile, layout, qdepth, cull=False, so=False):
     """"queue" engine (v3): the stream interval walk, decoupled from the
     dense intersection by a deep ring of in-flight leaf-window DMAs.
 
@@ -1186,7 +1276,7 @@ def _kernel_queue(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
                     ring_thi[slot], t_upper)
 
             def do_mt(best_t, best_s, nl, nc):
-                best_t, best_s = _mt_chunk_math(
+                best_t, best_s = _mt_math(so)(
                     tri_buf, slot, rays, tile, row, best_t, best_s,
                     act_row=act)
                 return best_t, best_s, nl + 1, nc
@@ -1306,7 +1396,7 @@ def _smem_readers(nodes_i_ref, nodes_f_ref, cbnd_ref):
 
 
 def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
-                        a_ref, *refs, tile, cull=False):
+                        a_ref, *refs, tile, cull=False, so=False):
     """_kernel_stream with the node/cull tables in SMEM (flat, packed) —
     same walk, same outputs; a pop costs 3 scalar reads at ~17 ns instead
     of 6-7 at ~56 ns, a window cull test 6. See the module comment above
@@ -1323,8 +1413,6 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
     n_act = jnp.sum(act)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     obnd, ibnd = _packet_bounds_masked(rays, act)
-    _, _, stream_leaf, stream_leaf_culled = _chunk_pipeline(
-        tris_ref, tri_buf, tri_sem, rays, tile, act_row=act)
     read_node, read_cbnd = _smem_readers(nodes_i_ref, nodes_f_ref,
                                          cbnd_ref)
     axinfo = _axinfo(obnd, ibnd)
@@ -1371,7 +1459,7 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
 
                     best_t, best_s, nch, ntot = _stream_windows_culled(
                         r0, nwin, surv, tris_ref, tri_buf, tri_sem,
-                        rays, tile, act, best_t, best_s)
+                        rays, tile, act, best_t, best_s, so=so)
                     nc = nc + (ntot - nch)
                 else:
                     # window count from w1 (packed even when cull tables
@@ -1380,7 +1468,7 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                     best_t, best_s, nch, _ = _stream_windows_culled(
                         r0, nwin, lambda w: jnp.bool_(True), tris_ref,
                         tri_buf, tri_sem, rays, tile, act, best_t,
-                        best_s)
+                        best_s, so=so)
                 t_up = jax.lax.cond(
                     (nv & 3) == 0,
                     lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
@@ -1441,7 +1529,7 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
 
 
 def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
-                           rays, tile, act, best_t, best_s):
+                           rays, tile, act, best_t, best_s, so=False):
     """Double-buffered DMA + dense MT over a leaf's `nwin` windows with a
     per-window survival test (shared by the SMEM kernels; the VMEM path's
     equivalent lives in _chunk_pipeline.stream_leaf_culled)."""
@@ -1480,8 +1568,8 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
             start_chunk(bn, 1 - par)
 
         wait_chunk(row_of(b), par)
-        bt, bs = _mt_chunk_math(tri_buf, par, rays, tile, row_of(b), bt,
-                                bs, act_row=act)
+        bt, bs = _mt_math(so)(tri_buf, par, rays, tile, row_of(b), bt,
+                              bs, act_row=act)
         return bn, 1 - par, bt, bs, ns + 1
 
     _, _, best_t, best_s, streamed = jax.lax.while_loop(
@@ -1491,7 +1579,7 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
 
 
 def _kernel_queue_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
-                       a_ref, *refs, tile, qdepth, cull=False):
+                       a_ref, *refs, tile, qdepth, cull=False, so=False):
     """_kernel_queue (phased producer/consumer ring) with SMEM node/cull
     tables — cross-leaf DMA lookahead AND cheap scalar reads."""
     if cull:
@@ -1676,7 +1764,7 @@ def _kernel_queue_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                     ring_thi[slot], t_upper)
 
             def do_mt(best_t, best_s, nl, nc):
-                best_t, best_s = _mt_chunk_math(
+                best_t, best_s = _mt_math(so)(
                     tri_buf, slot, rays, tile, row, best_t, best_s,
                     act_row=act)
                 return best_t, best_s, nl + 1, nc
@@ -2194,10 +2282,10 @@ def _stream_nodes(tree):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile", "layout",
-                                             "precision"))
+                                             "precision", "so"))
 def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
                         interpret=False, tile=TILE, layout="padded",
-                        precision="f32"):
+                        precision="f32", so=False):
     specs = _streaming_specs(orig_t.shape[1], tile)
     specs["in_specs"].append(
         pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM))
@@ -2209,7 +2297,7 @@ def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
     cdtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     return pl.pallas_call(
         functools.partial(_kernel_stream, tile=tile, layout=layout,
-                          compute_dtype=cdtype, cull=cull),
+                          compute_dtype=cdtype, cull=cull, so=so),
         **specs,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -2246,16 +2334,17 @@ def _smem_specs(n, tile, cull):
     return specs
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "so"))
 def _packet_call_stream_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
                              act, chunk_bnd=None, interpret=False,
-                             tile=TILE):
+                             tile=TILE, so=False):
     cull = chunk_bnd is not None
     args = [nodes_i, nodes_f, tris128, orig_t, dir_t, act]
     if cull:
         args.append(chunk_bnd)
     return pl.pallas_call(
-        functools.partial(_kernel_stream_smem, tile=tile, cull=cull),
+        functools.partial(_kernel_stream_smem, tile=tile, cull=cull,
+                          so=so),
         **_smem_specs(orig_t.shape[1], tile, cull),
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -2269,17 +2358,17 @@ def _packet_call_stream_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile",
-                                             "qdepth"))
+                                             "qdepth", "so"))
 def _packet_call_queue_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
                             act, chunk_bnd=None, interpret=False,
-                            tile=TILE, qdepth=QUEUE_DEPTH):
+                            tile=TILE, qdepth=QUEUE_DEPTH, so=False):
     cull = chunk_bnd is not None
     args = [nodes_i, nodes_f, tris128, orig_t, dir_t, act]
     if cull:
         args.append(chunk_bnd)
     return pl.pallas_call(
         functools.partial(_kernel_queue_smem, tile=tile, qdepth=qdepth,
-                          cull=cull),
+                          cull=cull, so=so),
         **_smem_specs(orig_t.shape[1], tile, cull),
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -2297,10 +2386,10 @@ def _packet_call_queue_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile", "layout",
-                                             "qdepth"))
+                                             "qdepth", "so"))
 def _packet_call_queue(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
                        interpret=False, tile=TILE, layout="padded",
-                       qdepth=QUEUE_DEPTH):
+                       qdepth=QUEUE_DEPTH, so=False):
     specs = _streaming_specs(orig_t.shape[1], tile)
     specs["in_specs"].append(
         pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM))
@@ -2311,7 +2400,7 @@ def _packet_call_queue(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
         args.append(chunk_bnd)
     return pl.pallas_call(
         functools.partial(_kernel_queue, tile=tile, layout=layout,
-                          qdepth=qdepth, cull=cull),
+                          qdepth=qdepth, cull=cull, so=so),
         **specs,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -2361,15 +2450,18 @@ def _unblockify(x, h, w, th, tw):
     return x.reshape(h * w, *tail)
 
 
-def _pad_rows8(tris16):
-    """Pad [T, 16] tri rows with -1 sentinels and fold into the [T/8, 128]
+def _pad_rows8(tris16, pad_value=-1.0):
+    """Pad [T, 16] tri rows with sentinel rows (-1 for quad rows, whose
+    tid < 0 marks them dead; 0 for shared-origin rows, whose all-zero
+    volumes fail the strict D < 0 test) and fold into the [T/8, 128]
     DMA layout. Minimum CHUNK_ROWS*8 tri rows so even a tiny scene holds
     one full DMA chunk (the kernels clamp chunk starts, never lengths)."""
     t_rows = tris16.shape[0]
     target = max((t_rows + 7) // 8 * 8, CHUNK_ROWS * 8)
     if target != t_rows:
         tris16 = jnp.concatenate(
-            [tris16, jnp.full((target - t_rows, 16), -1.0, tris16.dtype)],
+            [tris16,
+             jnp.full((target - t_rows, 16), pad_value, tris16.dtype)],
             axis=0)
     return tris16.reshape(-1, 128)
 
@@ -2377,7 +2469,7 @@ def _pad_rows8(tris16):
 def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                     interpret: bool = None, image_shape=None,
                     tile: int = TILE, engine: str = "auto", active=None,
-                    precision: str = "f32"):
+                    precision: str = "f32", shared_origin: bool = False):
     """Packet-trace a coherent wavefront. Same record contract as
     traverse_fast (minus per-ray step counts, which have no meaning for a
     shared-stack packet walk: steps = 0).
@@ -2393,6 +2485,15 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
     dominant cost) at preview quality: bf16 cancellation in o-v0 costs
     real hits (~93% hit agreement measured on a small-triangle scene).
     Winners are still re-resolved in f32. Stream engine only.
+    shared_origin: caller-asserted promise that EVERY ray origin is
+    identical (primary pinhole rays). The stream/queue engines then
+    stream so_rows (per-triangle signed-volume terms baked against that
+    one origin — one elementwise pass over the quad array per call)
+    instead of raw quads, cutting the dense per-pair test from ~52 to
+    ~35 vector ops. Winner t/u/v are re-resolved from the winning slot
+    in exact f32 either way, so images match the general path except at
+    exact-t ties. Ignored by legacy/wide/stream2 engines and by the
+    bf16 preview path.
     active: optional [N] bool — dead lanes are excluded from packet bounds
     and never report hits; a fully dead tile skips traversal (the kernel
     half of wavefront compaction; sort dead rays to the tail first).
@@ -2479,34 +2580,42 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             # SMEM kernels don't implement)
             use_smem = (_smem_fits(tree) and precision == "f32"
                         and _os.environ.get("CLPT_SMEM", "1") != "0")
+            so = (shared_origin and precision == "f32"
+                  and _os.environ.get("CLPT_SO", "1") != "0")
+            if so:
+                rows128 = _pad_rows8(so_rows(tris16, orig[0]),
+                                     pad_value=0.0)
+            else:
+                rows128 = _pad_rows8(tris16)
             if use_smem:
                 nodes_i, nodes_f = _smem_nodes(tree)
                 cb_s = _smem_cbnd(tree) if cbnd is not None else None
                 call = (_packet_call_queue_smem if mode == "queue"
                         else _packet_call_stream_smem)
                 out_t, out_s, tile_stats = call(
-                    nodes_i, nodes_f, _pad_rows8(tris16),
+                    nodes_i, nodes_f, rows128,
                     orig_b.T.astype(jnp.float32),
                     dir_b.T.astype(jnp.float32),
                     act[None, :], chunk_bnd=cb_s, interpret=interpret,
-                    tile=tile)
+                    tile=tile, so=so)
             elif mode == "queue":
                 out_t, out_s, tile_stats = _packet_call_queue(
-                    _stream_nodes(tree), _pad_rows8(tris16),
-                    orig_b.T.astype(jnp.float32),
-                    dir_b.T.astype(jnp.float32),
-                    act[None, :], chunk_bnd=cbnd, interpret=interpret,
-                    tile=tile,
-                    layout=_stream_layout(tree.node_table.shape[0]))
-            else:
-                out_t, out_s, tile_stats = _packet_call_stream(
-                    _stream_nodes(tree), _pad_rows8(tris16),
+                    _stream_nodes(tree), rows128,
                     orig_b.T.astype(jnp.float32),
                     dir_b.T.astype(jnp.float32),
                     act[None, :], chunk_bnd=cbnd, interpret=interpret,
                     tile=tile,
                     layout=_stream_layout(tree.node_table.shape[0]),
-                    precision=precision)
+                    so=so)
+            else:
+                out_t, out_s, tile_stats = _packet_call_stream(
+                    _stream_nodes(tree), rows128,
+                    orig_b.T.astype(jnp.float32),
+                    dir_b.T.astype(jnp.float32),
+                    act[None, :], chunk_bnd=cbnd, interpret=interpret,
+                    tile=tile,
+                    layout=_stream_layout(tree.node_table.shape[0]),
+                    precision=precision, so=so)
     elif mode == "wide":
         out_t, out_s, tile_stats = _packet_call_wide(
             tree.wide_table, _pad_rows8(tris16),

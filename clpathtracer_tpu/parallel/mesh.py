@@ -72,7 +72,10 @@ def make_sharded_renderer(opts: RenderOptions, mesh: Mesh):
         spec = NamedSharding(mesh, P("rows", None))
         orig = jax.lax.with_sharding_constraint(orig, spec)
         dir = jax.lax.with_sharding_constraint(dir, spec)
-        img = render_rays(scene, tree, orig, dir, opts, key)
+        # rays are pinhole primaries generated right above — the packet
+        # engine may bake shared-origin rows (ops/packet.py::so_rows)
+        img = render_rays(scene, tree, orig, dir, opts, key,
+                          shared_origin=True)
         return img.reshape(opts.height, opts.width, 3)
 
     return jax.jit(impl, out_shardings=row_sharded(mesh, rank=3))
@@ -106,7 +109,8 @@ def make_sharded_packet_renderer(opts: RenderOptions, mesh: Mesh):
         # noise pattern
         if key is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index("rows"))
-        img = render_rays(scene, tree, orig, dir, opts_local, key)
+        img = render_rays(scene, tree, orig, dir, opts_local, key,
+                          shared_origin=True)
         return img.reshape(local_h, opts.width, 3)
 
     sharded = shard_map(

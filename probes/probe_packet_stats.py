@@ -91,13 +91,15 @@ def main():
             f"mode={mode}")
         n_tiles = res * res // tile
 
+        so = os.environ.get("PROBE_SO") == "1"
+
         def chain(n, tree, quads, orig, dir, tile=tile, engine=engine):
             def body(i, c):
                 chk, _, _ = c
                 eps = chk * 1e-38
                 rec = traverse_packet(tree, quads, orig + eps, dir,
                                       image_shape=(res, res), tile=tile,
-                                      engine=engine)
+                                      engine=engine, shared_origin=so)
                 ok = rec["hit"]
                 chk = jnp.sum(jnp.where(ok, rec["t"], 0.0))
                 t2 = jnp.sum(rec["tri"] % 97).astype(jnp.float32)
