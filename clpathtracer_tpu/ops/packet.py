@@ -55,6 +55,12 @@ VMEM_BUDGET = 12 * 1024 * 1024
 # the double buffer, 32 overshoots (first-chunk latency uncovered).
 # Tunable for experiments (CLPT_CHUNK_ROWS).
 CHUNK_ROWS = int(_os.environ.get("CLPT_CHUNK_ROWS", "16"))
+# Packet-wide early-termination refresh cadence: every (TUP_MASK+1)-th node
+# pop recomputes t_upper = max over live lanes of best_t — a VECTOR
+# reduction consumed by the SCALAR walk, i.e. a cross-pipeline sync point.
+# Tunable because each sync can stall the decoupled scalar queue; a staler
+# t_upper only costs extra conservatively-kept windows.
+TUP_MASK = int(_os.environ.get("CLPT_TUP_EVERY", "4")) - 1
 INV_BIG = 1e30
 
 
@@ -916,7 +922,7 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
                 # pruning nearly as tight at a quarter of the stalls
                 # (a stale t_upper is only ever conservative).
                 t_up = jax.lax.cond(
-                    (nv & 3) == 0,
+                    (nv & TUP_MASK) == 0,
                     lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
                     lambda: t_upper)
                 return sp, best_t, best_s, t_up, nl + nch, nc
@@ -1470,7 +1476,7 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                         tri_buf, tri_sem, rays, tile, act, best_t,
                         best_s, so=so)
                 t_up = jax.lax.cond(
-                    (nv & 3) == 0,
+                    (nv & TUP_MASK) == 0,
                     lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
                     lambda: t_upper)
                 return sp, best_t, best_s, t_up, nl + nch, nc
@@ -1944,7 +1950,7 @@ def _make_machine(nodes_ref, tris_ref, stack_refs, m, tri_buf, tri_sem,
             best_r, slot_r = jax.lax.cond(
                 go_r > 0, mt_r, lambda bt, bs: (bt, bs), best_r, slot_r)
             rem2 = rem - 1
-            refresh = (rem2 == 0) & ((nv & 3) == 0)
+            refresh = (rem2 == 0) & ((nv & TUP_MASK) == 0)
             tu_l = jax.lax.cond(
                 refresh & (go_l > 0),
                 lambda: jnp.max(jnp.where(act_l > 0.0, best_l, -BIG)),

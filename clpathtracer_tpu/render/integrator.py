@@ -127,6 +127,7 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
             # bounce rays keep the blocked-tile path unless the caller
             # opts into Morton sorting (see RenderOptions.sort_bounces)
             coherent=(coherent or not opts.sort_bounces),
+            shared_origin=shared_origin,
             packet_tile=opts.packet_tile,
             image_shape=((opts.height, opts.width)
                          if n == opts.width * opts.height else None),

@@ -75,6 +75,7 @@ def main():
         parts = cfg.split(":")
         leaf, depth, tile = int(parts[0]), int(parts[1]), int(parts[2])
         engine = parts[3] if len(parts) > 3 else "auto"
+        cfg_so = parts[4] if len(parts) > 4 else None
         key = (leaf, depth)
         if key not in trees:
             t0 = time.time()
@@ -91,7 +92,8 @@ def main():
             f"mode={mode}")
         n_tiles = res * res // tile
 
-        so = os.environ.get("PROBE_SO") == "1"
+        so = (cfg_so == "1" if cfg_so is not None
+              else os.environ.get("PROBE_SO") == "1")
 
         def chain(n, tree, quads, orig, dir, tile=tile, engine=engine):
             def body(i, c):
@@ -136,7 +138,8 @@ def main():
         from clpathtracer_tpu.ops.packet import CHUNK_ROWS
         chunk_tris = CHUNK_ROWS * 8
         rec = {
-            "cfg": {"scene": scene_kind, "leaf": leaf, "depth": depth, "tile": tile,
+            "cfg": {"scene": scene_kind, "so": so,
+                    "leaf": leaf, "depth": depth, "tile": tile,
                     "engine": engine, "mode": mode, "tris": ntris,
                     "res": res},
             "tree": stats,
