@@ -116,6 +116,14 @@ def main():
 
     scene = jax.device_put(scene, dev)
     tree = jax.device_put(tree, dev)
+    if intersector == "packet" and tree.quads is not None:
+        # affine shared-origin tables: computed once on-device, turns the
+        # packet engines' per-frame SO row preparation into one fused
+        # elementwise combine (accel/sah.py::attach_so_tables)
+        from clpathtracer_tpu.accel.sah import attach_so_tables
+        t0 = time.time()
+        tree = attach_so_tables(tree)
+        log(f"# so tables: {time.time()-t0:.1f}s")
 
     # n data-chained frames in one program (traced bound → one compile).
     # The chain dependence must be one XLA cannot constant-fold away

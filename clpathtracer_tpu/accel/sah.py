@@ -77,6 +77,10 @@ class FlatKdTree:
     #   pad 2); windows follow ops/packet.py stream_leaf's exact clamped
     #   CHUNK_ROWS grid, so bounds conservatively cover window overhang
     #   into neighboring leaves
+    so_base: jnp.ndarray = None  # [4, R, 128] f32 affine shared-origin
+    #   tables (ops/packet.py::so_affine_tables); attach_so_tables adds
+    #   them so the packet engines' per-frame SO row preparation is one
+    #   fused elementwise combine instead of a full cross-product pass
 
     @property
     def num_nodes(self) -> int:
@@ -618,3 +622,19 @@ def attach_chunk_info(tree: FlatKdTree) -> FlatKdTree:
         np.asarray(tree.is_leaf), vmin, vmax, CHUNK_ROWS)
     return tree.replace(chunk_start=jnp.asarray(cs),
                         chunk_bnd=jnp.asarray(bnd))
+
+
+def attach_so_tables(tree: FlatKdTree) -> FlatKdTree:
+    """Compute + attach the affine shared-origin tables
+    (ops/packet.py::so_affine_tables) so traverse_packet's SO path costs
+    one fused elementwise combine per frame instead of a full per-frame
+    cross-product pass (measured 30.7 ms at 1M tris). Computed ON the
+    device holding tree.quads (jitted — eager ops on a tunneled TPU
+    round-trip the network), so call AFTER device_put of the tree.
+    Requires quads (tri_block=4); no-op otherwise. Adds 4x the quad
+    bytes of device memory."""
+    if tree.quads is None:
+        return tree
+    import jax
+    from clpathtracer_tpu.ops.packet import so_affine_tables
+    return tree.replace(so_base=jax.jit(so_affine_tables)(tree.quads))

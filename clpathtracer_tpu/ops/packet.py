@@ -307,6 +307,61 @@ def so_rows(tris16: jnp.ndarray, origin) -> jnp.ndarray:
     return jnp.where(tid < 0.0, 0.0, out)
 
 
+def so_affine_tables(quads: jnp.ndarray) -> jnp.ndarray:
+    """Origin-independent affine decomposition of so_rows.
+
+    Every baked shared-origin term is affine in the origin o: with
+    constant per-triangle tables, ab = v0xe1 - o x e1, bc = (v0xe2 -
+    v0xe1 + n) - o x (e2-e1), ca = -v0xe2 + o x e2 and d0 = v0.n - o.n,
+    and each "o x e" is a linear combination of (ox, oy, oz) with
+    per-triangle coefficient vectors. So the whole [R, 128] SO row array
+    is B0 + ox*B1 + oy*B2 + oz*B3.
+
+    This function builds the four tables ONCE per scene (they do not
+    depend on o), already padded and folded into the [R, 128] DMA layout.
+    The per-frame SO preparation then collapses from a full cross-product
+    pass plus a 16-to-128 lane relayout (measured 30.7 ms/frame at 1M
+    tris through XLA on v5e) to one fused elementwise combine (~0.5 ms
+    of HBM traffic). Returns [4, R, 128] stacked (B0, B1, B2, B3).
+
+    Conditioning note: so_rows computes a = v0 - o BEFORE the crosses
+    (well-conditioned); the affine form rounds v0xe1 and o x e1
+    separately, so edge tests lose ~|v0||o|/|a x e1| relative accuracy —
+    at f32 this moves hit/miss boundaries sub-pixel amounts and can flip
+    rare edge-grazing winners. Tests budget for that; t/u/v still
+    re-resolve exactly from the winning slot."""
+    t = _pad_rows8(quads.reshape(-1, 16)).reshape(-1, 16)
+    v0, e1, e2, tid = t[:, 0:3], t[:, 3:6], t[:, 6:9], t[:, 9:10]
+    n = jnp.cross(e1, e2)
+    c01 = jnp.cross(v0, e1)
+    c02 = jnp.cross(v0, e2)
+    g = e2 - e1
+    z1 = jnp.zeros_like(tid)
+    z5 = jnp.zeros((t.shape[0], 5), t.dtype)
+    # d(o x e)/d o_k for k = x, y, z
+    def cx(e):
+        return jnp.stack([jnp.zeros_like(e[:, 0]), -e[:, 2], e[:, 1]], 1)
+
+    def cy(e):
+        return jnp.stack([e[:, 2], jnp.zeros_like(e[:, 0]), -e[:, 0]], 1)
+
+    def cz(e):
+        return jnp.stack([-e[:, 1], e[:, 0], jnp.zeros_like(e[:, 0])], 1)
+
+    b0 = jnp.concatenate(
+        [c01, c02 - c01 + n, -c02,
+         jnp.sum(v0 * n, axis=1, keepdims=True), tid, z5], axis=1)
+
+    def bk(ck, nk):
+        return jnp.concatenate(
+            [-ck(e1), -ck(g), ck(e2), -nk[:, None], z1, z5], axis=1)
+
+    tabs = jnp.stack([b0, bk(cx, n[:, 0]), bk(cy, n[:, 1]),
+                      bk(cz, n[:, 2])])
+    tabs = jnp.where(tid[None] < 0.0, 0.0, tabs)  # sentinels: all-zero
+    return tabs.reshape(4, -1, 128)
+
+
 def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
                       best_s, act_row=None):
     """Dense shared-origin signed-volume test of the CHUNK_ROWS*8 tris in
@@ -2589,8 +2644,17 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             so = (shared_origin and precision == "f32"
                   and _os.environ.get("CLPT_SO", "1") != "0")
             if so:
-                rows128 = _pad_rows8(so_rows(tris16, orig[0]),
-                                     pad_value=0.0)
+                sob = getattr(tree, "so_base", None)
+                if sob is not None:
+                    # affine tables (so_affine_tables): one fused
+                    # elementwise combine per frame instead of the full
+                    # per-frame so_rows pass (30.7 ms at 1M tris)
+                    o = orig[0]
+                    rows128 = (sob[0] + o[0] * sob[1] + o[1] * sob[2]
+                               + o[2] * sob[3])
+                else:
+                    rows128 = _pad_rows8(so_rows(tris16, orig[0]),
+                                         pad_value=0.0)
             else:
                 rows128 = _pad_rows8(tris16)
             if use_smem:

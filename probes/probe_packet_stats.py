@@ -92,8 +92,15 @@ def main():
             f"mode={mode}")
         n_tiles = res * res // tile
 
-        so = (cfg_so == "1" if cfg_so is not None
+        so = (cfg_so in ("1", "rows") if cfg_so is not None
               else os.environ.get("PROBE_SO") == "1")
+        if so and cfg_so != "rows":
+            # production SO path: affine tables ("rows" forces the legacy
+            # per-frame so_rows pass for comparison)
+            from clpathtracer_tpu.accel.sah import attach_so_tables
+            t0 = time.time()
+            tree = attach_so_tables(tree)
+            log(f"# so tables: {time.time()-t0:.1f}s")
 
         def chain(n, tree, quads, orig, dir, tile=tile, engine=engine):
             def body(i, c):

@@ -562,3 +562,49 @@ class TestSharedOrigin:
             jax.clear_caches()
         np.testing.assert_allclose(np.asarray(img_so),
                                    np.asarray(img_gen), atol=1e-5)
+
+    def test_so_affine_tables_match_so_rows(self):
+        """so_affine_tables is an exact affine refactor of so_rows: for
+        any origin, B0 + ox*B1 + oy*B2 + oz*B3 equals the padded so_rows
+        output to f32 rounding."""
+        from clpathtracer_tpu.ops.packet import (so_affine_tables,
+                                                 so_rows, _pad_rows8)
+        rng = np.random.default_rng(11)
+        tris = (rng.normal(size=(513, 16)) * 3).astype(np.float32)
+        tris[:, 9] = np.arange(513)
+        tris[::17, 9] = -1  # sentinel rows must zero in every table
+        q = jax.numpy.asarray(tris)
+        tabs = so_affine_tables(q)
+        for o in ([0.3, -1.2, 2.5], [7.0, 0.0, -4.0]):
+            o = np.asarray(o, np.float32)
+            ref = np.asarray(_pad_rows8(so_rows(q, o), pad_value=0.0))
+            aff = np.asarray(tabs[0] + o[0] * tabs[1] + o[1] * tabs[2]
+                             + o[2] * tabs[3])
+            scale = np.abs(ref).max()
+            np.testing.assert_allclose(aff, ref, atol=1e-6 * scale)
+
+    @pytest.mark.parametrize("smem", ["0", "1"])
+    def test_so_affine_engine_parity(self, smem, monkeypatch):
+        """Stream engine fed the affine so_base tables agrees with the
+        general quad path. The affine form rounds v0xe1 and o x e1
+        separately (so_affine_tables docstring), so a tiny budget of
+        edge-grazing winner flips is allowed; surviving hits must carry
+        near-identical t."""
+        monkeypatch.setenv("CLPT_SMEM", smem)
+        from clpathtracer_tpu.accel.sah import attach_so_tables
+        tree, quads, orig, dir = _fixture(
+            random_tri_soup(3000, seed=5, extent=2.0, tri_size=0.05),
+            pos=(0.0, 0.0, -4.0))
+        tree_so = attach_so_tables(tree)
+        assert tree_so.so_base is not None
+        gen = traverse_packet(tree, quads, orig, dir, engine="stream")
+        so = traverse_packet(tree_so, quads, orig, dir, engine="stream",
+                             shared_origin=True)
+        h_g = np.asarray(gen["hit"])
+        h_s = np.asarray(so["hit"])
+        flips = (h_g != h_s).mean()
+        assert flips < 2e-3, f"hit flip fraction {flips}"
+        both = h_g & h_s
+        np.testing.assert_allclose(np.asarray(gen["t"])[both],
+                                   np.asarray(so["t"])[both],
+                                   rtol=1e-4, atol=1e-5)
