@@ -1457,16 +1457,31 @@ def _smem_readers(nodes_i_ref, nodes_f_ref, cbnd_ref):
 
 
 def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
-                        a_ref, *refs, tile, cull=False, so=False):
+                        a_ref, *refs, tile, cull=False, so=False,
+                        frustum=False):
     """_kernel_stream with the node/cull tables in SMEM (flat, packed) —
     same walk, same outputs; a pop costs 3 scalar reads at ~17 ns instead
     of 6-7 at ~56 ns, a window cull test 6. See the module comment above
-    _smem_nodes for the measured motivation."""
-    if cull:
+    _smem_nodes for the measured motivation.
+
+    frustum: shared-origin pixel-block tiles additionally cull each DMA
+    window against the tile's EXACT 4-plane pinhole frustum (corner-ray
+    hull planes precomputed per tile, _frustum_rows) — the interval test
+    alone is an axis-aligned relaxation that keeps ~3/4 of windows on a
+    1M-tri terrain; the plane test is ~40 scalar ops per window on the
+    decoupled scalar core. Conservative: a window is culled only when its
+    AABB's inner support point lies strictly outside a plane (with a
+    relative slack), so hit results are identical."""
+    if cull and frustum:
+        (cbnd_ref, fr_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
+         thi_stack, tri_buf, tri_sem) = refs
+    elif cull:
+        fr_ref = None
         (cbnd_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
          thi_stack, tri_buf, tri_sem) = refs
     else:
         cbnd_ref = None
+        fr_ref = None
         (t_ref, slot_ref, stats_ref, nstack, tlo_stack, thi_stack,
          tri_buf, tri_sem) = refs
     rays = _ray_rows(o_ref, d_ref)
@@ -1474,6 +1489,9 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
     n_act = jnp.sum(act)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     obnd, ibnd = _packet_bounds_masked(rays, act)
+    # flat SMEM frustum-table offset for this tile (hoisted: program_id
+    # does not lower inside traced loop bodies in interpret mode)
+    fb = 16 * pl.program_id(0) if fr_ref is not None else 0
     read_node, read_cbnd = _smem_readers(nodes_i_ref, nodes_f_ref,
                                          cbnd_ref)
     axinfo = _axinfo(obnd, ibnd)
@@ -1515,8 +1533,24 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                         l0, l1, l2, h0, h1, h2 = read_cbnd(win0 + w)
                         t_en, t_ex = _box_interval(
                             (l0, l1, l2), (h0, h1, h2), obnd, ibnd)
-                        return ((t_en <= jnp.minimum(thi, t_upper))
+                        keep = ((t_en <= jnp.minimum(thi, t_upper))
                                 & (t_ex >= tlo) & (t_ex > 0.0))
+                        if fr_ref is not None:
+                            osx = fr_ref[fb + 12]
+                            osy = fr_ref[fb + 13]
+                            osz = fr_ref[fb + 14]
+                            for p in range(4):
+                                nx = fr_ref[fb + 3 * p]
+                                ny = fr_ref[fb + 3 * p + 1]
+                                nz = fr_ref[fb + 3 * p + 2]
+                                cx = jnp.where(nx > 0.0, l0, h0) - osx
+                                cy = jnp.where(ny > 0.0, l1, h1) - osy
+                                cz = jnp.where(nz > 0.0, l2, h2) - osz
+                                sup = nx * cx + ny * cy + nz * cz
+                                slack = 1e-5 * (jnp.abs(cx) + jnp.abs(cy)
+                                                + jnp.abs(cz))
+                                keep = keep & (sup <= slack)
+                        return keep
 
                     best_t, best_s, nch, ntot = _stream_windows_culled(
                         r0, nwin, surv, tris_ref, tri_buf, tri_sem,
@@ -2374,7 +2408,7 @@ def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
 QUEUE_DEPTH = int(_os.environ.get("CLPT_QUEUE_DEPTH", "8"))
 
 
-def _smem_specs(n, tile, cull):
+def _smem_specs(n, tile, cull, frustum=False):
     """in/out specs for the SMEM-table kernels: flat node tables (and
     chunk AABBs) in scalar memory, triangles in HBM, per-tile blocks."""
     specs = _streaming_specs(n, tile)
@@ -2392,21 +2426,53 @@ def _smem_specs(n, tile, cull):
     if cull:
         specs["in_specs"].append(
             pl.BlockSpec(memory_space=pltpu.SMEM))  # cbnd (flat f32)
+    if frustum:
+        # whole flat array (Mosaic rejects narrow blocked SMEM specs);
+        # the kernel indexes row program_id(0) at 16*f32 stride
+        specs["in_specs"].append(
+            pl.BlockSpec(memory_space=pltpu.SMEM))  # per-tile planes
     return specs
+
+
+def _frustum_rows(dir_b, origin, tile, th, tw):
+    """Per-tile pinhole frustum planes for the scalar window cull.
+
+    Each pixel-block tile's ray directions lie inside the cone hulled by
+    its 4 corner rays; returns [n_tiles, 16] f32 rows: 4 unit outward
+    plane normals (12), the shared origin (3), pad (1). Degenerate edges
+    (zero cross) emit a zero normal, which never culls."""
+    nt_ = dir_b.shape[0] // tile
+    d2 = dir_b.reshape(nt_, tile, 3)
+    c = d2[:, (0, tw - 1, (th - 1) * tw, tile - 1), :]   # [nt, 4, 3]
+    ns = []
+    for a, b in ((0, 1), (1, 3), (3, 2), (2, 0)):
+        o0, o1 = (i for i in range(4) if i not in (a, b))
+        n = jnp.cross(c[:, a], c[:, b])
+        s = jnp.sum(n * (c[:, o0] + c[:, o1]), axis=-1, keepdims=True)
+        n = jnp.where(s > 0.0, -n, n)   # interior dirs: n . d <= 0
+        nn = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
+        ns.append(jnp.where(nn > 1e-20, n / jnp.maximum(nn, 1e-30), 0.0))
+    o = jnp.broadcast_to(
+        jnp.asarray(origin, jnp.float32).reshape(1, 3), (nt_, 3))
+    return jnp.concatenate(
+        ns + [o, jnp.zeros((nt_, 1), jnp.float32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile", "so"))
 def _packet_call_stream_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
-                             act, chunk_bnd=None, interpret=False,
-                             tile=TILE, so=False):
+                             act, chunk_bnd=None, frustum_rows=None,
+                             interpret=False, tile=TILE, so=False):
     cull = chunk_bnd is not None
+    frustum = cull and frustum_rows is not None
     args = [nodes_i, nodes_f, tris128, orig_t, dir_t, act]
     if cull:
         args.append(chunk_bnd)
+    if frustum:
+        args.append(frustum_rows.reshape(-1))
     return pl.pallas_call(
         functools.partial(_kernel_stream_smem, tile=tile, cull=cull,
-                          so=so),
-        **_smem_specs(orig_t.shape[1], tile, cull),
+                          so=so, frustum=frustum),
+        **_smem_specs(orig_t.shape[1], tile, cull, frustum),
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((STACK_DEPTH,), jnp.float32),
@@ -2660,14 +2726,28 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             if use_smem:
                 nodes_i, nodes_f = _smem_nodes(tree)
                 cb_s = _smem_cbnd(tree) if cbnd is not None else None
-                call = (_packet_call_queue_smem if mode == "queue"
-                        else _packet_call_stream_smem)
-                out_t, out_s, tile_stats = call(
-                    nodes_i, nodes_f, rows128,
-                    orig_b.T.astype(jnp.float32),
-                    dir_b.T.astype(jnp.float32),
-                    act[None, :], chunk_bnd=cb_s, interpret=interpret,
-                    tile=tile, so=so)
+                if mode == "queue":
+                    out_t, out_s, tile_stats = _packet_call_queue_smem(
+                        nodes_i, nodes_f, rows128,
+                        orig_b.T.astype(jnp.float32),
+                        dir_b.T.astype(jnp.float32),
+                        act[None, :], chunk_bnd=cb_s,
+                        interpret=interpret, tile=tile, so=so)
+                else:
+                    # exact per-tile pinhole frustum planes tighten the
+                    # window cull for shared-origin pixel-block tiles
+                    fr = None
+                    if (so and blocked and cb_s is not None
+                            and _os.environ.get("CLPT_FRUSTUM", "1")
+                            != "0"):
+                        fr = _frustum_rows(dir_b.astype(jnp.float32),
+                                           orig[0], tile, th, tw)
+                    out_t, out_s, tile_stats = _packet_call_stream_smem(
+                        nodes_i, nodes_f, rows128,
+                        orig_b.T.astype(jnp.float32),
+                        dir_b.T.astype(jnp.float32),
+                        act[None, :], chunk_bnd=cb_s, frustum_rows=fr,
+                        interpret=interpret, tile=tile, so=so)
             elif mode == "queue":
                 out_t, out_s, tile_stats = _packet_call_queue(
                     _stream_nodes(tree), rows128,

@@ -92,6 +92,47 @@ def main():
         t_ref[:] = best_t
         s_ref[:] = best_s
 
+    def so_rows_k(tri_ref, d_ref, t_ref, s_ref, *, tile, cr, nck):
+        """Shared-origin signed-volume math in the rows16 layout (cols
+        0-2 ab, 3-5 bc, 6-8 ca, 9 d0, 10 tid) — isolates the SO dense
+        rate to split in-kernel frame time into math vs bubbles."""
+        dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+        sub_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (cr, 1), 0).astype(jnp.float32)
+
+        def chunk(c, carry):
+            best_t, best_s = carry
+            t_acc = jnp.full((cr, tile), BIG, jnp.float32)
+            s_acc = jnp.full((cr, tile), -1.0, jnp.float32)
+            for i in range(8):
+                def col(j):
+                    v = tri_ref[pl.ds(c * cr, cr), i * 16 + j:i * 16 + j + 1]
+                    return v.reshape(cr, 1)
+                s1 = dx * col(0) + dy * col(1) + dz * col(2)
+                s2 = dx * col(3) + dy * col(4) + dz * col(5)
+                s3 = dx * col(6) + dy * col(7) + dz * col(8)
+                dsum = s1 + s2 + s3
+                ok = (s1 <= 0.0) & (s2 <= 0.0) & (s3 <= 0.0) & (dsum < 0.0)
+                tt = col(9) * (1.0 / jnp.where(dsum == 0.0, 1.0, dsum))
+                ok = ok & (tt > 0.0)
+                t_m = jnp.where(ok, tt, BIG)
+                slot = (c * cr + sub_iota) * 8.0 + i
+                take = t_m <= t_acc
+                t_acc = jnp.where(take, t_m, t_acc)
+                s_acc = jnp.where(take, slot, s_acc)
+            chunk_t = jnp.min(t_acc, axis=0, keepdims=True)
+            slot_cand = jnp.where(t_acc == chunk_t, s_acc, BIG)
+            chunk_s = jnp.min(slot_cand, axis=0, keepdims=True)
+            take = (chunk_t < BIG) & (chunk_t <= best_t)
+            return (jnp.where(take, chunk_t, best_t),
+                    jnp.where(take, chunk_s, best_s))
+
+        best = (jnp.full((1, tile), BIG, jnp.float32),
+                jnp.full((1, tile), -1.0, jnp.float32))
+        best_t, best_s = jax.lax.fori_loop(0, nck, chunk, best)
+        t_ref[:] = best_t
+        s_ref[:] = best_s
+
     def mt_T(tri_ref, o_ref, t_ref, s_ref, *, tile, nck, plane):
         """Transposed layout: window w rows [16w:16w+16) hold attribute j
         of 128 tris in row j's lanes; ops are [tile, 128]."""
@@ -283,6 +324,26 @@ def main():
         run(f"T-plane-tile{tile}",
             functools.partial(call_T, plane=True),
             (jnp.asarray(tP), jnp.asarray(od8)), pairs)
+
+        def call_so(tris, d, tile=tile):
+            return pl.pallas_call(
+                functools.partial(so_rows_k, tile=tile, cr=16,
+                                  nck=n_chunks),
+                out_shape=[jax.ShapeDtypeStruct((1, nray), jnp.float32),
+                           jax.ShapeDtypeStruct((1, nray), jnp.float32)],
+                grid=(grid,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec((3, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=[pl.BlockSpec((1, tile), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((1, tile), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM)],
+            )(tris, d)[0].sum()
+
+        # rows reinterpreted as SO terms — rates only, math shape matches
+        run(f"SO-rows16-tile{tile}", call_so,
+            (jnp.asarray(tris_rows), jnp.asarray(d)), pairs)
 
 
 if __name__ == "__main__":

@@ -608,3 +608,42 @@ class TestSharedOrigin:
         np.testing.assert_allclose(np.asarray(gen["t"])[both],
                                    np.asarray(so["t"])[both],
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestFrustumCull:
+    """Exact per-tile pinhole frustum window culling (stream SMEM engine,
+    shared-origin blocked tiles): strictly conservative — identical
+    hit/t/tri to the interval-only cull, never fewer culled windows.
+    Replaces nothing in the reference (its per-pixel walk needs no packet
+    culling, /root/reference/src/kernel.cl:323-389); this is the packet
+    analogue of its per-ray kd restart bounds."""
+
+    def _render(self, fr, monkeypatch):
+        monkeypatch.setenv("CLPT_FRUSTUM", fr)
+        scene = random_tri_soup(20_000, seed=11, extent=10.0,
+                                tri_size=0.05)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        # fat leaves -> multi-window leaves so the window cull has work
+        tree = build_kd_tree(tv, max_depth=10, leaf_size=512, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -25.0],
+                            forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
+        return tree, traverse_packet(
+            tree, tree.quads, orig, dir, image_shape=(32, 32),
+            engine="stream", shared_origin=True)
+
+    def test_frustum_parity_and_culls(self, monkeypatch):
+        tree, off = self._render("0", monkeypatch)
+        assert tree.chunk_bnd is not None
+        _, on = self._render("1", monkeypatch)
+        np.testing.assert_array_equal(np.asarray(off["hit"]),
+                                      np.asarray(on["hit"]))
+        h = np.asarray(off["hit"])
+        np.testing.assert_array_equal(np.asarray(off["t"])[h],
+                                      np.asarray(on["t"])[h])
+        np.testing.assert_array_equal(np.asarray(off["tri"])[h],
+                                      np.asarray(on["tri"])[h])
+        culled_off = float(np.asarray(off["tile_stats"])[:, 3].sum())
+        culled_on = float(np.asarray(on["tile_stats"])[:, 3].sum())
+        assert culled_on >= culled_off
