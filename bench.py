@@ -183,20 +183,28 @@ def main():
                 quads = tree.quads
                 rec = traverse_packet(tree, quads, orig, dir,
                                       image_shape=(height, width),
-                                      tile=packet_tile, engine=engine)
+                                      tile=packet_tile, engine=engine,
+                                      shared_origin=True)
                 return rec["tile_stats"]
 
             tstats = np.asarray(jax.jit(stats_fn)(scene, tree))
             nv, nl = tstats[:, 0], tstats[:, 1]
             from clpathtracer_tpu.ops.packet import CHUNK_ROWS
             chunk_tris = 128 if kmode == "mxu" else CHUNK_ROWS * 8
+            # strip-gated stream kernel: lane 4 = 128-ray strip-MT
+            # executions (ungated smem kernels write streamed windows)
+            gated = (tstats.shape[1] > 4 and tstats[:, 4].sum() > 0
+                     and tstats[:, 4].sum() != nl.sum())
+            n_tests = tstats[:, 4].sum() if gated else nl.sum()
+            test_rays = 128 if gated else packet_tile
             detail.update({
                 "node_visits_per_tile": float(nv.mean()),
                 "leaf_chunks_per_tile": float(nl.mean()),
-                "tri_tests_per_ray": float(nl.sum()) * chunk_tris
-                * packet_tile / n_rays,
-                "tri_tests_per_s": float(nl.sum()) * chunk_tris
-                * packet_tile / best,
+                "strip_gated": bool(gated),
+                "tri_tests_per_ray": float(n_tests) * chunk_tris
+                * test_rays / n_rays,
+                "tri_tests_per_s": float(n_tests) * chunk_tris
+                * test_rays / best,
                 "hbm_gb_per_frame": float(nl.sum()) * chunk_tris * 64 / 1e9,
                 "node_pops_per_s": float(nv.sum()) / best,
             })

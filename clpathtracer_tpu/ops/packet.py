@@ -382,9 +382,14 @@ def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
         s2 = dx * col(3) + dy * col(4) + dz * col(5)
         s3 = dx * col(6) + dy * col(7) + dz * col(8)
         dsum = s1 + s2 + s3              # = d.n (backface cull: < 0)
-        ok = (s1 <= 0.0) & (s2 <= 0.0) & (s3 <= 0.0) & (dsum < 0.0)
-        tt = col(9) * (1.0 / jnp.where(dsum == 0.0, 1.0, dsum))
-        ok = ok & (tt > 0.0)
+        # sign tests fused as one max-chain; given dsum < 0 strictly,
+        # tt = d0/dsum > 0 iff d0 < 0 — a [CR, 1] per-TRI test, so the
+        # old full-width tt > 0 compare is free. dsum == 0 lanes produce
+        # inf/nan tt but ok is false there, and where() never leaks the
+        # unselected branch.
+        ok = ((jnp.maximum(jnp.maximum(s1, s2), s3) <= 0.0)
+              & (dsum < 0.0) & (col(9) < 0.0))
+        tt = col(9) / dsum
         if act_row is not None:
             ok = ok & (act_row > 0.0)  # dead lanes never take hits
         t_m = jnp.where(ok, tt, BIG)
@@ -1458,7 +1463,7 @@ def _smem_readers(nodes_i_ref, nodes_f_ref, cbnd_ref):
 
 def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                         a_ref, *refs, tile, cull=False, so=False,
-                        frustum=False):
+                        frustum=False, strips=0):
     """_kernel_stream with the node/cull tables in SMEM (flat, packed) —
     same walk, same outputs; a pop costs 3 scalar reads at ~17 ns instead
     of 6-7 at ~56 ns, a window cull test 6. See the module comment above
@@ -1471,8 +1476,25 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
     1M-tri terrain; the plane test is ~40 scalar ops per window on the
     decoupled scalar core. Conservative: a window is culled only when its
     AABB's inner support point lies strictly outside a plane (with a
-    relative slack), so hit results are identical."""
-    if cull and frustum:
+    relative slack), so hit results are identical.
+
+    strips=k (k = tile//128 > 0): strip-gated mode. The tile's lanes are
+    k 128-ray strips (8x16-pixel blocks, _blockify_strips); an XLA
+    prepass (_strip_masks) has already tested EVERY leaf-DMA window
+    against every strip's interval bounds AND exact corner frustum on
+    the VPU, writing per-tile bitmask rows to HBM. The kernel DMAs its
+    row into SMEM once and replaces the per-window scalar interval +
+    frustum tests (~60-250 scalar ops each, measured NOT hidden by the
+    vector pipeline) with one 17 ns SMEM read; the dense MT of each
+    window then runs only for strips whose bit is set — windows the
+    whole tile needed but one strip doesn't are skipped at [CR,128]
+    granularity. Replaces cull/frustum (their tables aren't passed)."""
+    if strips:
+        cbnd_ref = None
+        fr_ref = None
+        (masks_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
+         thi_stack, tri_buf, tri_sem, mask_smem, mask_sem) = refs
+    elif cull and frustum:
         (cbnd_ref, fr_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
          thi_stack, tri_buf, tri_sem) = refs
     elif cull:
@@ -1484,6 +1506,13 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
         fr_ref = None
         (t_ref, slot_ref, stats_ref, nstack, tlo_stack, thi_stack,
          tri_buf, tri_sem) = refs
+    if strips:
+        # per-tile window bitmask row: one [8, Wc] i32 DMA, scalar-read
+        # during the walk (started first so it lands under the bounds
+        # math below)
+        mcp = pltpu.make_async_copy(
+            masks_ref.at[pl.program_id(0)], mask_smem, mask_sem)
+        mcp.start()
     rays = _ray_rows(o_ref, d_ref)
     act = a_ref[0:1, :]
     n_act = jnp.sum(act)
@@ -1495,6 +1524,13 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
     read_node, read_cbnd = _smem_readers(nodes_i_ref, nodes_f_ref,
                                          cbnd_ref)
     axinfo = _axinfo(obnd, ibnd)
+    if strips:
+        mcp.wait()
+        wlim = mask_smem.shape[0] * mask_smem.shape[1] - 1
+
+        def read_mask(w):
+            w = jnp.minimum(w, wlim)  # next_surv probes one past nwin
+            return mask_smem[w % 8, w // 8]
 
     hdr = tuple(nodes_f_ref[j] for j in range(6))
     rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
@@ -1508,7 +1544,7 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
     best_s0 = jnp.full((1, tile), -1.0, jnp.float32)
 
     def body(state):
-        sp, best_t, best_s, t_upper, nv, nl, nc = state
+        sp, best_t, best_s, t_upper, nv, nl, nc, nsm = state
         node = nstack[sp - 1]
         tlo = tlo_stack[sp - 1]
         thi = thi_stack[sp - 1]
@@ -1516,16 +1552,27 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
         nv = nv + 1
         live = (tlo <= jnp.minimum(thi, t_upper)) & (thi > 0.0)
 
-        def visit(sp, best_t, best_s, t_upper, nl, nc):
+        def visit(sp, best_t, best_s, t_upper, nl, nc, nsm):
             w0, w1, sf = read_node(node)
             flags = w0 & 7
             payload = w0 >> 3
             is_leaf = flags >= 4
 
-            def leaf_case(sp, best_t, best_s, t_upper, nl, nc):
+            def leaf_case(sp, best_t, best_s, t_upper, nl, nc, nsm):
                 qstart = payload
                 r0 = qstart // 2  # qstart*4 tris / 8 per row
-                if cull:
+                if strips:
+                    win0 = w1 >> 6
+                    nwin = w1 & 63
+                    best_t, best_s, nch, ntot, nst = \
+                        _stream_windows_culled(
+                            r0, nwin,
+                            lambda w: read_mask(win0 + w) != 0,
+                            tris_ref, tri_buf, tri_sem, rays, tile, act,
+                            best_t, best_s, so=so)
+                    nc = nc + (ntot - nch)
+                    nsm = nsm + nst
+                elif cull:
                     win0 = w1 >> 6
                     nwin = w1 & 63
 
@@ -1552,25 +1599,29 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                                 keep = keep & (sup <= slack)
                         return keep
 
-                    best_t, best_s, nch, ntot = _stream_windows_culled(
-                        r0, nwin, surv, tris_ref, tri_buf, tri_sem,
-                        rays, tile, act, best_t, best_s, so=so)
+                    best_t, best_s, nch, ntot, nst = \
+                        _stream_windows_culled(
+                            r0, nwin, surv, tris_ref, tri_buf, tri_sem,
+                            rays, tile, act, best_t, best_s, so=so)
                     nc = nc + (ntot - nch)
+                    nsm = nsm + nst
                 else:
                     # window count from w1 (packed even when cull tables
                     # are absent the builder stores nwin)
                     nwin = w1 & 63
-                    best_t, best_s, nch, _ = _stream_windows_culled(
-                        r0, nwin, lambda w: jnp.bool_(True), tris_ref,
-                        tri_buf, tri_sem, rays, tile, act, best_t,
-                        best_s, so=so)
+                    best_t, best_s, nch, _, nst = \
+                        _stream_windows_culled(
+                            r0, nwin, lambda w: jnp.bool_(True), tris_ref,
+                            tri_buf, tri_sem, rays, tile, act, best_t,
+                            best_s, so=so)
+                    nsm = nsm + nst
                 t_up = jax.lax.cond(
                     (nv & TUP_MASK) == 0,
                     lambda: jnp.max(jnp.where(act > 0.0, best_t, -BIG)),
                     lambda: t_upper)
-                return sp, best_t, best_s, t_up, nl + nch, nc
+                return sp, best_t, best_s, t_up, nl + nch, nc, nsm
 
-            def split_case(sp, best_t, best_s, t_upper, nl, nc):
+            def split_case(sp, best_t, best_s, t_upper, nl, nc, nsm):
                 tp_min, tp_max, nlo = _split_plane_interval(
                     axinfo, flags & 3, sf)
                 cl = payload
@@ -1597,21 +1648,22 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                     thi_stack[sp] = near_hi
 
                 sp = sp + push_near.astype(jnp.int32)
-                return sp, best_t, best_s, t_upper, nl, nc
+                return sp, best_t, best_s, t_upper, nl, nc, nsm
 
             return jax.lax.cond(is_leaf, leaf_case, split_case,
-                                sp, best_t, best_s, t_upper, nl, nc)
+                                sp, best_t, best_s, t_upper, nl, nc, nsm)
 
-        sp, best_t, best_s, t_upper, nl, nc = jax.lax.cond(
+        sp, best_t, best_s, t_upper, nl, nc, nsm = jax.lax.cond(
             live, visit,
-            lambda sp, bt, bs, tu, nl, nc: (sp, bt, bs, tu, nl, nc),
-            sp, best_t, best_s, t_upper, nl, nc)
-        return sp, best_t, best_s, t_upper, nv, nl, nc
+            lambda sp, bt, bs, tu, nl, nc, nsm: (sp, bt, bs, tu, nl, nc,
+                                                 nsm),
+            sp, best_t, best_s, t_upper, nl, nc, nsm)
+        return sp, best_t, best_s, t_upper, nv, nl, nc, nsm
 
-    _, best_t, best_s, _, nv, nl, nc = jax.lax.while_loop(
+    _, best_t, best_s, _, nv, nl, nc, nsm = jax.lax.while_loop(
         lambda st: st[0] > 0, body,
         (sp0, best_t0, best_s0, jnp.float32(BIG), jnp.int32(0),
-         jnp.int32(0), jnp.int32(0)))
+         jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
     t_ref[:] = best_t
     slot_ref[:] = best_s
@@ -1620,14 +1672,23 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
         jnp.where(lane == 1, nl.astype(jnp.float32),
                   jnp.where(lane == 2, n_act,
                             jnp.where(lane == 3, nc.astype(jnp.float32),
-                                      0.0))))
+                                      jnp.where(lane == 4,
+                                                nsm.astype(jnp.float32),
+                                                0.0)))))
 
 
 def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
                            rays, tile, act, best_t, best_s, so=False):
     """Double-buffered DMA + dense MT over a leaf's `nwin` windows with a
     per-window survival test (shared by the SMEM kernels; the VMEM path's
-    equivalent lives in _chunk_pipeline.stream_leaf_culled)."""
+    equivalent lives in _chunk_pipeline.stream_leaf_culled).
+
+    (A per-128-lane-strip gated variant — lax.cond around [CR, 128]
+    dense math per strip per window — was measured 2-3x SLOWER despite
+    halving tests/ray: narrow op chains expose ALU latency the 512-lane
+    form hides, collapsing the dense rate from ~70-80G to ~15G tests/s.
+    Window masks from the strip prepass are still consumed, as the
+    window-level union cull; the dense math stays full width.)"""
     n_chunk_rows = tris_ref.shape[0]
 
     def row_of(b):
@@ -1655,7 +1716,7 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
         start_chunk(b0, 0)
 
     def chunk_body(state):
-        b, par, bt, bs, ns = state
+        b, par, bt, bs, ns, nst = state
         bn = next_surv(b + 1)
 
         @pl.when(bn < nwin)
@@ -1663,14 +1724,14 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
             start_chunk(bn, 1 - par)
 
         wait_chunk(row_of(b), par)
-        bt, bs = _mt_math(so)(tri_buf, par, rays, tile, row_of(b), bt,
-                              bs, act_row=act)
-        return bn, 1 - par, bt, bs, ns + 1
+        bt, bs = _mt_math(so)(tri_buf, par, rays, tile, row_of(b),
+                              bt, bs, act_row=act)
+        return bn, 1 - par, bt, bs, ns + 1, nst + 1
 
-    _, _, best_t, best_s, streamed = jax.lax.while_loop(
+    _, _, best_t, best_s, streamed, n_strip_mt = jax.lax.while_loop(
         lambda st: st[0] < nwin, chunk_body,
-        (b0, jnp.int32(0), best_t, best_s, jnp.int32(0)))
-    return best_t, best_s, streamed, nwin
+        (b0, jnp.int32(0), best_t, best_s, jnp.int32(0), jnp.int32(0)))
+    return best_t, best_s, streamed, nwin, n_strip_mt
 
 
 def _kernel_queue_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
@@ -2408,7 +2469,7 @@ def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
 QUEUE_DEPTH = int(_os.environ.get("CLPT_QUEUE_DEPTH", "8"))
 
 
-def _smem_specs(n, tile, cull, frustum=False):
+def _smem_specs(n, tile, cull, frustum=False, strips=False):
     """in/out specs for the SMEM-table kernels: flat node tables (and
     chunk AABBs) in scalar memory, triangles in HBM, per-tile blocks."""
     specs = _streaming_specs(n, tile)
@@ -2423,6 +2484,12 @@ def _smem_specs(n, tile, cull, frustum=False):
         pl.BlockSpec((1, tile), lambda i: (0, i),
                      memory_space=pltpu.VMEM),    # active mask
     ]
+    if strips:
+        # strip-gated mode: per-tile window bitmask rows stay in HBM
+        # (the kernel DMAs its own row into SMEM scratch); no cbnd/
+        # frustum tables
+        specs["in_specs"].append(pl.BlockSpec(memory_space=pl.ANY))
+        return specs
     if cull:
         specs["in_specs"].append(
             pl.BlockSpec(memory_space=pltpu.SMEM))  # cbnd (flat f32)
@@ -2461,25 +2528,33 @@ def _frustum_rows(dir_b, origin, tile, th, tw):
 @functools.partial(jax.jit, static_argnames=("interpret", "tile", "so"))
 def _packet_call_stream_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
                              act, chunk_bnd=None, frustum_rows=None,
-                             interpret=False, tile=TILE, so=False):
-    cull = chunk_bnd is not None
+                             masks=None, interpret=False, tile=TILE,
+                             so=False):
+    strips = 0 if masks is None else tile // 128
+    cull = chunk_bnd is not None and not strips
     frustum = cull and frustum_rows is not None
     args = [nodes_i, nodes_f, tris128, orig_t, dir_t, act]
     if cull:
         args.append(chunk_bnd)
     if frustum:
         args.append(frustum_rows.reshape(-1))
+    scratch = [
+        pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+        pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+        pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+        pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if strips:
+        args.append(masks)
+        scratch += [pltpu.SMEM(masks.shape[1:], jnp.int32),
+                    pltpu.SemaphoreType.DMA]
     return pl.pallas_call(
         functools.partial(_kernel_stream_smem, tile=tile, cull=cull,
-                          so=so, frustum=frustum),
-        **_smem_specs(orig_t.shape[1], tile, cull, frustum),
-        scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
-            pltpu.VMEM((2, CHUNK_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+                          so=so, frustum=frustum, strips=strips),
+        **_smem_specs(orig_t.shape[1], tile, cull, frustum,
+                      strips=bool(strips)),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 
@@ -2577,6 +2652,97 @@ def _unblockify(x, h, w, th, tw):
     return x.reshape(h * w, *tail)
 
 
+def _blockify_strips(x, h, w, th, tw):
+    """Row-major [h*w, ...] → tile-major with each tile's lanes grouped
+    into (8, 16)-pixel STRIPS: tile (ti, tj) holds its (th//8)x(tw//16)
+    grid of strips consecutively, each strip row-major. Every aligned
+    128-lane group of a tile is then a compact 2D pixel block with its
+    own tight direction cone — the granularity the strip-gated stream
+    kernel culls at. Pure reshape/transpose, like _blockify."""
+    tail = x.shape[1:]
+    gh, gw = th // 8, tw // 16
+    x = x.reshape(h // th, gh, 8, w // tw, gw, 16, *tail)
+    x = jnp.transpose(x, (0, 3, 1, 4, 2, 5)
+                      + tuple(range(6, 6 + len(tail))))
+    return x.reshape(h * w, *tail)
+
+
+def _unblockify_strips(x, h, w, th, tw):
+    tail = x.shape[1:]
+    gh, gw = th // 8, tw // 16
+    x = x.reshape(h // th, w // tw, gh, gw, 8, 16, *tail)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)
+                      + tuple(range(6, 6 + len(tail))))
+    return x.reshape(h * w, *tail)
+
+
+def _strip_masks(chunk_bnd, dir_bs, origin, n_strips):
+    """XLA (VPU) prepass for the strip-gated stream kernel: per-tile
+    window cull bitmasks, [n_tiles, 8, Wc] i32 with window w's mask at
+    [w % 8, w // 8] and bit s = strip s must test window w.
+
+    For every (strip, window) pair this runs the SAME conservative tests
+    the kernel would do scalar-side — the _box_interval slab test over
+    the strip's direction bounds and the exact 4-plane corner frustum
+    (support-point, relative slack) — but as fused elementwise ops on
+    [S, W] arrays: ~26M pairs cost well under a millisecond where the
+    scalar-core equivalent measurably serialized with the walk. A window
+    is kept on any uncertainty (zero-normal planes never cull, non-
+    uniform direction signs disable the axis), so results are identical
+    to the ungated kernel. Dead-lane masking is NOT handled: callers
+    gate strips mode on a fully-active wavefront."""
+    cb = chunk_bnd.reshape(-1, 8)
+    lo = [cb[:, j] for j in range(3)]            # [W] each
+    hi = [cb[:, 3 + j] for j in range(3)]
+    o = [jnp.float32(origin[j]) for j in range(3)]
+    d = dir_bs.reshape(-1, 128, 3)               # [S, 128, 3]
+    S = d.shape[0]
+    keep = None
+    t_en = jnp.full((S, 1), -INV_BIG, jnp.float32)
+    t_ex = jnp.full((S, 1), INV_BIG, jnp.float32)
+    for ax in range(3):
+        inv = jnp.clip(1.0 / d[:, :, ax], -INV_BIG, INV_BIG)
+        il = jnp.min(inv, axis=1, keepdims=True)  # [S, 1]
+        ih = jnp.max(inv, axis=1, keepdims=True)
+        uniform = il * ih > 0.0
+        pos = il > 0.0
+        nearb = jnp.where(pos, lo[ax][None, :], hi[ax][None, :])  # [S,W]
+        farb = jnp.where(pos, hi[ax][None, :], lo[ax][None, :])
+        c1, c2 = (nearb - o[ax]) * il, (nearb - o[ax]) * ih
+        near_min = jnp.minimum(c1, c2)
+        c1, c2 = (farb - o[ax]) * il, (farb - o[ax]) * ih
+        far_max = jnp.maximum(c1, c2)
+        t_en = jnp.maximum(t_en, jnp.where(uniform, near_min, -INV_BIG))
+        t_ex = jnp.minimum(t_ex, jnp.where(uniform, far_max, INV_BIG))
+    keep = (t_en <= t_ex) & (t_ex > 0.0)         # [S, W]
+
+    fr = _frustum_rows(dir_bs, origin, 128, 8, 16)  # [S, 16]
+    for p in range(4):
+        n = [fr[:, 3 * p + j:3 * p + j + 1] for j in range(3)]  # [S,1]
+        sup = jnp.zeros_like(t_en)
+        slack = jnp.zeros_like(t_en)
+        for ax in range(3):
+            c = jnp.where(n[ax] > 0.0, lo[ax][None, :],
+                          hi[ax][None, :]) - o[ax]
+            sup = sup + n[ax] * c
+            slack = slack + jnp.abs(c)
+        keep = keep & (sup <= 1e-5 * slack)
+
+    nt_ = S // n_strips
+    bits = keep.reshape(nt_, n_strips, -1).astype(jnp.int32)
+    mask = jnp.zeros((nt_, bits.shape[2]), jnp.int32)
+    for s in range(n_strips):
+        mask = mask | (bits[:, s, :] << s)
+    # pad W to a [8, Wc] row (Wc a lane multiple) for the per-tile DMA;
+    # window w lands at [w % 8, w // 8]
+    w_tot = mask.shape[1]
+    w_pad = -w_tot % 1024
+    if w_pad:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((nt_, w_pad), jnp.int32)], axis=1)
+    return mask.reshape(nt_, -1, 8).transpose(0, 2, 1)
+
+
 def _pad_rows8(tris16, pad_value=-1.0):
     """Pad [T, 16] tri rows with sentinel rows (-1 for quad rows, whose
     tid < 0 marks them dead; 0 for shared-origin rows, whose all-zero
@@ -2645,6 +2811,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         dir_b = _blockify(dir, h, w, th, tw)
     else:
         orig_b, dir_b = orig, dir
+    strip_layout = False  # set by the strip-gated stream path
 
     tris16 = quads.reshape(-1, 16)
     mode = packet_mode(tree, n, tile, engine=engine)
@@ -2734,20 +2901,50 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                         act[None, :], chunk_bnd=cb_s,
                         interpret=interpret, tile=tile, so=so)
                 else:
-                    # exact per-tile pinhole frustum planes tighten the
-                    # window cull for shared-origin pixel-block tiles
-                    fr = None
-                    if (so and blocked and cb_s is not None
-                            and _os.environ.get("CLPT_FRUSTUM", "1")
-                            != "0"):
-                        fr = _frustum_rows(dir_b.astype(jnp.float32),
-                                           orig[0], tile, th, tw)
-                    out_t, out_s, tile_stats = _packet_call_stream_smem(
-                        nodes_i, nodes_f, rows128,
-                        orig_b.T.astype(jnp.float32),
-                        dir_b.T.astype(jnp.float32),
-                        act[None, :], chunk_bnd=cb_s, frustum_rows=fr,
-                        interpret=interpret, tile=tile, so=so)
+                    # strip-gated mode (see _kernel_stream_smem): fully
+                    # active shared-origin pixel-block frames re-group
+                    # each tile into (8,16)-px strips, an XLA prepass
+                    # bitmasks every (strip, window) pair, and the
+                    # kernel's dense MT runs per surviving strip only
+                    strips_ok = (
+                        so and blocked and active is None
+                        and cbnd is not None and th % 8 == 0
+                        and tw % 16 == 0 and tile % 128 == 0
+                        and _os.environ.get("CLPT_STRIPS", "1") != "0")
+                    if strips_ok:
+                        orig_b = _blockify_strips(orig, h, w, th, tw)
+                        dir_b = _blockify_strips(dir, h, w, th, tw)
+                        strip_layout = True
+                        masks = _strip_masks(
+                            tree.chunk_bnd,
+                            dir_b.astype(jnp.float32), orig[0],
+                            tile // 128)
+                        out_t, out_s, tile_stats = \
+                            _packet_call_stream_smem(
+                                nodes_i, nodes_f, rows128,
+                                orig_b.T.astype(jnp.float32),
+                                dir_b.T.astype(jnp.float32),
+                                act[None, :], masks=masks,
+                                interpret=interpret, tile=tile, so=so)
+                    else:
+                        # exact per-tile pinhole frustum planes tighten
+                        # the window cull for shared-origin pixel-block
+                        # tiles
+                        fr = None
+                        if (so and blocked and cb_s is not None
+                                and _os.environ.get("CLPT_FRUSTUM", "1")
+                                != "0"):
+                            fr = _frustum_rows(
+                                dir_b.astype(jnp.float32),
+                                orig[0], tile, th, tw)
+                        out_t, out_s, tile_stats = \
+                            _packet_call_stream_smem(
+                                nodes_i, nodes_f, rows128,
+                                orig_b.T.astype(jnp.float32),
+                                dir_b.T.astype(jnp.float32),
+                                act[None, :], chunk_bnd=cb_s,
+                                frustum_rows=fr, interpret=interpret,
+                                tile=tile, so=so)
             elif mode == "queue":
                 out_t, out_s, tile_stats = _packet_call_queue(
                     _stream_nodes(tree), rows128,
@@ -2783,7 +2980,10 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                                     interpret=interpret, tile=tile)
     best_t = out_t[0]
     best_slot = out_s[0].astype(jnp.int32)
-    if blocked:
+    if strip_layout:
+        best_t = _unblockify_strips(best_t, h, w, th, tw)
+        best_slot = _unblockify_strips(best_slot, h, w, th, tw)
+    elif blocked:
         best_t = _unblockify(best_t, h, w, th, tw)
         best_slot = _unblockify(best_slot, h, w, th, tw)
     hit = best_slot >= 0
@@ -2809,7 +3009,10 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         # per-tile diagnostics: [:, 0] node visits, [:, 1] leaf visits
         # (vmem) / tri chunks DMA'd (streaming engines), [:, 2] active lanes
         # (stream engine; legacy kernels write 0), [:, 3] leaf-DMA windows
-        # skipped by chunk culling (stream engine w/ chunk tables); kernel
-        # emits 8 replicated sublane rows per tile
-        "tile_stats": tile_stats[::8, :4],
+        # skipped by chunk culling (stream engine w/ chunk tables), [:, 4]
+        # strip-MT executions (stream SMEM engine: == [:, 1] when
+        # ungated, 128 rays x CHUNK_ROWS*8 tris each when strip-gated;
+        # other kernels write 0); kernel emits 8 replicated sublane rows
+        # per tile
+        "tile_stats": tile_stats[::8, :5],
     }

@@ -114,7 +114,7 @@ def main():
                 t2 = jnp.sum(rec["tri"] % 97).astype(jnp.float32)
                 return (chk, t2, rec["tile_stats"])
             z = (jnp.float32(0.0), jnp.float32(0.0),
-                 jnp.zeros((n_tiles, 4), jnp.float32))
+                 jnp.zeros((n_tiles, 5), jnp.float32))
             return jax.lax.fori_loop(0, n, body, z)
 
         jf = jax.jit(chain)
@@ -141,6 +141,15 @@ def main():
 
         tstats = np.asarray(out[2])
         nv, nl, ncul = tstats[:, 0], tstats[:, 1], tstats[:, 3]
+        # strip-gated stream kernel: lane 4 counts 128-ray strip-MT
+        # executions (the true dense-work unit); ungated smem kernels
+        # write streamed windows there (x tile rays each)
+        strip_gated = (so and engine == "stream"
+                       and os.environ.get("CLPT_STRIPS", "1") != "0"
+                       and tstats[:, 4].sum() > 0
+                       and tstats[:, 4].sum() != nl.sum())
+        test_rays = 128 if strip_gated else tile
+        n_tests = (tstats[:, 4].sum() if strip_gated else nl.sum())
         n_rays = res * res
         from clpathtracer_tpu.ops.packet import CHUNK_ROWS
         chunk_tris = CHUNK_ROWS * 8
@@ -166,8 +175,11 @@ def main():
             "derived": {
                 "node_pops_per_s": float(nv.sum()) / best,
                 "chunks_per_s": float(nl.sum()) / best,
-                "tri_tests_per_s": float(nl.sum()) * chunk_tris * tile / best,
-                "tests_per_ray": float(nl.sum()) * chunk_tris * tile / n_rays,
+                "tri_tests_per_s": float(n_tests) * chunk_tris
+                * test_rays / best,
+                "tests_per_ray": float(n_tests) * chunk_tris
+                * test_rays / n_rays,
+                "strip_gated": bool(strip_gated),
                 "hbm_gb_per_frame": float(nl.sum()) * chunk_tris * 64 / 1e9,
                 "us_per_tile": best / n_tiles * 1e6,
                 "us_per_pop": best / max(float(nv.sum()), 1.0) * 1e6,

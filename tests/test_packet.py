@@ -647,3 +647,41 @@ class TestFrustumCull:
         culled_off = float(np.asarray(off["tile_stats"])[:, 3].sum())
         culled_on = float(np.asarray(on["tile_stats"])[:, 3].sum())
         assert culled_on >= culled_off
+
+
+class TestStripGating:
+    """Mask-culled stream kernel (CLPT_STRIPS): the XLA per-strip
+    window-mask prepass (union consumed as the window cull) must be
+    bit-identical to the scalar interval/frustum-culled walk. Packet-
+    level analogue of the per-ray traversal the reference gets for free
+    from per-pixel work-items (/root/reference/src/kernel.cl:323-389)."""
+
+    def _trace(self, st, tile, monkeypatch):
+        monkeypatch.setenv("CLPT_STRIPS", st)
+        scene = random_tri_soup(20_000, seed=13, extent=10.0,
+                                tri_size=0.05)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, max_depth=10, leaf_size=512, tri_block=4)
+        cam = Camera.create(position=[0.0, 0.0, -25.0],
+                            forward=[0.0, 0.0, 1.0])
+        orig, dir = generate_rays(cam_matrix(cam, 64), 64, 64)
+        return traverse_packet(tree, tree.quads, orig, dir,
+                               image_shape=(64, 64), tile=tile,
+                               engine="stream", shared_origin=True)
+
+    @pytest.mark.parametrize("tile", [256, 512])
+    def test_strips_parity_and_gating(self, tile, monkeypatch):
+        off = self._trace("0", tile, monkeypatch)
+        on = self._trace("1", tile, monkeypatch)
+        h = np.asarray(off["hit"])
+        np.testing.assert_array_equal(h, np.asarray(on["hit"]))
+        for k in ("t", "tri", "u", "v"):
+            np.testing.assert_array_equal(np.asarray(off[k])[h],
+                                          np.asarray(on[k])[h])
+        ts = np.asarray(on["tile_stats"])
+        streamed = ts[:, 1].sum()
+        assert streamed > 0
+        # dense math runs full width: one MT execution per streamed
+        # window (lane 4 == lane 1)
+        assert ts[:, 4].sum() == streamed
