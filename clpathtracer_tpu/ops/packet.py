@@ -1532,6 +1532,20 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
             w = jnp.minimum(w, wlim)  # next_surv probes one past nwin
             return mask_smem[w % 8, w // 8]
 
+        # big tiles: dense math as tile//512 gates of 512 lanes, each
+        # gated on its slice of the mask bits (512 lanes keeps the ALU
+        # pipeline full); ray rows per gate as DIRECT ref loads
+        half_gate = None
+        if strips >= 8 and _os.environ.get("CLPT_HALFGATE", "1") != "0":
+            n_gates = tile // 512
+            half_rays = []
+            for _g in range(n_gates):
+                _sl = slice(512 * _g, 512 * (_g + 1))
+                half_rays.append((o_ref[0:1, _sl], o_ref[1:2, _sl],
+                                  o_ref[2:3, _sl], d_ref[0:1, _sl],
+                                  d_ref[1:2, _sl], d_ref[2:3, _sl]))
+            half_gate = (read_mask, half_rays, strips)
+
     hdr = tuple(nodes_f_ref[j] for j in range(6))
     rt_lo, rt_hi = _box_interval(hdr[0:3], hdr[3:6], obnd, ibnd)
     nstack[0] = 0
@@ -1569,7 +1583,11 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                             r0, nwin,
                             lambda w: read_mask(win0 + w) != 0,
                             tris_ref, tri_buf, tri_sem, rays, tile, act,
-                            best_t, best_s, so=so)
+                            best_t, best_s, so=so,
+                            half_gate=(
+                                lambda w: read_mask(win0 + w),
+                                half_rays, strips
+                            ) if half_gate is not None else None)
                     nc = nc + (ntot - nch)
                     nsm = nsm + nst
                 elif cull:
@@ -1678,7 +1696,8 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
 
 
 def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
-                           rays, tile, act, best_t, best_s, so=False):
+                           rays, tile, act, best_t, best_s, so=False,
+                           half_gate=None):
     """Double-buffered DMA + dense MT over a leaf's `nwin` windows with a
     per-window survival test (shared by the SMEM kernels; the VMEM path's
     equivalent lives in _chunk_pipeline.stream_leaf_culled).
@@ -1688,7 +1707,16 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
     halving tests/ray: narrow op chains expose ALU latency the 512-lane
     form hides, collapsing the dense rate from ~70-80G to ~15G tests/s.
     Window masks from the strip prepass are still consumed, as the
-    window-level union cull; the dense math stays full width.)"""
+    window-level union cull; the dense math stays full width.)
+
+    half_gate=(read_mask, gate_rays, n_bits): big-tile variant — the
+    dense MT runs as tile//512 gates of 512 lanes, each under a scalar
+    cond on its slice of the window's strip bitmask. 512 lanes keeps
+    the ALU pipeline full (128-lane strips collapse it, above), so this
+    keeps the walk/DMA amortization of the big tile while skipping the
+    windows only other image regions need. gate_rays[g] must be DIRECT
+    ref loads (lane slices of loaded registers carry offset layouts
+    Mosaic can't broadcast)."""
     n_chunk_rows = tris_ref.shape[0]
 
     def row_of(b):
@@ -1724,9 +1752,37 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
             start_chunk(bn, 1 - par)
 
         wait_chunk(row_of(b), par)
-        bt, bs = _mt_math(so)(tri_buf, par, rays, tile, row_of(b),
-                              bt, bs, act_row=act)
-        return bn, 1 - par, bt, bs, ns + 1, nst + 1
+        if half_gate is None:
+            bt, bs = _mt_math(so)(tri_buf, par, rays, tile, row_of(b),
+                                  bt, bs, act_row=act)
+            nst = nst + 1
+        else:
+            read_mask, gate_rays, n_bits = half_gate
+            m = read_mask(b)
+            n_gates = len(gate_rays)
+            gw = tile // n_gates
+            gb = n_bits // n_gates
+            parts_t, parts_s = [], []
+            for g in range(n_gates):
+                sl = slice(gw * g, gw * (g + 1))
+                bt_g, bs_g = bt[:, sl], bs[:, sl]
+
+                def run(bt0=bt_g, bs0=bs_g, rs=gate_rays[g]):
+                    return _mt_math(so)(tri_buf, par, rs, gw,
+                                        row_of(b), bt0, bs0,
+                                        act_row=None)
+
+                def skip(bt0=bt_g, bs0=bs_g):
+                    return bt0, bs0
+
+                on = ((m >> (gb * g)) & ((1 << gb) - 1)) != 0
+                bt_g, bs_g = jax.lax.cond(on, run, skip)
+                nst = nst + on.astype(jnp.int32)
+                parts_t.append(bt_g)
+                parts_s.append(bs_g)
+            bt = jnp.concatenate(parts_t, axis=1)
+            bs = jnp.concatenate(parts_s, axis=1)
+        return bn, 1 - par, bt, bs, ns + 1, nst
 
     _, _, best_t, best_s, streamed, n_strip_mt = jax.lax.while_loop(
         lambda st: st[0] < nwin, chunk_body,

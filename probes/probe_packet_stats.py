@@ -148,7 +148,7 @@ def main():
                        and os.environ.get("CLPT_STRIPS", "1") != "0"
                        and tstats[:, 4].sum() > 0
                        and tstats[:, 4].sum() != nl.sum())
-        test_rays = 128 if strip_gated else tile
+        test_rays = 512 if strip_gated else tile  # 512-lane gates
         n_tests = (tstats[:, 4].sum() if strip_gated else nl.sum())
         n_rays = res * res
         from clpathtracer_tpu.ops.packet import CHUNK_ROWS
