@@ -1492,8 +1492,9 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
     if strips:
         cbnd_ref = None
         fr_ref = None
-        (masks_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
-         thi_stack, tri_buf, tri_sem, mask_smem, mask_sem) = refs
+        (masks_ref, ten_ref, t_ref, slot_ref, stats_ref, nstack,
+         tlo_stack, thi_stack, tri_buf, tri_sem, mask_smem, ten_smem,
+         mask_sem, ten_sem) = refs
     elif cull and frustum:
         (cbnd_ref, fr_ref, t_ref, slot_ref, stats_ref, nstack, tlo_stack,
          thi_stack, tri_buf, tri_sem) = refs
@@ -1507,12 +1508,15 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
         (t_ref, slot_ref, stats_ref, nstack, tlo_stack, thi_stack,
          tri_buf, tri_sem) = refs
     if strips:
-        # per-tile window bitmask row: one [8, Wc] i32 DMA, scalar-read
-        # during the walk (started first so it lands under the bounds
-        # math below)
+        # per-tile window bitmask + entry-distance rows: two [8, Wc]
+        # DMAs, scalar-read during the walk (started first so they land
+        # under the bounds math below)
         mcp = pltpu.make_async_copy(
             masks_ref.at[pl.program_id(0)], mask_smem, mask_sem)
         mcp.start()
+        tcp = pltpu.make_async_copy(
+            ten_ref.at[pl.program_id(0)], ten_smem, ten_sem)
+        tcp.start()
     rays = _ray_rows(o_ref, d_ref)
     act = a_ref[0:1, :]
     n_act = jnp.sum(act)
@@ -1526,18 +1530,24 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
     axinfo = _axinfo(obnd, ibnd)
     if strips:
         mcp.wait()
+        tcp.wait()
         wlim = mask_smem.shape[0] * mask_smem.shape[1] - 1
 
         def read_mask(w):
             w = jnp.minimum(w, wlim)  # next_surv probes one past nwin
             return mask_smem[w % 8, w // 8]
 
+        def read_ten(w):
+            w = jnp.minimum(w, wlim)
+            return ten_smem[w % 8, w // 8]
+
         # big tiles: dense math as tile//512 gates of 512 lanes, each
-        # gated on its slice of the mask bits (512 lanes keeps the ALU
-        # pipeline full); ray rows per gate as DIRECT ref loads
+        # gated on its mask bit (the prepass emits gate-granular strips
+        # there; 512 lanes keeps the ALU pipeline full); ray rows per
+        # gate as DIRECT ref loads
         half_gate = None
-        if strips >= 8 and _os.environ.get("CLPT_HALFGATE", "1") != "0":
-            n_gates = tile // 512
+        if tile // strips == 512:
+            n_gates = strips
             half_rays = []
             for _g in range(n_gates):
                 _sl = slice(512 * _g, 512 * (_g + 1))
@@ -1578,10 +1588,18 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                 if strips:
                     win0 = w1 >> 6
                     nwin = w1 & 63
+
+                    def surv(w):
+                        # static geometry bit + dynamic occlusion: the
+                        # prepass's conservative entry distance vs the
+                        # walk's live [tlo, thi] / t_upper
+                        return ((read_mask(win0 + w) != 0)
+                                & (read_ten(win0 + w)
+                                   <= jnp.minimum(thi, t_upper)))
+
                     best_t, best_s, nch, ntot, nst = \
                         _stream_windows_culled(
-                            r0, nwin,
-                            lambda w: read_mask(win0 + w) != 0,
+                            r0, nwin, surv,
                             tris_ref, tri_buf, tri_sem, rays, tile, act,
                             best_t, best_s, so=so,
                             half_gate=(
@@ -2541,9 +2559,10 @@ def _smem_specs(n, tile, cull, frustum=False, strips=False):
                      memory_space=pltpu.VMEM),    # active mask
     ]
     if strips:
-        # strip-gated mode: per-tile window bitmask rows stay in HBM
-        # (the kernel DMAs its own row into SMEM scratch); no cbnd/
-        # frustum tables
+        # mask-culled mode: per-tile window bitmask + entry-distance
+        # rows stay in HBM (the kernel DMAs its own rows into SMEM
+        # scratch); no cbnd/frustum tables
+        specs["in_specs"].append(pl.BlockSpec(memory_space=pl.ANY))
         specs["in_specs"].append(pl.BlockSpec(memory_space=pl.ANY))
         return specs
     if cull:
@@ -2581,12 +2600,13 @@ def _frustum_rows(dir_b, origin, tile, th, tw):
         ns + [o, jnp.zeros((nt_, 1), jnp.float32)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile", "so"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "so",
+                                              "n_strips"))
 def _packet_call_stream_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
                              act, chunk_bnd=None, frustum_rows=None,
-                             masks=None, interpret=False, tile=TILE,
-                             so=False):
-    strips = 0 if masks is None else tile // 128
+                             masks=None, n_strips=0, interpret=False,
+                             tile=TILE, so=False):
+    strips = 0 if masks is None else n_strips
     cull = chunk_bnd is not None and not strips
     frustum = cull and frustum_rows is not None
     args = [nodes_i, nodes_f, tris128, orig_t, dir_t, act]
@@ -2602,8 +2622,12 @@ def _packet_call_stream_smem(nodes_i, nodes_f, tris128, orig_t, dir_t,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if strips:
-        args.append(masks)
-        scratch += [pltpu.SMEM(masks.shape[1:], jnp.int32),
+        mask, ten = masks
+        args.append(mask)
+        args.append(ten)
+        scratch += [pltpu.SMEM(mask.shape[1:], jnp.int32),
+                    pltpu.SMEM(ten.shape[1:], jnp.float32),
+                    pltpu.SemaphoreType.DMA,
                     pltpu.SemaphoreType.DMA]
     return pl.pallas_call(
         functools.partial(_kernel_stream_smem, tile=tile, cull=cull,
@@ -2708,34 +2732,39 @@ def _unblockify(x, h, w, th, tw):
     return x.reshape(h * w, *tail)
 
 
-def _blockify_strips(x, h, w, th, tw):
+def _blockify_strips(x, h, w, th, tw, bh=8, bw=16):
     """Row-major [h*w, ...] → tile-major with each tile's lanes grouped
-    into (8, 16)-pixel STRIPS: tile (ti, tj) holds its (th//8)x(tw//16)
+    into (bh, bw)-pixel STRIPS: tile (ti, tj) holds its (th//bh)x(tw//bw)
     grid of strips consecutively, each strip row-major. Every aligned
-    128-lane group of a tile is then a compact 2D pixel block with its
-    own tight direction cone — the granularity the strip-gated stream
-    kernel culls at. Pure reshape/transpose, like _blockify."""
+    bh*bw-lane group of a tile is then a compact 2D pixel block with its
+    own tight direction cone — the granularity the mask prepass culls
+    at: (8,16) = 128-lane strips for window-level masks, (16,32) =
+    512-lane strips when the dense math is gated at that width. Pure
+    reshape/transpose, like _blockify."""
     tail = x.shape[1:]
-    gh, gw = th // 8, tw // 16
-    x = x.reshape(h // th, gh, 8, w // tw, gw, 16, *tail)
+    gh, gw = th // bh, tw // bw
+    x = x.reshape(h // th, gh, bh, w // tw, gw, bw, *tail)
     x = jnp.transpose(x, (0, 3, 1, 4, 2, 5)
                       + tuple(range(6, 6 + len(tail))))
     return x.reshape(h * w, *tail)
 
 
-def _unblockify_strips(x, h, w, th, tw):
+def _unblockify_strips(x, h, w, th, tw, bh=8, bw=16):
     tail = x.shape[1:]
-    gh, gw = th // 8, tw // 16
-    x = x.reshape(h // th, w // tw, gh, gw, 8, 16, *tail)
+    gh, gw = th // bh, tw // bw
+    x = x.reshape(h // th, w // tw, gh, gw, bh, bw, *tail)
     x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)
                       + tuple(range(6, 6 + len(tail))))
     return x.reshape(h * w, *tail)
 
 
-def _strip_masks(chunk_bnd, dir_bs, origin, n_strips):
-    """XLA (VPU) prepass for the strip-gated stream kernel: per-tile
-    window cull bitmasks, [n_tiles, 8, Wc] i32 with window w's mask at
-    [w % 8, w // 8] and bit s = strip s must test window w.
+def _strip_masks(chunk_bnd, dir_bs, origin, n_strips, bh=8, bw=16):
+    """XLA (VPU) prepass for the mask-culled stream kernel: per-tile
+    window cull bitmasks [n_tiles, 8, Wc] i32 (window w's mask at
+    [w % 8, w // 8], bit s = strip s must test window w) plus matching
+    conservative entry distances [n_tiles, 8, Wc] f32 (min t_enter over
+    keeping strips; +BIG when no strip keeps) for the kernel's dynamic
+    occlusion test against its live t_upper.
 
     For every (strip, window) pair this runs the SAME conservative tests
     the kernel would do scalar-side — the _box_interval slab test over
@@ -2747,11 +2776,12 @@ def _strip_masks(chunk_bnd, dir_bs, origin, n_strips):
     uniform direction signs disable the axis), so results are identical
     to the ungated kernel. Dead-lane masking is NOT handled: callers
     gate strips mode on a fully-active wavefront."""
+    lanes = bh * bw
     cb = chunk_bnd.reshape(-1, 8)
     lo = [cb[:, j] for j in range(3)]            # [W] each
     hi = [cb[:, 3 + j] for j in range(3)]
     o = [jnp.float32(origin[j]) for j in range(3)]
-    d = dir_bs.reshape(-1, 128, 3)               # [S, 128, 3]
+    d = dir_bs.reshape(-1, lanes, 3)             # [S, lanes, 3]
     S = d.shape[0]
     keep = None
     t_en = jnp.full((S, 1), -INV_BIG, jnp.float32)
@@ -2772,7 +2802,7 @@ def _strip_masks(chunk_bnd, dir_bs, origin, n_strips):
         t_ex = jnp.minimum(t_ex, jnp.where(uniform, far_max, INV_BIG))
     keep = (t_en <= t_ex) & (t_ex > 0.0)         # [S, W]
 
-    fr = _frustum_rows(dir_bs, origin, 128, 8, 16)  # [S, 16]
+    fr = _frustum_rows(dir_bs, origin, lanes, bh, bw)  # [S, 16]
     for p in range(4):
         n = [fr[:, 3 * p + j:3 * p + j + 1] for j in range(3)]  # [S,1]
         sup = jnp.zeros_like(t_en)
@@ -2786,9 +2816,11 @@ def _strip_masks(chunk_bnd, dir_bs, origin, n_strips):
 
     nt_ = S // n_strips
     bits = keep.reshape(nt_, n_strips, -1).astype(jnp.int32)
+    ten = jnp.where(keep, t_en, BIG).reshape(nt_, n_strips, -1)
     mask = jnp.zeros((nt_, bits.shape[2]), jnp.int32)
     for s in range(n_strips):
         mask = mask | (bits[:, s, :] << s)
+    ten = jnp.min(ten, axis=1)                   # [nt, W] f32
     # pad W to a [8, Wc] row (Wc a lane multiple) for the per-tile DMA;
     # window w lands at [w % 8, w // 8]
     w_tot = mask.shape[1]
@@ -2796,7 +2828,11 @@ def _strip_masks(chunk_bnd, dir_bs, origin, n_strips):
     if w_pad:
         mask = jnp.concatenate(
             [mask, jnp.zeros((nt_, w_pad), jnp.int32)], axis=1)
-    return mask.reshape(nt_, -1, 8).transpose(0, 2, 1)
+        ten = jnp.concatenate(
+            [ten, jnp.full((nt_, w_pad), BIG, jnp.float32)], axis=1)
+    mask = mask.reshape(nt_, -1, 8).transpose(0, 2, 1)
+    ten = ten.reshape(nt_, -1, 8).transpose(0, 2, 1)
+    return mask, ten
 
 
 def _pad_rows8(tris16, pad_value=-1.0):
@@ -2867,7 +2903,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
         dir_b = _blockify(dir, h, w, th, tw)
     else:
         orig_b, dir_b = orig, dir
-    strip_layout = False  # set by the strip-gated stream path
+    strip_layout = None  # (bh, bw) set by the mask-culled stream path
 
     tris16 = quads.reshape(-1, 16)
     mode = packet_mode(tree, n, tile, engine=engine)
@@ -2968,19 +3004,32 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                         and tw % 16 == 0 and tile % 128 == 0
                         and _os.environ.get("CLPT_STRIPS", "1") != "0")
                     if strips_ok:
-                        orig_b = _blockify_strips(orig, h, w, th, tw)
-                        dir_b = _blockify_strips(dir, h, w, th, tw)
-                        strip_layout = True
+                        # gate-width strips when the dense math will be
+                        # gated at 512 lanes (tile >= 1024): 4x cheaper
+                        # prepass, identical gate-level culling
+                        if (tile >= 1024 and th % 16 == 0
+                                and tw % 32 == 0 and _os.environ.get(
+                                    "CLPT_HALFGATE", "1") != "0"):
+                            bh, bw = 16, 32
+                        else:
+                            bh, bw = 8, 16
+                        n_strips = tile // (bh * bw)
+                        orig_b = _blockify_strips(orig, h, w, th, tw,
+                                                  bh, bw)
+                        dir_b = _blockify_strips(dir, h, w, th, tw,
+                                                 bh, bw)
+                        strip_layout = (bh, bw)
                         masks = _strip_masks(
                             tree.chunk_bnd,
                             dir_b.astype(jnp.float32), orig[0],
-                            tile // 128)
+                            n_strips, bh, bw)
                         out_t, out_s, tile_stats = \
                             _packet_call_stream_smem(
                                 nodes_i, nodes_f, rows128,
                                 orig_b.T.astype(jnp.float32),
                                 dir_b.T.astype(jnp.float32),
                                 act[None, :], masks=masks,
+                                n_strips=n_strips,
                                 interpret=interpret, tile=tile, so=so)
                     else:
                         # exact per-tile pinhole frustum planes tighten
@@ -3036,9 +3085,10 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                                     interpret=interpret, tile=tile)
     best_t = out_t[0]
     best_slot = out_s[0].astype(jnp.int32)
-    if strip_layout:
-        best_t = _unblockify_strips(best_t, h, w, th, tw)
-        best_slot = _unblockify_strips(best_slot, h, w, th, tw)
+    if strip_layout is not None:
+        best_t = _unblockify_strips(best_t, h, w, th, tw, *strip_layout)
+        best_slot = _unblockify_strips(best_slot, h, w, th, tw,
+                                       *strip_layout)
     elif blocked:
         best_t = _unblockify(best_t, h, w, th, tw)
         best_slot = _unblockify(best_slot, h, w, th, tw)
