@@ -49,8 +49,12 @@ _USER_ENV = {k: v for k, v in os.environ.items()
              if k.startswith("CLPT_")}
 
 SCENE_TUNING = {
-    "terrain": {"tile": 1024, "CLPT_STRIPS": "1"},
-    "soup": {"tile": 512, "CLPT_STRIPS": "0", "CLPT_FRUSTUM": "0"},
+    # terrain: mask-cull prepass with per-window entry distances makes
+    # very fat leaves cheap (the t_en test replaces walk ordering)
+    "terrain": {"tile": 2048, "leaf": 3072, "depth": 11,
+                "CLPT_STRIPS": "1"},
+    "soup": {"tile": 512, "leaf": 512, "depth": 14,
+             "CLPT_STRIPS": "0", "CLPT_FRUSTUM": "0"},
 }
 
 
@@ -65,13 +69,15 @@ def run_scene(scene_kind, jax, jnp):
     intersector = os.environ.get("BENCH_INTERSECTOR", "packet")
     engine = os.environ.get("BENCH_ENGINE", "auto")
     sort_bounces = bool(int(os.environ.get("BENCH_SORT", "1")))
+    tuning = SCENE_TUNING.get(scene_kind, {})
     # fat leaves favor the packet tracer (dense MT is nearly free; node
     # visits cost); the wavefront prefers small leaves
     leaf_size = int(os.environ.get(
-        "BENCH_LEAF", 512 if intersector == "packet" else 4))
+        "BENCH_LEAF",
+        tuning.get("leaf", 512) if intersector == "packet" else 4))
     max_depth = int(os.environ.get(
-        "BENCH_DEPTH", 14 if intersector == "packet" else 22))
-    tuning = SCENE_TUNING.get(scene_kind, {})
+        "BENCH_DEPTH",
+        tuning.get("depth", 14) if intersector == "packet" else 22))
     packet_tile = int(os.environ.get("BENCH_TILE",
                                      tuning.get("tile", 512)))
     # user-provided CLPT_* env wins; otherwise apply (and overwrite any
