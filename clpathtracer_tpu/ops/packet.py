@@ -329,37 +329,60 @@ def so_affine_tables(quads: jnp.ndarray) -> jnp.ndarray:
     separately, so edge tests lose ~|v0||o|/|a x e1| relative accuracy —
     at f32 this moves hit/miss boundaries sub-pixel amounts and can flip
     rare edge-grazing winners. Tests budget for that; t/u/v still
-    re-resolve exactly from the winning slot."""
-    t = _pad_rows8(quads.reshape(-1, 16)).reshape(-1, 16)
-    v0, e1, e2, tid = t[:, 0:3], t[:, 3:6], t[:, 6:9], t[:, 9:10]
-    n = jnp.cross(e1, e2)
-    c01 = jnp.cross(v0, e1)
-    c02 = jnp.cross(v0, e2)
-    g = e2 - e1
-    z1 = jnp.zeros_like(tid)
-    z5 = jnp.zeros((t.shape[0], 5), t.dtype)
-    # d(o x e)/d o_k for k = x, y, z
-    def cx(e):
-        return jnp.stack([jnp.zeros_like(e[:, 0]), -e[:, 2], e[:, 1]], 1)
+    re-resolve exactly from the winning slot.
 
-    def cy(e):
-        return jnp.stack([e[:, 2], jnp.zeros_like(e[:, 0]), -e[:, 0]], 1)
+    Built in bounded lax.map blocks: the straight-line form's dozens of
+    [T, 16] concat/stack temporaries OOM'd the 16 GB chip at 10M tris
+    (XLA kept ~50 GB of them live); per-block temporaries are a few MB
+    regardless of scene size."""
+    t0 = _pad_rows8(quads.reshape(-1, 16)).reshape(-1, 16)
+    r0 = t0.shape[0] // 8  # output rows before block padding
+    block = 1 << 17
+    bpad = -t0.shape[0] % block
+    if bpad:
+        t0 = jnp.concatenate(
+            [t0, jnp.full((bpad, 16), -1.0, t0.dtype)], axis=0)
 
-    def cz(e):
-        return jnp.stack([-e[:, 1], e[:, 0], jnp.zeros_like(e[:, 0])], 1)
+    def build(t):
+        v0, e1, e2, tid = t[:, 0:3], t[:, 3:6], t[:, 6:9], t[:, 9:10]
+        n = jnp.cross(e1, e2)
+        c01 = jnp.cross(v0, e1)
+        c02 = jnp.cross(v0, e2)
+        g = e2 - e1
+        z1 = jnp.zeros_like(tid)
+        z5 = jnp.zeros((t.shape[0], 5), t.dtype)
 
-    b0 = jnp.concatenate(
-        [c01, c02 - c01 + n, -c02,
-         jnp.sum(v0 * n, axis=1, keepdims=True), tid, z5], axis=1)
+        # d(o x e)/d o_k for k = x, y, z
+        def cx(e):
+            return jnp.stack(
+                [jnp.zeros_like(e[:, 0]), -e[:, 2], e[:, 1]], 1)
 
-    def bk(ck, nk):
-        return jnp.concatenate(
-            [-ck(e1), -ck(g), ck(e2), -nk[:, None], z1, z5], axis=1)
+        def cy(e):
+            return jnp.stack(
+                [e[:, 2], jnp.zeros_like(e[:, 0]), -e[:, 0]], 1)
 
-    tabs = jnp.stack([b0, bk(cx, n[:, 0]), bk(cy, n[:, 1]),
-                      bk(cz, n[:, 2])])
-    tabs = jnp.where(tid[None] < 0.0, 0.0, tabs)  # sentinels: all-zero
-    return tabs.reshape(4, -1, 128)
+        def cz(e):
+            return jnp.stack(
+                [-e[:, 1], e[:, 0], jnp.zeros_like(e[:, 0])], 1)
+
+        b0 = jnp.concatenate(
+            [c01, c02 - c01 + n, -c02,
+             jnp.sum(v0 * n, axis=1, keepdims=True), tid, z5], axis=1)
+
+        def bk(ck, nk):
+            return jnp.concatenate(
+                [-ck(e1), -ck(g), ck(e2), -nk[:, None], z1, z5], axis=1)
+
+        tabs = jnp.stack([b0, bk(cx, n[:, 0]), bk(cy, n[:, 1]),
+                          bk(cz, n[:, 2])])
+        tabs = jnp.where(tid[None] < 0.0, 0.0, tabs)  # sentinels: zero
+        # fold to 128 lanes per block: a [.., 16] result would be lane-
+        # padded 8x by the tiled layout (22 GB at 10M tris)
+        return tabs.reshape(4, -1, 128)
+
+    blocks = jax.lax.map(build, t0.reshape(-1, block, 16))
+    tabs = jnp.transpose(blocks, (1, 0, 2, 3)).reshape(4, -1, 128)
+    return tabs[:, :r0]
 
 
 def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
@@ -2998,10 +3021,15 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                     # each tile into (8,16)-px strips, an XLA prepass
                     # bitmasks every (strip, window) pair, and the
                     # kernel's dense MT runs per surviving strip only
+                    # mask + t_en SMEM rows must fit next to the node
+                    # tables (huge scenes: W windows -> 2 * 4 * W8 bytes)
+                    _w8 = -(-tree.chunk_bnd.reshape(-1, 8).shape[0]
+                            // 1024) * 1024
                     strips_ok = (
                         so and blocked and active is None
                         and cbnd is not None and th % 8 == 0
                         and tw % 16 == 0 and tile % 128 == 0
+                        and 8 * _w8 <= SMEM_BUDGET // 2
                         and _os.environ.get("CLPT_STRIPS", "1") != "0")
                     if strips_ok:
                         # gate-width strips when the dense math will be
