@@ -1612,13 +1612,14 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                     win0 = w1 >> 6
                     nwin = w1 & 63
 
-                    def surv(w):
+                    def surv(w, tup):
                         # static geometry bit + dynamic occlusion: the
                         # prepass's conservative entry distance vs the
-                        # walk's live [tlo, thi] / t_upper
+                        # live in-leaf t_upper (refreshed every
+                        # CLPT_TUP_WIN windows; starts at the walk's
+                        # min(thi, t_upper))
                         return ((read_mask(win0 + w) != 0)
-                                & (read_ten(win0 + w)
-                                   <= jnp.minimum(thi, t_upper)))
+                                & (read_ten(win0 + w) <= tup))
 
                     best_t, best_s, nch, ntot, nst = \
                         _stream_windows_culled(
@@ -1628,7 +1629,8 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
                             half_gate=(
                                 lambda w: read_mask(win0 + w),
                                 half_rays, strips
-                            ) if half_gate is not None else None)
+                            ) if half_gate is not None else None,
+                            tup0=jnp.minimum(thi, t_upper))
                     nc = nc + (ntot - nch)
                     nsm = nsm + nst
                 elif cull:
@@ -1738,7 +1740,7 @@ def _kernel_stream_smem(nodes_i_ref, nodes_f_ref, tris_ref, o_ref, d_ref,
 
 def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
                            rays, tile, act, best_t, best_s, so=False,
-                           half_gate=None):
+                           half_gate=None, tup0=None):
     """Double-buffered DMA + dense MT over a leaf's `nwin` windows with a
     per-window survival test (shared by the SMEM kernels; the VMEM path's
     equivalent lives in _chunk_pipeline.stream_leaf_culled).
@@ -1749,6 +1751,13 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
     form hides, collapsing the dense rate from ~70-80G to ~15G tests/s.
     Window masks from the strip prepass are still consumed, as the
     window-level union cull; the dense math stays full width.)
+
+    tup0: in-leaf early termination (mask path). surv then takes a
+    second argument, the CURRENT conservative t_upper, refreshed from
+    the live best_t every CLPT_TUP_WIN streamed windows: fat leaves
+    stream dozens of windows per pop, so the walk-level t_upper (updated
+    per pop) goes stale exactly where the per-window t_en test could
+    bite. One [1, tile] max + scalar sync per refresh.
 
     half_gate=(read_mask, gate_rays, n_bits): big-tile variant — the
     dense MT runs as tile//512 gates of 512 lanes, each under a scalar
@@ -1773,20 +1782,30 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
             tris_ref.at[pl.ds(b, CHUNK_ROWS), :],
             tri_buf.at[slot], tri_sem.at[slot]).wait()
 
-    def next_surv(b):
+    if tup0 is None:
+        def surv2(w, tup):
+            return surv(w)
+        tup_start = jnp.float32(BIG)
+        tup_every = 0
+    else:
+        surv2 = surv
+        tup_start = tup0
+        tup_every = TUP_WIN
+
+    def next_surv(b, tup):
         return jax.lax.while_loop(
-            lambda i: (i < nwin) & jnp.logical_not(surv(i)),
+            lambda i: (i < nwin) & jnp.logical_not(surv2(i, tup)),
             lambda i: i + 1, b)
 
-    b0 = next_surv(jnp.int32(0))
+    b0 = next_surv(jnp.int32(0), tup_start)
 
     @pl.when(b0 < nwin)
     def _():
         start_chunk(b0, 0)
 
     def chunk_body(state):
-        b, par, bt, bs, ns, nst = state
-        bn = next_surv(b + 1)
+        b, par, bt, bs, ns, nst, tup = state
+        bn = next_surv(b + 1, tup)
 
         @pl.when(bn < nwin)
         def _():
@@ -1823,11 +1842,19 @@ def _stream_windows_culled(r0, nwin, surv, tris_ref, tri_buf, tri_sem,
                 parts_s.append(bs_g)
             bt = jnp.concatenate(parts_t, axis=1)
             bs = jnp.concatenate(parts_s, axis=1)
-        return bn, 1 - par, bt, bs, ns + 1, nst
+        if tup_every:
+            # refresh the in-leaf t_upper from the live best hits
+            # (strips mode is fully active, no mask needed)
+            tup = jax.lax.cond(
+                (ns % tup_every) == tup_every - 1,
+                lambda b=bt, t=tup: jnp.minimum(t, jnp.max(b)),
+                lambda t=tup: t)
+        return bn, 1 - par, bt, bs, ns + 1, nst, tup
 
-    _, _, best_t, best_s, streamed, n_strip_mt = jax.lax.while_loop(
+    _, _, best_t, best_s, streamed, n_strip_mt, _ = jax.lax.while_loop(
         lambda st: st[0] < nwin, chunk_body,
-        (b0, jnp.int32(0), best_t, best_s, jnp.int32(0), jnp.int32(0)))
+        (b0, jnp.int32(0), best_t, best_s, jnp.int32(0), jnp.int32(0),
+         tup_start))
     return best_t, best_s, streamed, nwin, n_strip_mt
 
 
@@ -2564,6 +2591,14 @@ def _packet_call_stream(nodes, tris128, orig_t, dir_t, act, chunk_bnd=None,
 
 
 QUEUE_DEPTH = int(_os.environ.get("CLPT_QUEUE_DEPTH", "8"))
+
+# in-leaf t_upper refresh cadence for the mask-culled window stream
+# (0 disables; see _stream_windows_culled tup0). Measured on terrain
+# 1M tris / leaf 3072 / tile 2048: cadence 4 and 8 both LOSE ~2% (the
+# [1, tile] max + vector->scalar sync per refresh outweighs the extra
+# windows culled) — kept as an opt-in for scenes with more occlusion
+# depth per leaf.
+TUP_WIN = int(_os.environ.get("CLPT_TUP_WIN", "0"))
 
 
 def _smem_specs(n, tile, cull, frustum=False, strips=False):
