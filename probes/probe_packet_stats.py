@@ -33,8 +33,10 @@ def main():
     reps = int(os.environ.get("PROBE_REPS", 10))
     configs = os.environ.get(
         "PROBE_CFGS",
-        "512:14:256:stream,512:14:256:legacy,512:14:1024:stream,"
-        "128:18:256:stream,128:18:1024:stream").split(",")
+        # current per-scene optima first (terrain / soup), then the
+        # historical comparison points
+        "3072:11:2048:stream:1,512:14:512:stream:1,"
+        "512:14:256:stream,512:14:256:legacy").split(",")
 
     scene_kind = os.environ.get("PROBE_SCENE", "soup")
 
