@@ -164,6 +164,11 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         "invdir": invdir,
         "sign": sign,
     }
+    if t_max is not None:
+        # carried in the state so wind-down compaction permutes the
+        # per-ray bound along with the rays (a closed-over full-width
+        # t_max shape-errors after the first halving)
+        state["t_bound"] = t_max + orig[:, 0] * 0.0
 
     def body(s):
         node, act = s["node"], s["active"]
@@ -209,7 +214,7 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
             # best_t initializes to the bound, so `<=` alone would accept a
             # hit at exactly t_max; the docstring promises "at or beyond it
             # are ignored" — enforce strictness against the bound itself
-            take = take & (bt < t_max)
+            take = take & (bt < s["t_bound"])
         best_t = jnp.where(take, bt, s["best_t"])
         best_slot = jnp.where(take, bslot, s["best_slot"])
 

@@ -92,3 +92,33 @@ def test_t_max_boundary_exact():
     above = t_hit * (1 + 1e-5)
     past = traverse_fast(tree, quads, orig, dir, t_max=jnp.asarray(above))
     assert np.asarray(past["hit"]).all()
+
+
+def test_t_max_survives_winddown_compaction():
+    """Per-ray t_max must be permuted along with the rays by the
+    geometric wind-down (it used to be a closed-over full-width array,
+    shape-erroring — or worse — after the first halving; hit end-to-end
+    by path-mode NEE shadow rays at 512^2, bench.py BENCH_NEE=1)."""
+    import numpy as np
+    from clpathtracer_tpu.core.camera import cam_matrix, generate_rays
+    from clpathtracer_tpu.scene.procedural import random_tri_soup
+
+    scene = random_tri_soup(5000, seed=2, extent=4.0, tri_size=0.1)
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(a) for a in (v0, v1, v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4)
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    cam = Camera.create(position=[0.0, 0.0, -8.0], forward=[0, 0, 1.0])
+    orig, dirs = generate_rays(cam_matrix(cam, 128), 128, 128)
+    n = orig.shape[0]
+    act = jnp.asarray(np.arange(n) % 16 < 5)   # 70% dead -> compacts
+    tmax = jnp.asarray(3.0 + 2.0 * (np.arange(n) % 7), jnp.float32)
+    a = traverse_fast(tree, quads, orig, dirs, compact=True,
+                      t_max=tmax, active=act)
+    b = traverse_fast(tree, quads, orig, dirs, compact=False,
+                      t_max=tmax, active=act)
+    np.testing.assert_array_equal(np.asarray(a["hit"]),
+                                  np.asarray(b["hit"]))
+    h = np.asarray(a["hit"])
+    np.testing.assert_array_equal(np.asarray(a["t"])[h],
+                                  np.asarray(b["t"])[h])
