@@ -305,16 +305,24 @@ class TestNee:
             assert img.max() < 1.0, (nee, img.max())
 
     def test_nee_no_lights_is_noop(self):
+        """Zero-emitter NEE regression (round-2 known issue: emitterless
+        terrain + NEE crashed the TPU worker). The entire shadow traversal
+        is now gated on any_light via lax.cond and the shadow directions
+        sanitized; with no emitters NEE must contribute exactly nothing
+        and the render stays finite through both intersectors (the packet
+        path is the configuration that crashed the device)."""
         scene = cornell_box(light=False)
         v0, v1, v2 = scene.tri_verts()
         tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
         tree = build_kd_tree(tv, tri_block=4)
         cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
-        opts = RenderOptions(width=8, height=8, mode="path", bounces=2,
-                             background=0.5, nee=True)
-        img = np.asarray(render_image(scene, cam, opts, tree=tree,
-                                      key=jax.random.PRNGKey(0)))
-        assert np.isfinite(img).all()
+        for intersector in ("wavefront", "packet"):
+            opts = RenderOptions(width=8, height=8, mode="path", bounces=2,
+                                 background=0.5, nee=True,
+                                 intersector=intersector, packet_tile=64)
+            img = np.asarray(render_image(scene, cam, opts, tree=tree,
+                                          key=jax.random.PRNGKey(0)))
+            assert np.isfinite(img).all(), intersector
 
 
 class TestBaselineConfig1:
