@@ -202,7 +202,7 @@ def run_scene(scene_kind, jax, jnp):
                 rec = traverse_packet(tree, quads, orig, dir,
                                       image_shape=(height, width),
                                       tile=packet_tile, engine=engine,
-                                      shared_origin=True)
+                                      shared_origin=True, grid_dirs=True)
                 return rec["tile_stats"]
 
             tstats = np.asarray(jax.jit(stats_fn)(scene, tree))

@@ -81,6 +81,18 @@ class FlatKdTree:
     #   tables (ops/packet.py::so_affine_tables); attach_so_tables adds
     #   them so the packet engines' per-frame SO row preparation is one
     #   fused elementwise combine instead of a full cross-product pass
+    max_leaf_tris: int = struct.field(pytree_node=False, default=None)
+    #   static: the largest leaf's triangle count, known at build/load
+    #   time. The SMEM node layout packs a leaf's DMA-window count in 6
+    #   bits; ops/packet.py _smem_fits uses this to REFUSE the SMEM
+    #   kernels (fall back to VMEM tables) for trees whose leaves exceed
+    #   63 windows instead of silently dropping triangles (ADVICE r2).
+    #   None (e.g. a hand-built tree) conservatively disables SMEM.
+    chunk_rows: int = struct.field(pytree_node=False, default=None)
+    #   static: the ops/packet.py CHUNK_ROWS value chunk_start/chunk_bnd
+    #   were computed under. traverse_packet drops the cull tables when
+    #   it differs from the current process's CHUNK_ROWS (the window
+    #   grids would disagree — wrong culls, not just slow ones).
 
     @property
     def num_nodes(self) -> int:
@@ -342,6 +354,7 @@ def tree_from_node_table(table: np.ndarray, tri_indices: np.ndarray,
         node_table=jnp.asarray(table),
         quads=(jnp.asarray(pack_quads_host(tri_indices, tri_verts))
                if tri_verts is not None else None),
+        max_leaf_tris=int(leaf_count.max(initial=0)),
     )
     if tree.quads is not None:
         tree = attach_chunk_info(tree)
@@ -444,6 +457,7 @@ def build_kd_tree(tri_verts: np.ndarray, max_depth: int = DEFAULT_DEPTH,
         leaf_count=jnp.asarray(arrays["leaf_count"]),
         ropes=jnp.asarray(arrays["ropes"]),
         tri_indices=jnp.asarray(tri_indices),
+        max_leaf_tris=int(np.asarray(arrays["leaf_count"]).max(initial=0)),
     )
     if tri_block == 4 and leaf_size >= 8:
         from clpathtracer_tpu.accel.wide import build_wide_table
@@ -621,7 +635,8 @@ def attach_chunk_info(tree: FlatKdTree) -> FlatKdTree:
         slot_ids, np.asarray(tree.leaf_start), np.asarray(tree.leaf_count),
         np.asarray(tree.is_leaf), vmin, vmax, CHUNK_ROWS)
     return tree.replace(chunk_start=jnp.asarray(cs),
-                        chunk_bnd=jnp.asarray(bnd))
+                        chunk_bnd=jnp.asarray(bnd),
+                        chunk_rows=CHUNK_ROWS)
 
 
 def attach_so_tables(tree: FlatKdTree) -> FlatKdTree:

@@ -43,7 +43,7 @@ def intersect_diff(scene, tree, orig, dir, tri_block: int = 4,
                    max_iters: int = 4096, scene_axis: str = None,
                    packet: bool = False, coherent: bool = True,
                    packet_tile: int = 1024, image_shape=None, active=None,
-                   shared_origin: bool = False):
+                   shared_origin: bool = False, grid_dirs: bool = False):
     """Nearest triangle hit with differentiable t/u/v and detached topology.
 
     Returns dict(hit [N] bool, tri [N] i32, t [N], u [N], v [N]) where t/u/v
@@ -79,7 +79,8 @@ def intersect_diff(scene, tree, orig, dir, tri_block: int = 4,
                     rec = traverse_packet(tree, quads, sg(orig), sg(dir),
                                           image_shape=image_shape,
                                           tile=packet_tile, active=active,
-                                          shared_origin=shared_origin)
+                                          shared_origin=shared_origin,
+                                          grid_dirs=grid_dirs)
                 else:
                     from clpathtracer_tpu.ops.sort import sort_rays
                     perm, inv = sort_rays(sg(orig), sg(dir), alive=active)

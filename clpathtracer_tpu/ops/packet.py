@@ -60,7 +60,11 @@ CHUNK_ROWS = int(_os.environ.get("CLPT_CHUNK_ROWS", "16"))
 # reduction consumed by the SCALAR walk, i.e. a cross-pipeline sync point.
 # Tunable because each sync can stall the decoupled scalar queue; a staler
 # t_upper only costs extra conservatively-kept windows.
-TUP_MASK = int(_os.environ.get("CLPT_TUP_EVERY", "4")) - 1
+# (nv & TUP_MASK) == 0 implements the cadence only for power-of-two
+# values: round the knob up to one instead of silently misfiring
+# (e.g. 3 would give mask 2, firing on nv in {0,1,4,5,...})
+_TUP_EVERY = max(int(_os.environ.get("CLPT_TUP_EVERY", "4")), 1)
+TUP_MASK = (1 << (_TUP_EVERY - 1).bit_length()) - 1
 INV_BIG = 1e30
 
 
@@ -929,11 +933,7 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
             return jax.lax.switch(w % 16, [rd(k) for k in range(16)])
 
     # per-axis packet constants for the split-plane interval
-    axinfo = []
-    for ax in range(3):
-        il, ih = ibnd[ax]
-        ol, oh = obnd[ax]
-        axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+    axinfo = _axinfo(obnd, ibnd)
 
     nf = 7 if cull else 6  # lane 6 carries the node's chunk_start id
     if layout == "padded":
@@ -1011,19 +1011,8 @@ def _kernel_stream(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
                 return sp, best_t, best_s, t_up, nl + nch, nc
 
             def split_case(sp, best_t, best_s, t_upper, nl, nc):
-                il, ih, ol, oh, uni, nlo = jax.lax.switch(
-                    flags & 3,
-                    [lambda i=i: axinfo[i] for i in range(3)])
-                c1 = (split - ol) * il
-                c2 = (split - ol) * ih
-                c3 = (split - oh) * il
-                c4 = (split - oh) * ih
-                tp_min = jnp.minimum(jnp.minimum(c1, c2),
-                                     jnp.minimum(c3, c4))
-                tp_max = jnp.maximum(jnp.maximum(c1, c2),
-                                     jnp.maximum(c3, c4))
-                tp_min = jnp.where(uni, tp_min, -INV_BIG)
-                tp_max = jnp.where(uni, tp_max, INV_BIG)
+                tp_min, tp_max, nlo = _split_plane_interval(
+                    axinfo, flags & 3, split)
                 cl = cl_f.astype(jnp.int32)
                 ch = ch_f.astype(jnp.int32)
                 near = jnp.where(nlo, cl, ch)
@@ -1140,11 +1129,7 @@ def _kernel_queue(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
 
             return jax.lax.switch(w % 16, [rd(k) for k in range(16)])
 
-    axinfo = []
-    for ax in range(3):
-        il, ih = ibnd[ax]
-        ol, oh = obnd[ax]
-        axinfo.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
+    axinfo = _axinfo(obnd, ibnd)
 
     nf = 7 if cull else 6
     if layout == "padded":
@@ -1257,19 +1242,8 @@ def _kernel_queue(nodes_ref, tris_ref, o_ref, d_ref, a_ref, *refs,
                     return sp, jnp.int32(0), nwin, r0, nc
 
                 def split_case(sp, wcur, wend, nc):
-                    il, ih, ol, oh, uni, nlo = jax.lax.switch(
-                        flags & 3,
-                        [lambda i=i: axinfo[i] for i in range(3)])
-                    c1 = (split - ol) * il
-                    c2 = (split - ol) * ih
-                    c3 = (split - oh) * il
-                    c4 = (split - oh) * ih
-                    tp_min = jnp.minimum(jnp.minimum(c1, c2),
-                                         jnp.minimum(c3, c4))
-                    tp_max = jnp.maximum(jnp.maximum(c1, c2),
-                                         jnp.maximum(c3, c4))
-                    tp_min = jnp.where(uni, tp_min, -INV_BIG)
-                    tp_max = jnp.where(uni, tp_max, INV_BIG)
+                    tp_min, tp_max, nlo = _split_plane_interval(
+                        axinfo, flags & 3, split)
                     cl = cl_f.astype(jnp.int32)
                     ch = ch_f.astype(jnp.int32)
                     near = jnp.where(nlo, cl, ch)
@@ -1461,6 +1435,18 @@ def _smem_cbnd(tree):
 
 
 def _smem_fits(tree) -> bool:
+    # the SMEM node word packs a leaf's window count in 6 bits: refuse
+    # (→ VMEM-table fallback) any tree that could exceed 63 windows per
+    # leaf instead of silently truncating its streams (ADVICE r2). The
+    # bound uses the static max leaf size recorded at build/load time;
+    # trees without it (hand-built) conservatively fall back. +1 row
+    # covers worst-case qstart misalignment in _smem_nodes' r0/r_end.
+    mlt = getattr(tree, "max_leaf_tris", None)
+    if mlt is None:
+        return False
+    max_nwin = ((mlt + 7) // 8 + 1 + CHUNK_ROWS - 1) // CHUNK_ROWS
+    if max_nwin > 63:
+        return False
     m = tree.node_table.shape[0]
     n_bytes = (2 * m) * 4 + (6 + m) * 4
     cb = getattr(tree, "chunk_bnd", None)
@@ -2139,17 +2125,8 @@ def _make_machine(nodes_ref, tris_ref, stack_refs, m, tri_buf, tri_sem,
     bnd_r = _packet_bounds_masked(rays_r, act_r)
     n_chunk_rows = tris_ref.shape[0]
 
-    def axinfo_of(bnd):
-        obnd, ibnd = bnd
-        out = []
-        for ax in range(3):
-            il, ih = ibnd[ax]
-            ol, oh = obnd[ax]
-            out.append((il, ih, ol, oh, il * ih > 0.0, il + ih > 0.0))
-        return out
-
-    ax_l = axinfo_of(bnd_l)
-    ax_r = axinfo_of(bnd_r)
+    ax_l = _axinfo(*bnd_l)
+    ax_r = _axinfo(*bnd_r)
 
     if layout == "padded":
         def read6(node):
@@ -2276,24 +2253,10 @@ def _make_machine(nodes_ref, tris_ref, stack_refs, m, tri_buf, tri_sem,
                 def split_case(sp, rem, row0, cur, par, go_l, go_r, nl):
                     axis = flags & 3
 
-                    def half_plane(axinfo):
-                        il, ih, ol, oh, uni, nlo = jax.lax.switch(
-                            axis,
-                            [lambda i=i: axinfo[i] for i in range(3)])
-                        c1 = (split - ol) * il
-                        c2 = (split - ol) * ih
-                        c3 = (split - oh) * il
-                        c4 = (split - oh) * ih
-                        tp_min = jnp.minimum(jnp.minimum(c1, c2),
-                                             jnp.minimum(c3, c4))
-                        tp_max = jnp.maximum(jnp.maximum(c1, c2),
-                                             jnp.maximum(c3, c4))
-                        tp_min = jnp.where(uni, tp_min, -INV_BIG)
-                        tp_max = jnp.where(uni, tp_max, INV_BIG)
-                        return tp_min, tp_max, nlo
-
-                    lp_min, lp_max, l_nlo = half_plane(ax_l)
-                    rp_min, rp_max, _ = half_plane(ax_r)
+                    lp_min, lp_max, l_nlo = _split_plane_interval(
+                        ax_l, axis, split)
+                    rp_min, rp_max, _ = _split_plane_interval(
+                        ax_r, axis, split)
                     cl = cl_f.astype(jnp.int32)
                     ch = ch_f.astype(jnp.int32)
                     # visit order from the LEFT half's dominant sign (the
@@ -2912,7 +2875,8 @@ def _pad_rows8(tris16, pad_value=-1.0):
 def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                     interpret: bool = None, image_shape=None,
                     tile: int = TILE, engine: str = "auto", active=None,
-                    precision: str = "f32", shared_origin: bool = False):
+                    precision: str = "f32", shared_origin: bool = False,
+                    grid_dirs: bool = False):
     """Packet-trace a coherent wavefront. Same record contract as
     traverse_fast (minus per-ray step counts, which have no meaning for a
     shared-stack packet walk: steps = 0).
@@ -2941,6 +2905,13 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
     and never report hits; a fully dead tile skips traversal (the kernel
     half of wavefront compaction; sort dead rays to the tail first).
     Only the stream engine honors it.
+    grid_dirs: caller-asserted promise that the directions are the
+    UNJITTERED pixel-grid rays of image_shape (generate_rays — one ray
+    through each pixel center, row-major). The corner-ray frustum hull
+    culls (CLPT_FRUSTUM and the strip-mask prepass) are only valid under
+    this promise: per-pixel-jittered samples (spp>1 path mode) can fall
+    outside the hull of the tile's 4 corner SAMPLES and would be wrongly
+    culled (ADVICE r2). shared_origin alone no longer enables them.
     """
     n = orig.shape[0]
     assert n % tile == 0, (n, tile)
@@ -3012,6 +2983,13 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
             cbnd = getattr(tree, "chunk_bnd", None)
             m_nodes = tree.node_table.shape[0]
             if (cbnd is not None
+                    and getattr(tree, "chunk_rows", None) is not None
+                    and tree.chunk_rows != CHUNK_ROWS):
+                # tables built under a different CLPT_CHUNK_ROWS: their
+                # window grid disagrees with this process's kernels —
+                # using them would cull the WRONG windows (ADVICE r2)
+                cbnd = None
+            if (cbnd is not None
                     and _os.environ.get("CLPT_CHUNK_CULL", "1") != "1"):
                 cbnd = None
             if (cbnd is not None and
@@ -3061,7 +3039,7 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                     _w8 = -(-tree.chunk_bnd.reshape(-1, 8).shape[0]
                             // 1024) * 1024
                     strips_ok = (
-                        so and blocked and active is None
+                        so and blocked and grid_dirs and active is None
                         and cbnd is not None and th % 8 == 0
                         and tw % 16 == 0 and tile % 128 == 0
                         and 8 * _w8 <= SMEM_BUDGET // 2
@@ -3099,7 +3077,8 @@ def traverse_packet(tree, quads: jnp.ndarray, orig, dir,
                         # the window cull for shared-origin pixel-block
                         # tiles
                         fr = None
-                        if (so and blocked and cb_s is not None
+                        if (so and blocked and grid_dirs
+                                and cb_s is not None
                                 and _os.environ.get("CLPT_FRUSTUM", "1")
                                 != "0"):
                             fr = _frustum_rows(

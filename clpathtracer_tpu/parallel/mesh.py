@@ -75,7 +75,7 @@ def make_sharded_renderer(opts: RenderOptions, mesh: Mesh):
         # rays are pinhole primaries generated right above — the packet
         # engine may bake shared-origin rows (ops/packet.py::so_rows)
         img = render_rays(scene, tree, orig, dir, opts, key,
-                          shared_origin=True)
+                          shared_origin=True, grid_dirs=True)
         return img.reshape(opts.height, opts.width, 3)
 
     return jax.jit(impl, out_shardings=row_sharded(mesh, rank=3))
@@ -109,8 +109,10 @@ def make_sharded_packet_renderer(opts: RenderOptions, mesh: Mesh):
         # noise pattern
         if key is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index("rows"))
+        # per-shard rays are still unjittered grid rows of the local
+        # block (generate_rays of the full frame, row-sliced)
         img = render_rays(scene, tree, orig, dir, opts_local, key,
-                          shared_origin=True)
+                          shared_origin=True, grid_dirs=True)
         return img.reshape(local_h, opts.width, 3)
 
     sharded = shard_map(

@@ -94,7 +94,8 @@ class RenderOptions:
 
 def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                     coherent: bool = True, active=None,
-                    shared_origin: bool = False):
+                    shared_origin: bool = False,
+                    grid_dirs: bool = False):
     """Nearest hit against triangles (+ spheres). Returns dict with
     hit [N] bool, t [N], tri [N] (-1 if none), u/v [N], sphere [N] (-1 if
     the nearest hit is not a sphere).
@@ -128,6 +129,7 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
             # opts into Morton sorting (see RenderOptions.sort_bounces)
             coherent=(coherent or not opts.sort_bounces),
             shared_origin=shared_origin,
+            grid_dirs=grid_dirs,
             packet_tile=opts.packet_tile,
             image_shape=((opts.height, opts.width)
                          if n == opts.width * opts.height else None),
@@ -167,7 +169,8 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                                       tile=opts.packet_tile,
                                       active=active,
                                       precision=opts.precision,
-                                      shared_origin=shared_origin)
+                                      shared_origin=shared_origin,
+                                      grid_dirs=grid_dirs)
             elif (opts.intersector == "packet" and opts.sort_bounces
                   and packet_supported(tree, orig.shape[0],
                                        opts.packet_tile)):
@@ -260,17 +263,18 @@ def _surface(scene, rec, orig, dir, opts=None):
 
 
 def shade_normal(scene, tree, orig, dir, opts: RenderOptions,
-                 shared_origin: bool = False):
+                 shared_origin: bool = False, grid_dirs: bool = False):
     """Reference-parity: hit → (normal+1)/2, miss → white."""
     rec = intersect_scene(scene, tree, orig, dir, opts,
-                          shared_origin=shared_origin)
+                          shared_origin=shared_origin,
+                          grid_dirs=grid_dirs)
     _, normal, _, _ = _surface(scene, rec, orig, dir, opts)
     bg = jnp.full_like(normal, opts.background)
     return jnp.where(rec["hit"][:, None], normal_color(normal), bg)
 
 
 def shade_mirror(scene, tree, orig, dir, opts: RenderOptions,
-                 shared_origin: bool = False):
+                 shared_origin: bool = False, grid_dirs: bool = False):
     """The reference's intended mirror-bounce shading, made reachable.
 
     Per bounce (src/kernel.cl:399-417): col = (1-str)·col + str·normColor;
@@ -286,7 +290,8 @@ def shade_mirror(scene, tree, orig, dir, opts: RenderOptions,
     for b in range(opts.bounces):
         rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0),
                               active=None if b == 0 else alive,
-                              shared_origin=shared_origin and b == 0)
+                              shared_origin=shared_origin and b == 0,
+                              grid_dirs=grid_dirs and b == 0)
         point, normal, _, _ = _surface(scene, rec, o, d, opts)
         hit = rec["hit"] & alive
         nc = normal_color(normal)
@@ -383,7 +388,7 @@ def _sample_light(scene, key, n):
 
 
 def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
-               shared_origin: bool = False):
+               shared_origin: bool = False, grid_dirs: bool = False):
     """Lambertian path tracing with emissive surfaces.
 
     radiance += throughput · emission at each hit; throughput ·= albedo;
@@ -401,7 +406,8 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
     for b in range(opts.bounces):
         rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0),
                               active=None if b == 0 else alive,
-                              shared_origin=shared_origin and b == 0)
+                              shared_origin=shared_origin and b == 0,
+                              grid_dirs=grid_dirs and b == 0)
         point, normal, albedo, emission = _surface(scene, rec, o, d, opts)
         # one-sided emitters: the surface emits from its front face only,
         # matching NEE's cos_l > 0 gate below so nee=True and nee=False
@@ -473,18 +479,25 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
 
 
 def render_rays(scene, tree, orig, dir, opts: RenderOptions, key=None,
-                shared_origin: bool = False):
+                shared_origin: bool = False, grid_dirs: bool = False):
+    # grid_dirs: the rays are the UNJITTERED pixel-grid primaries of
+    # (opts.height, opts.width) — enables the corner-hull frustum/strip
+    # culls in the packet engine, which per-pixel jitter would break
+    # (ADVICE r2); shared_origin alone only enables the SO row math.
     if opts.mode == "normal":
         return shade_normal(scene, tree, orig, dir, opts,
-                            shared_origin=shared_origin)
+                            shared_origin=shared_origin,
+                            grid_dirs=grid_dirs)
     if opts.mode == "mirror":
         return shade_mirror(scene, tree, orig, dir, opts,
-                            shared_origin=shared_origin)
+                            shared_origin=shared_origin,
+                            grid_dirs=grid_dirs)
     if opts.mode == "path":
         if key is None:
             key = jax.random.PRNGKey(0)
         return shade_path(scene, tree, orig, dir, opts, key,
-                          shared_origin=shared_origin)
+                          shared_origin=shared_origin,
+                          grid_dirs=grid_dirs)
     raise ValueError(f"unknown mode {opts.mode!r}")
 
 
@@ -504,6 +517,8 @@ def render_image(scene, camera, opts: RenderOptions, tree=None, key=None):
             jitter = jax.random.uniform(kj, (1, n, 2))
             o, d = generate_rays_jittered(cam_inv, opts.width, opts.height,
                                           jitter)
+            # jittered per-pixel samples: NOT grid_dirs (corner-hull
+            # culls would drop edge samples outside the corners' hull)
             return render_rays(scene, tree, o[0], d[0], opts, ks,
                                shared_origin=True)
 
@@ -511,5 +526,5 @@ def render_image(scene, camera, opts: RenderOptions, tree=None, key=None):
     else:
         orig, dir = generate_rays(cam_inv, opts.width, opts.height)
         img = render_rays(scene, tree, orig, dir, opts, key,
-                          shared_origin=True)
+                          shared_origin=True, grid_dirs=True)
     return img.reshape(opts.height, opts.width, 3)

@@ -73,6 +73,15 @@ def load_scene_cache(path: str) -> Tuple[Scene, FlatKdTree]:
         tree = FlatKdTree(**{f: jnp.asarray(z["tree_" + f])
                              for f in _TREE_FIELDS
                              if "tree_" + f in z})
+        # static metadata (SMEM-layout safety checks in ops/packet.py):
+        # a cache hit implies build_params matched, so any stored chunk
+        # tables were built under the CURRENT process's CHUNK_ROWS
+        tree = tree.replace(
+            max_leaf_tris=int(np.asarray(z["tree_leaf_count"])
+                              .max(initial=0)))
+        if tree.chunk_start is not None:
+            from clpathtracer_tpu.ops.packet import CHUNK_ROWS
+            tree = tree.replace(chunk_rows=CHUNK_ROWS)
         scene = Scene(**{f: jnp.asarray(z["scene_" + f])
                          for f in _SCENE_FIELDS
                          if "scene_" + f in z})

@@ -92,6 +92,7 @@ def load_reference_kd(path: str):
         leaf_count=jnp.asarray(leaf_count),
         ropes=jnp.asarray(ropes),
         tri_indices=jnp.asarray(tri_indices.astype(np.int32)),
+        max_leaf_tris=int(leaf_count.max(initial=0)),
     )
     return scene, tree
 

@@ -110,7 +110,8 @@ def main():
                 eps = chk * 1e-38
                 rec = traverse_packet(tree, quads, orig + eps, dir,
                                       image_shape=(res, res), tile=tile,
-                                      engine=engine, shared_origin=so)
+                                      engine=engine, shared_origin=so,
+                                      grid_dirs=so)
                 ok = rec["hit"]
                 chk = jnp.sum(jnp.where(ok, rec["t"], 0.0))
                 t2 = jnp.sum(rec["tri"] % 97).astype(jnp.float32)

@@ -631,7 +631,7 @@ class TestFrustumCull:
         orig, dir = generate_rays(cam_matrix(cam, 32), 32, 32)
         return tree, traverse_packet(
             tree, tree.quads, orig, dir, image_shape=(32, 32),
-            engine="stream", shared_origin=True)
+            engine="stream", shared_origin=True, grid_dirs=True)
 
     def test_frustum_parity_and_culls(self, monkeypatch):
         tree, off = self._render("0", monkeypatch)
@@ -668,7 +668,8 @@ class TestStripGating:
         orig, dir = generate_rays(cam_matrix(cam, 64), 64, 64)
         return traverse_packet(tree, tree.quads, orig, dir,
                                image_shape=(64, 64), tile=tile,
-                               engine="stream", shared_origin=True)
+                               engine="stream", shared_origin=True,
+                               grid_dirs=True)
 
     @pytest.mark.parametrize("tile", [256, 512])
     def test_strips_parity_and_gating(self, tile, monkeypatch):
