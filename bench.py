@@ -58,14 +58,19 @@ SCENE_TUNING = {
 }
 
 
-def run_scene(scene_kind, jax, jnp):
+def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
+              reps=None):
     scene_tris = int(os.environ.get("BENCH_TRIS", 1_000_000))
     width = int(os.environ.get("BENCH_W", 512))
     height = int(os.environ.get("BENCH_H", 512))
-    reps = int(os.environ.get("BENCH_REPS", 10))
-    mode = os.environ.get("BENCH_MODE", "normal")
-    bounces = int(os.environ.get("BENCH_BOUNCES", 2))
-    nee = bool(int(os.environ.get("BENCH_NEE", "0")))
+    if reps is None:
+        reps = int(os.environ.get("BENCH_REPS", 10))
+    if mode is None:
+        mode = os.environ.get("BENCH_MODE", "normal")
+    if bounces is None:
+        bounces = int(os.environ.get("BENCH_BOUNCES", 2))
+    if nee is None:
+        nee = bool(int(os.environ.get("BENCH_NEE", "0")))
     intersector = os.environ.get("BENCH_INTERSECTOR", "packet")
     engine = os.environ.get("BENCH_ENGINE", "auto")
     sort_bounces = bool(int(os.environ.get("BENCH_SORT", "1")))
@@ -276,6 +281,30 @@ def main():
     for kind in scenes[1:]:
         v, d = results[kind]
         detail[f"adversarial_{kind}"] = {"rays_per_s": v, **d}
+
+    # gated path-mode metric (VERDICT r2 #3): 2-bounce sorted NEE path
+    # tracing on the EMISSIVE soup (the only bench scene with lights).
+    # Reported as paths/s plus total traversal rays/s: each path launches
+    # `bounces` intersect waves and, with NEE, as many shadow waves.
+    if (mode == "normal" and not forced
+            and os.environ.get("BENCH_PATH", "1") != "0"):
+        log("# === path-mode gate (soup, 2 bounces, NEE, sorted) ===")
+        try:
+            pb = 2
+            v, d = run_scene("soup", jax, jnp, mode="path", nee=True,
+                             bounces=pb, reps=3)
+            n = (int(os.environ.get("BENCH_W", 512))
+                 * int(os.environ.get("BENCH_H", 512)))
+            detail["path_mode"] = {
+                "paths_per_s": v,
+                "rays_per_s": v * pb * 2,   # bounce + shadow waves
+                "bounces": pb, "nee": True,
+                "frame_s": d.get("frame_s"),
+                "compile_s": d.get("compile_s"),
+            }
+        except Exception as e:  # the gate must never sink the headline
+            log(f"# path-mode bench failed: {e}")
+            detail["path_mode"] = {"error": str(e)}
 
     target = 2e8  # BASELINE.json north-star rays/s/chip
     label = ("primary rays/s/chip" if mode == "normal"

@@ -397,14 +397,15 @@ def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
     enter. ~35 [CR, tile] vector ops per group vs the general path's ~52:
     no per-pair crosses, no u/v (winners re-resolve u/v outside)."""
     _, _, _, dx, dy, dz = rays
+    n_rows = tri_buf.shape[1]  # CHUNK_ROWS, or the plist engine's win_rows
     sub_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
-    t_acc = jnp.full((CHUNK_ROWS, tile), BIG, jnp.float32)
-    s_acc = jnp.full((CHUNK_ROWS, tile), -1.0, jnp.float32)
-    for i in range(8):  # 8 interleaved groups of CHUNK_ROWS tris
+        jnp.int32, (n_rows, 1), 0).astype(jnp.float32)
+    t_acc = jnp.full((n_rows, tile), BIG, jnp.float32)
+    s_acc = jnp.full((n_rows, tile), -1.0, jnp.float32)
+    for i in range(8):  # 8 interleaved groups of n_rows tris
         def col(j):
             return tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1] \
-                .reshape(CHUNK_ROWS, 1)
+                .reshape(n_rows, 1)
         s1 = dx * col(0) + dy * col(1) + dz * col(2)
         s2 = dx * col(3) + dy * col(4) + dz * col(5)
         s3 = dx * col(6) + dy * col(7) + dz * col(8)
@@ -449,8 +450,9 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
     bf = compute_dtype != jnp.float32
     ox, oy, oz, dx, dy, dz = (
         tuple(r.astype(compute_dtype) for r in rays) if bf else rays)
+    n_rows = tri_buf.shape[1]  # CHUNK_ROWS, or the plist engine's win_rows
     sub_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK_ROWS, 1), 0).astype(jnp.float32)
+        jnp.int32, (n_rows, 1), 0).astype(jnp.float32)
     miss_val = 3.0e38 if bf else BIG  # bf16 max finite is ~3.39e38
     # [CR, tile] accumulators across the 8 groups: 3 elementwise ops per
     # group instead of a 2-reduction winner merge (~16) — one argmin per
@@ -460,12 +462,12 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
     merge_old = _os.environ.get("CLPT_MERGE_OLD") == "1"  # A/B probes
     chunk_t = jnp.full((1, tile), BIG, jnp.float32)
     chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
-    t_acc = jnp.full((CHUNK_ROWS, tile), BIG, jnp.float32)
-    s_acc = jnp.full((CHUNK_ROWS, tile), -1.0, jnp.float32)
-    for i in range(8):  # 8 interleaved groups of CHUNK_ROWS tris
+    t_acc = jnp.full((n_rows, tile), BIG, jnp.float32)
+    s_acc = jnp.full((n_rows, tile), -1.0, jnp.float32)
+    for i in range(8):  # 8 interleaved groups of n_rows tris
         def col(j):
             c = tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1]
-            c = c.reshape(CHUNK_ROWS, 1)
+            c = c.reshape(n_rows, 1)
             return c.astype(compute_dtype) if bf else c
         v0x, v0y, v0z = col(0), col(1), col(2)
         e1x, e1y, e1z = col(3), col(4), col(5)

@@ -1,0 +1,419 @@
+"""Prepass-list packet engine: walk-free sorted-window streaming.
+
+Round-3 redesign of the primary-ray intersector, driven by three probe
+measurements (probes/probe_filter_potential.py, probe_sorted_stream.py,
+probe_morton_windows.py):
+
+1. The stream kernels' ~4.7-12k triangle tests/ray are NOT geometric
+   overlap waste — ~70% of the geometrically surviving (packet, window)
+   pairs contain real line intersections (a triangle-level prefilter has
+   a ~30% ceiling). The dense 512-ray x 128-tri outer product is close
+   to its structural floor for a given window layout.
+2. The kd-leaf DMA windows inherit straddler DUPLICATION (1.12x terrain,
+   1.66x soup) and leaf-boundary raggedness. Windows cut from a single
+   GLOBAL Morton order of the triangles (every triangle in exactly one
+   window) remove it: measured geometric pairs drop 1%/41% (terrain/
+   soup) at 128-tri windows and 30%/56% at 64-tri windows.
+3. The prepass already tests EVERY window against every packet — which
+   makes the in-kernel tree walk redundant. Sorting each packet's
+   surviving windows front-to-back by conservative entry distance lets
+   the kernel be a pure streaming consumer with an early-termination
+   BREAK (sorted t_en > packet t_upper ends the packet), the DMA
+   sequence known in advance (no scalar culls between vector work, the
+   round-2 serialization cost), and per-packet lists that scale to any
+   scene size (the >7M-tri SMEM mask-row cliff disappears: list
+   consumption is chunked DMA, not a resident table).
+
+Pipeline:
+
+  * build (host): global Morton order of triangle centroids; quad rows
+    packed in that order; per-window AABBs. No kd-tree involved — the
+    tree remains the engine for incoherent wavefronts (bounces,
+    shadows) only.
+  * prepass (XLA, on-device): for every 512-ray packet (16x32-pixel
+    block, shared origin) x every window: slab interval + exact
+    corner-frustum cull and conservative entry distance; per-packet
+    argsort by t_en (+inf for culled windows). Fused elementwise math
+    on [G, W] arrays — the VPU does in microseconds what the scalar
+    core serialized (round-2 finding).
+  * kernel (Pallas): each grid program owns one packet; streams its
+    sorted list in chunks of 1024 entries (SMEM), double-buffers the
+    window triangle DMAs (the NEXT window is known without any walk),
+    runs the full-width 512-lane dense test (shared-origin signed
+    volume or general MT, ops/packet.py's _mt_math), refreshes the
+    packet's t_upper from live best hits, and exits as soon as the next
+    entry distance exceeds it. Every started DMA is waited exactly once
+    (the prefetch decision is made once per window, and a fetched
+    window is always consumed).
+
+Reference behavior matched: the per-ray early-exit economy of the
+reference's rope walk (/root/reference/src/kernel.cl:381-383) — without
+per-ray control flow, which TPUs cannot afford.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from clpathtracer_tpu.ops.packet import (
+    BIG, INV_BIG, _frustum_rows, _mt_math, _pad_rows8, _ray_rows, so_rows)
+
+GATE = 512                    # rays per packet: 16x32 pixel block
+GH, GW = 16, 32
+LIST_CHUNK = 1024             # sorted-list entries per [8, 128] DMA chunk
+# windows per DMA in quad-row units: win_rows*8 triangles each. 16 rows
+# (128 tris) matches the stream engine's measured DMA sweet spot; 8 is
+# the probe-favored smaller window (fewer tests, more fixed costs).
+WIN_ROWS = int(_os.environ.get("CLPT_WIN_ROWS", "16"))
+TUP_EVERY = max(int(_os.environ.get("CLPT_PLIST_TUP", "1")), 1)
+
+
+@struct.dataclass
+class MortonWindows:
+    """Global-Morton window structure for the plist engine.
+
+    tris128: [R, 128] quad rows ([T/4, 64] pairs folded) in Morton
+      order, padded so R is a multiple of win_rows (pad tri_id = -1).
+    win_bnd: [W, 8] f32 per-window AABB (lo xyz, hi xyz, pad 2); pad
+      windows carry an empty box (+big/-big) that nothing keeps.
+    so_base: optional [4, R, 128] affine shared-origin tables
+      (ops/packet.py::so_affine_tables) for one-combine SO rows.
+    """
+
+    tris128: jnp.ndarray
+    win_bnd: jnp.ndarray
+    so_base: jnp.ndarray = None
+    win_rows: int = struct.field(pytree_node=False, default=16)
+
+    @property
+    def num_windows(self) -> int:
+        return self.win_bnd.shape[0]
+
+    @property
+    def quads(self) -> jnp.ndarray:
+        return self.tris128.reshape(-1, 64)
+
+
+def build_morton_windows(tri_verts: np.ndarray,
+                         win_rows: int = None) -> MortonWindows:
+    """Host-side build: Morton-sort triangles, pack quad rows, window
+    AABBs. O(T log T) numpy; no kd-tree, no duplication."""
+    from clpathtracer_tpu.accel.sah import _morton10, pack_quads_host
+    if win_rows is None:
+        win_rows = WIN_ROWS
+    tv = np.asarray(tri_verts, np.float32)
+    c = tv.mean(axis=1)
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    q = np.clip((c - lo) / np.maximum(hi - lo, 1e-30) * 1023.0,
+                0.0, 1023.0).astype(np.uint32)
+    perm = np.argsort(_morton10(q), kind="stable").astype(np.int64)
+    t = tv[perm]
+    n = t.shape[0]
+    span = win_rows * 8
+    pad = -n % span
+    ids = np.concatenate([perm, np.full(pad, -1, np.int64)])
+    rows16 = pack_quads_host(ids, tv).reshape(-1, 16)
+    vmin = t.min(axis=1)
+    vmax = t.max(axis=1)
+    if pad:
+        vmin = np.concatenate([vmin, np.full((pad, 3), 1e30, np.float32)])
+        vmax = np.concatenate([vmax, np.full((pad, 3), -1e30, np.float32)])
+    w = vmin.shape[0] // span
+    bnd = np.zeros((w, 8), np.float32)
+    bnd[:, 0:3] = vmin.reshape(w, span, 3).min(axis=1)
+    bnd[:, 3:6] = vmax.reshape(w, span, 3).max(axis=1)
+    assert rows16.shape[0] < (1 << 24), "tri slots overflow f32-exact ids"
+    return MortonWindows(tris128=jnp.asarray(rows16.reshape(-1, 128)),
+                         win_bnd=jnp.asarray(bnd), win_rows=win_rows)
+
+
+def attach_so(mwin: MortonWindows) -> MortonWindows:
+    """Attach affine shared-origin tables (device-side, jitted)."""
+    from clpathtracer_tpu.ops.packet import so_affine_tables
+    return mwin.replace(
+        so_base=jax.jit(so_affine_tables)(mwin.quads))
+
+
+# ---------------------------------------------------------------------------
+# prepass: per-packet sorted window lists
+# ---------------------------------------------------------------------------
+
+
+def gate_lists(win_bnd, dir_g, origin, win_rows: int):
+    """For every packet (gate), the windows it must test, sorted
+    front-to-back. Returns (row0 [G, C, 8, 128] f32, ten [G, C, 8, 128]
+    f32): entry j of gate g lives at [g, j // 1024, j % 8, (j % 1024)
+    // 8]; culled/pad entries carry t_en = +inf (the tail the kernel's
+    sorted BREAK never reaches). row0 is the window's first [*, 128]
+    triangle row as an exact f32 integer.
+
+    The cull math is the slab-interval + exact corner-frustum pair from
+    ops/packet.py::_strip_masks, at gate granularity: conservative (a
+    window is kept on any uncertainty), so the kernel's results equal
+    an unculled dense sweep."""
+    G = dir_g.shape[0] // GATE
+    d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
+    o = jnp.asarray(origin, jnp.float32).reshape(3)
+    lo = [win_bnd[:, j] for j in range(3)]
+    hi = [win_bnd[:, 3 + j] for j in range(3)]
+
+    t_en = jnp.full((G, 1), -INV_BIG, jnp.float32)
+    t_ex = jnp.full((G, 1), INV_BIG, jnp.float32)
+    for ax in range(3):
+        inv = jnp.clip(1.0 / d[:, :, ax], -INV_BIG, INV_BIG)
+        il = jnp.min(inv, axis=1, keepdims=True)
+        ih = jnp.max(inv, axis=1, keepdims=True)
+        uniform = il * ih > 0.0
+        pos = il > 0.0
+        nearb = jnp.where(pos, lo[ax][None, :], hi[ax][None, :])
+        farb = jnp.where(pos, hi[ax][None, :], lo[ax][None, :])
+        near_min = jnp.minimum((nearb - o[ax]) * il, (nearb - o[ax]) * ih)
+        far_max = jnp.maximum((farb - o[ax]) * il, (farb - o[ax]) * ih)
+        t_en = jnp.maximum(t_en, jnp.where(uniform, near_min, -INV_BIG))
+        t_ex = jnp.minimum(t_ex, jnp.where(uniform, far_max, INV_BIG))
+    keep = (t_en <= t_ex) & (t_ex > 0.0)
+
+    fr = _frustum_rows(d.reshape(-1, 3), o, GATE, GH, GW)   # [G, 16]
+    for p in range(4):
+        n = [fr[:, 3 * p + j:3 * p + j + 1] for j in range(3)]
+        sup = jnp.zeros_like(t_en)
+        slack = jnp.zeros_like(t_en)
+        for ax in range(3):
+            cc = jnp.where(n[ax] > 0.0, lo[ax][None, :],
+                           hi[ax][None, :]) - o[ax]
+            sup = sup + n[ax] * cc
+            slack = slack + jnp.abs(cc)
+        keep = keep & (sup <= 1e-5 * slack)
+
+    inf = jnp.float32(jnp.inf)
+    key = jnp.where(keep, jnp.maximum(t_en, 0.0), inf)      # [G, W]
+    w = key.shape[1]
+    wpad = -w % LIST_CHUNK
+    if wpad:
+        key = jnp.concatenate(
+            [key, jnp.full((G, wpad), jnp.inf, jnp.float32)], axis=1)
+    order = jnp.argsort(key, axis=1)
+    ten = jnp.take_along_axis(key, order, axis=1)
+
+    def pack(x):  # [G, Wpad] -> [G, C, 8, 128], entry e at [e%8, e//8]
+        return x.reshape(G, -1, 128, 8).transpose(0, 1, 3, 2)
+
+    row0 = order.astype(jnp.float32) * float(win_rows)
+    return pack(row0), pack(ten)
+
+
+_gate_lists = jax.jit(gate_lists, static_argnames=("win_rows",))
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
+                  slot_ref, stats_ref, ids_smem, ten_smem, list_sem,
+                  tri_buf, tri_sem, *, so, win_rows, nchunks):
+    g = pl.program_id(0)
+    rays = _ray_rows(o_ref, d_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    n_rows = tris_ref.shape[0]
+
+    def load_chunk(c):
+        # sequential (start, wait) pairs on one semaphore: the list
+        # chunk swap happens once per 1024 windows — latency immaterial
+        ca = pltpu.make_async_copy(row0_ref.at[g, c], ids_smem, list_sem)
+        ca.start()
+        ca.wait()
+        cb = pltpu.make_async_copy(ten_ref.at[g, c], ten_smem, list_sem)
+        cb.start()
+        cb.wait()
+
+    def ent(j):
+        e = j % LIST_CHUNK
+        return (ids_smem[e % 8, e // 8].astype(jnp.int32),
+                ten_smem[e % 8, e // 8])
+
+    def start_tri(row0, par):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row0, win_rows), :],
+            tri_buf.at[par], tri_sem.at[par]).start()
+
+    def wait_tri(row0, par):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row0, win_rows), :],
+            tri_buf.at[par], tri_sem.at[par]).wait()
+
+    load_chunk(0)
+    row0_0, ten0 = ent(0)
+    tup0 = jnp.float32(BIG)
+    alive0 = ten0 <= tup0
+
+    @pl.when(alive0)
+    def _():
+        start_tri(row0_0, 0)
+
+    best_t0 = jnp.full((1, GATE), BIG, jnp.float32)
+    best_s0 = jnp.full((1, GATE), -1.0, jnp.float32)
+    w_total = nchunks * LIST_CHUNK
+
+    def body(state):
+        j, par, chunk, row0_j, alive, tup, bt, bs, ns = state
+        # prefetch decision for j+1 (made ONCE; a fetched window is
+        # always consumed, so no DMA is ever orphaned)
+        j1 = j + 1
+
+        @pl.when((j1 % LIST_CHUNK == 0) & (j1 < w_total))
+        def _():
+            load_chunk(j1 // LIST_CHUNK)
+
+        row0_1, ten1 = ent(j1)  # j1 == w_total reads entry 0 of the
+        # resident chunk: stale values, but nxt below is then False and
+        # the loop exits without touching them
+        nxt = (j1 < w_total) & (ten1 <= tup)
+
+        @pl.when(nxt)
+        def _():
+            start_tri(row0_1, 1 - par)
+
+        # consume window j
+        wait_tri(row0_j, par)
+        bt, bs = _mt_math(so)(tri_buf, par, rays, GATE, row0_j,
+                              bt, bs, act_row=None)
+        ns = ns + 1
+        tup = jax.lax.cond(ns % TUP_EVERY == 0,
+                           lambda: jnp.max(bt), lambda: tup)
+        return j1, 1 - par, j1 // LIST_CHUNK, row0_1, nxt, tup, bt, bs, ns
+
+    st = (jnp.int32(0), jnp.int32(0), jnp.int32(0), row0_0, alive0,
+          tup0, best_t0, best_s0, jnp.int32(0))
+    _, _, _, _, _, _, best_t, best_s, ns = jax.lax.while_loop(
+        lambda s: s[4], body, st)
+
+    t_ref[:] = best_t
+    slot_ref[:] = best_s
+    stats_ref[:] = jnp.where(
+        lane == 0, 0.0,
+        jnp.where(lane == 1, ns.astype(jnp.float32),
+                  jnp.where(lane == 2, jnp.float32(GATE),
+                            jnp.where(lane == 4, ns.astype(jnp.float32),
+                                      0.0))))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "so", "win_rows"))
+def _plist_call(row0, ten, tris128, orig_t, dir_t, interpret=False,
+                so=True, win_rows=16):
+    n = orig_t.shape[1]
+    grid = n // GATE
+    nchunks = row0.shape[1]
+    return pl.pallas_call(
+        functools.partial(_kernel_plist, so=so, win_rows=win_rows,
+                          nchunks=nchunks),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # row0 lists (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # ten lists (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # tri rows (HBM)
+            pl.BlockSpec((3, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((8 * grid, 128), jnp.float32),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, 128), jnp.float32),      # ids chunk
+            pltpu.SMEM((8, 128), jnp.float32),      # ten chunk
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, win_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(row0, ten, tris128, orig_t, dir_t)
+
+
+# ---------------------------------------------------------------------------
+# host entry
+# ---------------------------------------------------------------------------
+
+
+def plist_supported(mwin, n_rays: int, image_shape) -> bool:
+    if mwin is None or image_shape is None:
+        return False
+    h, w = image_shape
+    return (n_rays == h * w and h % GH == 0 and w % GW == 0
+            and _os.environ.get("CLPT_PLIST", "1") != "0")
+
+
+def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
+                   interpret: bool = None):
+    """Trace unjittered shared-origin primary rays. Same record contract
+    as traverse_packet. Requires grid_dirs-quality rays (the prepass
+    frustum hulls assume it)."""
+    from clpathtracer_tpu.ops.packet import _blockify, _unblockify
+    from clpathtracer_tpu.ops.traverse_fast import _mt_pre
+    n = orig.shape[0]
+    h, w = image_shape
+    assert n == h * w and h % GH == 0 and w % GW == 0
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    orig_b = _blockify(orig, h, w, GH, GW)
+    dir_b = _blockify(dir, h, w, GH, GW).astype(jnp.float32)
+
+    row0, ten = _gate_lists(mwin.win_bnd, dir_b, orig[0], mwin.win_rows)
+
+    so = mwin.so_base is not None and _os.environ.get("CLPT_SO", "1") != "0"
+    if so:
+        o = orig[0]
+        rows128 = (mwin.so_base[0] + o[0] * mwin.so_base[1]
+                   + o[1] * mwin.so_base[2] + o[2] * mwin.so_base[3])
+    else:
+        rows128 = mwin.tris128
+
+    out_t, out_s, tile_stats = _plist_call(
+        row0, ten, rows128, orig_b.T.astype(jnp.float32), dir_b.T,
+        interpret=interpret, so=so, win_rows=mwin.win_rows)
+
+    best_t = _unblockify(out_t[0], h, w, GH, GW)
+    best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, GH, GW)
+    hit = best_slot >= 0
+    tris16 = mwin.tris128.reshape(-1, 16)
+    slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
+    quads = mwin.quads
+    qsel = quads[slot_safe // 4].reshape(-1, 4, 16)
+    lanes = slot_safe % 4
+    sel = qsel[:, 0, :]
+    for j in range(1, 4):
+        sel = jnp.where((lanes == j)[:, None], qsel[:, j, :], sel)
+    v0s, e1s, e2s = sel[:, 0:3], sel[:, 3:6], sel[:, 6:9]
+    ok, t, u, v = _mt_pre(v0s, e1s, e2s, orig, dir)
+    tri = jnp.where(hit, sel[:, 9].astype(jnp.int32), -1)
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, BIG),
+        "tri": tri,
+        "u": jnp.where(hit, u, 0.0),
+        "v": jnp.where(hit, v, 0.0),
+        "steps": jnp.zeros((n,), jnp.int32),
+        "tile_stats": tile_stats[::8, :5],
+    }

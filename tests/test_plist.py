@@ -1,0 +1,131 @@
+"""plist (prepass-list) engine: walk-free sorted-window streaming.
+
+Parity contract: identical hit/t to the wavefront reference on both
+bench scene shapes; tri ids may differ only at exact-t ties (documented
+freedom shared by all packet engines). The reference behavior matched is
+the per-ray nearest-hit semantics of /root/reference/src/kernel.cl:
+323-389 — the engine itself has no reference counterpart (the prepass+
+sorted-stream split is the TPU-shaped replacement for per-ray control
+flow)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clpathtracer_tpu.accel.sah import build_kd_tree
+from clpathtracer_tpu.core.camera import Camera, cam_matrix, generate_rays
+from clpathtracer_tpu.ops import plist as pls
+from clpathtracer_tpu.ops.traverse_fast import traverse_fast
+from clpathtracer_tpu.scene.procedural import random_tri_soup, terrain_mesh
+
+
+def _scene(kind):
+    if kind == "terrain":
+        scene = terrain_mesh(30_000, seed=0, extent=10.0)
+        cam = Camera.create(position=[0.0, 14.0, 0.0],
+                            forward=[0.0, -1.0, 0.01])
+    else:
+        scene = random_tri_soup(20_000, seed=11, extent=10.0,
+                                tri_size=0.05)
+        cam = Camera.create(position=[0.0, 0.0, -25.0],
+                            forward=[0.0, 0.0, 1.0])
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    orig, dirs = generate_rays(cam_matrix(cam, 64), 64, 64)
+    return tv, orig, dirs
+
+
+def _assert_parity(rec, ref):
+    h_p, h_r = np.asarray(rec["hit"]), np.asarray(ref["hit"])
+    np.testing.assert_array_equal(h_p, h_r)
+    both = h_p & h_r
+    np.testing.assert_allclose(np.asarray(rec["t"])[both],
+                               np.asarray(ref["t"])[both],
+                               rtol=1e-5, atol=1e-6)
+    # winners may differ only at exact ties: where tris disagree, the
+    # ts must still match (checked above) — additionally require >95%
+    # agreement so a systematic slot bug cannot hide behind "ties"
+    tri_eq = (np.asarray(rec["tri"])[both]
+              == np.asarray(ref["tri"])[both]).mean()
+    assert tri_eq > 0.95, tri_eq
+
+
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+@pytest.mark.parametrize("win_rows", [16, 8])
+def test_plist_parity_vs_wavefront(kind, win_rows):
+    tv, orig, dirs = _scene(kind)
+    mwin = pls.build_morton_windows(tv, win_rows=win_rows)
+    assert mwin.num_windows * win_rows * 8 >= tv.shape[0]
+    tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    ref = traverse_fast(tree, tree.quads, orig, dirs)
+    _assert_parity(rec, ref)
+
+
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+def test_plist_so_affine_parity(kind):
+    """Shared-origin affine tables: same hits as the general quad path
+    (edge-grazing flip budget as the stream engine's SO tests)."""
+    tv, orig, dirs = _scene(kind)
+    mwin = pls.build_morton_windows(tv)
+    rec_gen = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    mso = pls.attach_so(mwin)
+    assert mso.so_base is not None
+    rec_so = pls.traverse_plist(mso, orig, dirs, (64, 64))
+    h_g = np.asarray(rec_gen["hit"])
+    h_s = np.asarray(rec_so["hit"])
+    assert (h_g != h_s).mean() < 2e-3
+    both = h_g & h_s
+    np.testing.assert_allclose(np.asarray(rec_gen["t"])[both],
+                               np.asarray(rec_so["t"])[both],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_plist_sorted_break_is_conservative():
+    """The early break must never drop a real hit: compare against the
+    same engine with the break disabled (t_upper pinned at BIG via
+    cadence larger than any list)."""
+    tv, orig, dirs = _scene("terrain")
+    mwin = pls.build_morton_windows(tv)
+    import clpathtracer_tpu.ops.plist as mod
+    old = mod.TUP_EVERY
+    try:
+        rec = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+        mod.TUP_EVERY = 10 ** 9  # never refresh -> no break, full sweep
+        full = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    finally:
+        mod.TUP_EVERY = old
+    np.testing.assert_array_equal(np.asarray(rec["hit"]),
+                                  np.asarray(full["hit"]))
+    h = np.asarray(rec["hit"])
+    np.testing.assert_array_equal(np.asarray(rec["t"])[h],
+                                  np.asarray(full["t"])[h])
+    # ...and the break must actually cut work on an occluded scene
+    assert (np.asarray(rec["tile_stats"])[:, 1].sum()
+            <= np.asarray(full["tile_stats"])[:, 1].sum())
+
+
+def test_plist_empty_gates():
+    """Gates whose frustum misses the whole scene stream nothing and
+    report misses (the all-inf list head must not start a DMA)."""
+    tv, _, _ = _scene("terrain")
+    mwin = pls.build_morton_windows(tv)
+    cam = Camera.create(position=[0.0, 14.0, 0.0], forward=[0.0, 1.0, 0.01])
+    orig, dirs = generate_rays(cam_matrix(cam, 64), 64, 64)  # sky-facing
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    assert not np.asarray(rec["hit"]).any()
+    assert np.asarray(rec["tile_stats"])[:, 1].sum() == 0
+
+
+def test_plist_multi_chunk_lists():
+    """Lists longer than one 1024-entry chunk cross the chunk boundary
+    correctly (tiny windows force thousands of windows)."""
+    tv, orig, dirs = _scene("soup")
+    mwin = pls.build_morton_windows(tv, win_rows=1)  # 8-tri windows
+    assert mwin.num_windows > pls.LIST_CHUNK
+    tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    ref = traverse_fast(tree, tree.quads, orig, dirs)
+    _assert_parity(rec, ref)
