@@ -195,3 +195,94 @@ class TestPacketForwardGrad:
         wf = np.asarray(g_wf).reshape(-1, 2, 3).sum(axis=1)
         pk = np.asarray(g_pk).reshape(-1, 2, 3).sum(axis=1)
         np.testing.assert_allclose(wf, pk, rtol=1e-4, atol=1e-5)
+
+
+class TestSilhouetteGrad:
+    """Edge-aware gradients (diff/edges.py): the case diff/grad.py scopes
+    out. An occluder quad floats in front of a backdrop; the loss crop
+    STRADDLES the occluder's silhouette, and the occluder moves along z
+    (toward/away from the camera) — with normals-as-color shading the
+    interior gradient is exactly zero, so ALL signal is the silhouette
+    sweeping across pixels. jax.grad of the edge-aware render must match
+    FD within 10% (VERDICT r2 #6); the detached-only renderer's gradient
+    is ~0 on the same loss."""
+
+    def _scene(self, dz):
+        from clpathtracer_tpu.scene.scene import Scene
+        # backdrop: big quad at z=2 tilted so its normal differs from the
+        # occluder's (normal-color contrast across the silhouette)
+        verts = jnp.asarray([
+            # backdrop (tilted 30 deg about x)
+            [-4.0, -4.0, 2.0], [4.0, -4.0, 2.0],
+            [4.0, 4.0, 3.0], [-4.0, 4.0, 3.0],
+            # occluder quad, centered, at z = 1 + dz
+            [-0.35, -0.35, 1.0], [0.35, -0.35, 1.0],
+            [0.35, 0.35, 1.0], [-0.35, 0.35, 1.0],
+        ], jnp.float32)
+        verts = verts.at[4:, 2].add(dz)
+        from clpathtracer_tpu.scene.procedural import _quad
+        # wound so the geometric normal faces the camera (-z): the
+        # Moller-Trumbore det>0 cull drops back-facing triangles
+        faces = _quad(3, 2, 1, 0) + _quad(7, 6, 5, 4)
+        # explicit shading normals with CONTRAST across the silhouette
+        # (without normals the scene shades constant gray and the image
+        # carries no edge signal at all)
+        normals = jnp.asarray([[0.0, 0.124, -0.992],   # backdrop
+                               [0.0, 0.0, -1.0]],      # occluder
+                              jnp.float32)
+        f = jnp.asarray(
+            [[[i, 0 if k < 2 else 1, 0] for i in tri]
+             for k, tri in enumerate(faces)], jnp.int32)
+        return Scene.create(verts, f, normals=normals)
+
+    def test_occluder_depth_grad_matches_fd(self):
+        from clpathtracer_tpu.diff.edges import render_edgeaware
+        opts = RenderOptions(width=32, height=32, mode="normal",
+                             use_tree=False, background=1.0)
+        cam = Camera.create(position=[0.0, 0.0, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+
+        def loss_fn(dz):
+            img = render_edgeaware(self._scene(dz), cam, opts)
+            # crop straddling the occluder's RIGHT silhouette edge
+            return jnp.mean(img[8:24, 12:28, :])
+
+        g = float(jax.grad(loss_fn)(jnp.float32(0.0)))
+        # FD step sized to sweep the silhouette a fraction of a pixel
+        # (inside the blend band, where the smoothed renderer is linear;
+        # measured: rel-err < 1% for eps in [2e-3, 2e-2])
+        eps = 1e-2
+        fd = (float(loss_fn(jnp.float32(eps)))
+              - float(loss_fn(jnp.float32(-eps)))) / (2 * eps)
+        assert np.isfinite(g) and abs(fd) > 1e-4, (g, fd)
+        assert abs(g - fd) <= 0.10 * abs(fd), (g, fd)
+
+        # the detached-topology renderer has (near-)zero gradient on the
+        # same loss — the gap this estimator exists to close
+        opts_d = RenderOptions(width=32, height=32, mode="normal",
+                               use_tree=False, differentiable=True,
+                               background=1.0)
+
+        def loss_plain(dz):
+            img = render_image(self._scene(dz), cam, opts_d)
+            return jnp.mean(img[8:24, 12:28, :])
+
+        g_plain = float(jax.grad(loss_plain)(jnp.float32(0.0)))
+        assert abs(g_plain) < 0.05 * abs(fd), (g_plain, fd)
+
+    def test_edgeaware_matches_hard_render_away_from_edges(self):
+        """Outside the one-pixel blend band the edge-aware image equals
+        the plain render bit-for-bit wherever alpha saturates."""
+        from clpathtracer_tpu.diff.edges import render_edgeaware
+        opts = RenderOptions(width=32, height=32, mode="normal",
+                             use_tree=False, background=1.0)
+        cam = Camera.create(position=[0.0, 0.0, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+        scene = self._scene(0.0)
+        a = np.asarray(render_edgeaware(scene, cam, opts))
+        b = np.asarray(render_image(scene, cam, opts))
+        # interior of the occluder (away from its edges): identical
+        np.testing.assert_allclose(a[14:18, 14:18], b[14:18, 14:18],
+                                   atol=1e-6)
+        # and the images agree everywhere within the band's reach
+        assert (np.abs(a - b) > 1e-6).mean() < 0.30
