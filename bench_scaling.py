@@ -2,10 +2,22 @@
 
 Runs on the SIMULATED n-device CPU mesh (the only multi-chip this image
 has — see CLAUDE.md). Simulated devices execute on separate host threads,
-so up to the physical core count t1/tn is genuine parallel speedup; past
-that it measures distribution overhead (collectives, resharding,
-shard_map plumbing — real XLA work). Values can exceed n/cores when
-smaller per-shard wavefronts also converge faster (wind-down compaction).
+so up to the PHYSICAL CORE COUNT t1/tn is genuine parallel speedup; past
+that the wall clock measures oversubscription, not distribution quality
+(VERDICT r2 #7: the 8-device numbers on a 4-core host previously read
+as "distribution doesn't work"). Every record therefore carries
+physical_cores and a valid_parallel_speedup flag, plus the evidence that
+IS meaningful on simulated devices:
+
+  * work_balance — max/mean per-shard traversal work (per-ray step
+    counts summed over each row block): the quantity that actually
+    bounds multi-chip efficiency for the rows sharding,
+  * collectives — an op census of the COMPILED sharded HLO (op kind,
+    count, bytes): rows-sharded rendering should be collective-free in
+    the forward pass; the train step's gradient all-reduce shows up
+    here with its real payload,
+  * checksum_parity — the n-device sharded-packet image is bit-compared
+    to the single-device render.
 
 Emits one JSON line per measurement:
   * GSPMD wavefront renderer, rows-sharded, n = 1..8
@@ -65,6 +77,7 @@ def main():
 
     devices = jax.devices()
     assert len(devices) >= 8, devices
+    cores = os.cpu_count() or 1
     scene = random_tri_soup(ntris, seed=0, extent=10.0,
                             tri_size=0.01).bake_shading()
     v0, v1, v2 = scene.tri_verts()
@@ -82,6 +95,46 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
+    import re
+
+    _DTYPE_BYTES = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+                    "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+
+    def collective_census(compiled_text):
+        """Count collective ops and payload bytes in compiled HLO."""
+        census = {}
+        for kind in ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective-permute", "all-to-all"):
+            n_ops = 0
+            n_bytes = 0
+            for m in re.finditer(
+                    rf"= *\(?([a-z0-9]+)\[([0-9,]*)\][^=]*? {kind}\(",
+                    compiled_text):
+                n_ops += 1
+                dt, shape = m.group(1), m.group(2)
+                elems = 1
+                for d in shape.split(","):
+                    if d:
+                        elems *= int(d)
+                n_bytes += elems * _DTYPE_BYTES.get(dt, 4)
+            if n_ops:
+                census[kind] = {"ops": n_ops, "bytes": n_bytes}
+        return census or {"none": True}
+
+    def work_balance(n_shards):
+        """max/mean per-row-block traversal work (per-ray step counts
+        from the wavefront engine on one device)."""
+        from clpathtracer_tpu.core.camera import cam_matrix, generate_rays
+        from clpathtracer_tpu.ops.traverse_fast import (
+            pack_quads, traverse_fast)
+        ci = cam_matrix(cam, res)
+        orig, dirs = generate_rays(ci, res, res)
+        quads = tree.quads
+        rec = traverse_fast(tree, quads, orig, dirs, compact=False)
+        steps = np.asarray(rec["steps"], np.float64).reshape(res, res)
+        per = steps.reshape(n_shards, -1).sum(axis=1)
+        return float(per.max() / max(per.mean(), 1e-9))
+
     # --- 1) GSPMD wavefront renderer, rows axis = n ---
     base = {}
     for n in (1, 2, 4, 8):
@@ -96,9 +149,18 @@ def main():
         t = timeit(lambda: render(sc, cm, tr, None), reps)
         base.setdefault("wavefront", t if n == 1 else base["wavefront"])
         eff = base["wavefront"] / t
+        try:
+            census = collective_census(
+                render.lower(sc, cm, tr, None).compile().as_text())
+        except Exception as e:  # census must never sink the bench
+            census = {"error": str(e)[:80]}
         emit(f"sim-mesh speedup, GSPMD wavefront, {n} devices", eff,
-             "t1/tn", {"frame_s": t})
-        log(f"# wavefront n={n}: {t:.3f}s eff={eff:.2f}")
+             "t1/tn", {"frame_s": t, "physical_cores": cores,
+                       "valid_parallel_speedup": n <= cores,
+                       "work_balance_max_over_mean": work_balance(n),
+                       "collectives": census})
+        log(f"# wavefront n={n}: {t:.3f}s eff={eff:.2f} "
+            f"(cores={cores}) collectives={census}")
 
     # --- 2) shard_map packet renderer ---
     for n in (1, 2, 4, 8):
@@ -113,8 +175,21 @@ def main():
         t = timeit(lambda: render(sc, cm, tr, None), reps)
         base.setdefault("packet", t if n == 1 else base["packet"])
         eff = base["packet"] / t
+        detail = {"frame_s": t, "physical_cores": cores,
+                  "valid_parallel_speedup": n <= cores,
+                  "work_balance_max_over_mean": work_balance(n)}
+        if n == 8:
+            # checksum parity: the 8-way sharded-packet frame must match
+            # the single-device packet render bit-for-bit (deterministic
+            # normal mode)
+            opts1 = RenderOptions(width=res, height=res, mode="normal",
+                                  intersector="packet", packet_tile=1024)
+            ref = np.asarray(render_image(scene, cam, opts1, tree=tree))
+            img = np.asarray(render(sc, cm, tr, None))
+            detail["checksum_parity"] = bool((ref == img).all())
+            detail["checksum"] = float(img.sum())
         emit(f"sim-mesh speedup, shard_map packet, {n} devices", eff,
-             "t1/tn", {"frame_s": t})
+             "t1/tn", detail)
         log(f"# packet n={n}: {t:.3f}s eff={eff:.2f}")
 
     # --- 3) treelet ppermute ring (scene axis = n/2, rows = 2) ---
@@ -152,9 +227,16 @@ def main():
     cm = jax.device_put(cam, repl)
     t_fwd = timeit(lambda: fwd_render(sc, cm, tr, None), reps)
     t_step = timeit(lambda: step(state, cam, target, key)[1], reps)
+    try:
+        lowerable = step if hasattr(step, "lower") else jax.jit(step)
+        census = collective_census(
+            lowerable.lower(state, cam, target, key).compile().as_text())
+    except Exception as e:
+        census = {"error": str(e)[:80]}
     emit("backward/forward wall ratio, 8-device train step",
          t_step / t_fwd, "x",
-         {"forward_s": t_fwd, "train_step_s": t_step})
+         {"forward_s": t_fwd, "train_step_s": t_step,
+          "physical_cores": cores, "collectives": census})
     log(f"# fwd {t_fwd:.3f}s, step {t_step:.3f}s, "
         f"ratio {t_step/t_fwd:.2f}")
 

@@ -81,6 +81,10 @@ class FlatKdTree:
     #   tables (ops/packet.py::so_affine_tables); attach_so_tables adds
     #   them so the packet engines' per-frame SO row preparation is one
     #   fused elementwise combine instead of a full cross-product pass
+    mwin: "object" = None  # optional ops/plist.py::MortonWindows — the
+    #   walk-free prepass-list engine's global-Morton window structure;
+    #   attach_morton_windows adds it, and the integrator prefers it for
+    #   unjittered shared-origin primary frames
     max_leaf_tris: int = struct.field(pytree_node=False, default=None)
     #   static: the largest leaf's triangle count, known at build/load
     #   time. The SMEM node layout packs a leaf's DMA-window count in 6
@@ -653,3 +657,26 @@ def attach_so_tables(tree: FlatKdTree) -> FlatKdTree:
     import jax
     from clpathtracer_tpu.ops.packet import so_affine_tables
     return tree.replace(so_base=jax.jit(so_affine_tables)(tree.quads))
+
+
+def attach_morton_windows(tree: FlatKdTree, tri_verts: np.ndarray,
+                          win_rows: int = None,
+                          with_so: bool = False) -> FlatKdTree:
+    """Attach the plist engine's global-Morton window structure
+    (ops/plist.py). Host-side numpy build like the kd build itself;
+    with_so additionally bakes the affine shared-origin tables ON the
+    current device (call after device_put, like attach_so_tables).
+    Adds ~1x (plus 4x with SO tables) of the quad bytes."""
+    from clpathtracer_tpu.ops.plist import attach_so, build_morton_windows
+    mwin = build_morton_windows(np.asarray(tri_verts, np.float32),
+                                win_rows=win_rows)
+    if with_so:
+        import jax
+        dev = None
+        if tree.quads is not None:
+            devs = getattr(tree.quads, "devices", lambda: None)()
+            dev = next(iter(devs)) if devs else None
+        if dev is not None:
+            mwin = jax.device_put(mwin, dev)
+        mwin = attach_so(mwin)
+    return tree.replace(mwin=mwin)

@@ -390,16 +390,25 @@ def so_affine_tables(quads: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
-                      best_s, act_row=None):
+                      best_s, act_row=None, row_ids=None, merge=True):
     """Dense shared-origin signed-volume test of the CHUNK_ROWS*8 tris in
     tri_buf[buf_slot] (rows from so_rows) — the SO twin of _mt_chunk_math.
     Ray origins are ignored (folded into the baked rows); only directions
     enter. ~35 [CR, tile] vector ops per group vs the general path's ~52:
-    no per-pair crosses, no u/v (winners re-resolve u/v outside)."""
-    _, _, _, dx, dy, dz = rays
+    no per-pair crosses, no u/v (winners re-resolve u/v outside).
+
+    row_ids: optional [n_rows, 1] f32 of ABSOLUTE quad-row ids, replacing
+    the contiguous chunk_row0 + iota numbering — the sub-gate plist
+    kernel packs rows from FOUR different windows into one buffer.
+    merge=False returns the raw [n_rows, tile] (t_acc, s_acc)
+    accumulators for a caller-side (e.g. per-sub-gate) reduction."""
+    dxyz = rays if len(rays) == 3 else rays[3:6]
+    dx, dy, dz = dxyz
     n_rows = tri_buf.shape[1]  # CHUNK_ROWS, or the plist engine's win_rows
-    sub_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (n_rows, 1), 0).astype(jnp.float32)
+    if row_ids is None:
+        sub_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_rows, 1), 0).astype(jnp.float32)
+        row_ids = chunk_row0 * 1.0 + sub_iota
     t_acc = jnp.full((n_rows, tile), BIG, jnp.float32)
     s_acc = jnp.full((n_rows, tile), -1.0, jnp.float32)
     for i in range(8):  # 8 interleaved groups of n_rows tris
@@ -421,10 +430,12 @@ def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
         if act_row is not None:
             ok = ok & (act_row > 0.0)  # dead lanes never take hits
         t_m = jnp.where(ok, tt, BIG)
-        slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)  # [CR, 1]
+        slot = row_ids * 8.0 + i  # [CR, 1]
         take = t_m <= t_acc
         t_acc = jnp.where(take, t_m, t_acc)
         s_acc = jnp.where(take, slot, s_acc)
+    if not merge:
+        return t_acc, s_acc
     chunk_t = jnp.min(t_acc, axis=0, keepdims=True)       # [1, tile]
     slot_cand = jnp.where(t_acc == chunk_t, s_acc, BIG)
     chunk_s = jnp.min(slot_cand, axis=0, keepdims=True)
@@ -435,7 +446,8 @@ def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
 
 
 def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
-                   best_s, act_row=None, compute_dtype=jnp.float32):
+                   best_s, act_row=None, compute_dtype=jnp.float32,
+                   row_ids=None, merge=True):
     """Dense MT of the CHUNK_ROWS*8 tris already resident in
     tri_buf[buf_slot] against `rays` ([1, tile] SoA rows) — the math half
     of mt_chunk, no DMA wait (callers that share one DMA across
@@ -451,8 +463,10 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
     ox, oy, oz, dx, dy, dz = (
         tuple(r.astype(compute_dtype) for r in rays) if bf else rays)
     n_rows = tri_buf.shape[1]  # CHUNK_ROWS, or the plist engine's win_rows
-    sub_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (n_rows, 1), 0).astype(jnp.float32)
+    if row_ids is None:
+        sub_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_rows, 1), 0).astype(jnp.float32)
+        row_ids = chunk_row0 * 1.0 + sub_iota
     miss_val = 3.0e38 if bf else BIG  # bf16 max finite is ~3.39e38
     # [CR, tile] accumulators across the 8 groups: 3 elementwise ops per
     # group instead of a 2-reduction winner merge (~16) — one argmin per
@@ -495,7 +509,7 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
         t_m = t_m.astype(jnp.float32)
         if bf:
             t_m = jnp.where(t_m >= miss_val, BIG, t_m)
-        slot = ((chunk_row0 * 1.0 + sub_iota) * 8.0 + i)  # [CR, 1]
+        slot = row_ids * 8.0 + i  # [CR, 1]
         if merge_old:
             grp_min = jnp.min(t_m, axis=0, keepdims=True)
             slot_cand = jnp.where(t_m == grp_min, slot, BIG)
@@ -507,6 +521,8 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
             take = t_m <= t_acc
             t_acc = jnp.where(take, t_m, t_acc)
             s_acc = jnp.where(take, slot, s_acc)
+    if not merge:
+        return t_acc, s_acc
     if not merge_old:
         chunk_t = jnp.min(t_acc, axis=0, keepdims=True)   # [1, tile]
         slot_cand = jnp.where(t_acc == chunk_t, s_acc, BIG)

@@ -64,7 +64,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from clpathtracer_tpu.ops.packet import (
-    BIG, INV_BIG, _frustum_rows, _mt_math, _pad_rows8, _ray_rows, so_rows)
+    BIG, INV_BIG, _frustum_rows, _mt_chunk_math, _mt_chunk_math_so,
+    _mt_math, _pad_rows8, _ray_rows, so_rows)
 
 GATE = 512                    # rays per packet: 16x32 pixel block
 GH, GW = 16, 32
@@ -200,13 +201,17 @@ def gate_lists(win_bnd, dir_g, origin, win_rows: int):
     if wpad:
         key = jnp.concatenate(
             [key, jnp.full((G, wpad), jnp.inf, jnp.float32)], axis=1)
-    order = jnp.argsort(key, axis=1)
-    ten = jnp.take_along_axis(key, order, axis=1)
+    # ONE key+payload sort: argsort + take_along_axis costs 46 ms/frame
+    # on this chip (4.2M per-lane gathers — the known TPU poison) where
+    # the fused variadic sort costs 2.3 ms (probes/probe_plist_prepass)
+    payload = jnp.broadcast_to(
+        jnp.arange(key.shape[1], dtype=jnp.float32)[None] * float(win_rows),
+        key.shape)
+    ten, row0 = jax.lax.sort((key, payload), dimension=1, num_keys=1)
 
     def pack(x):  # [G, Wpad] -> [G, C, 8, 128], entry e at [e%8, e//8]
         return x.reshape(G, -1, 128, 8).transpose(0, 1, 3, 2)
 
-    row0 = order.astype(jnp.float32) * float(win_rows)
     return pack(row0), pack(ten)
 
 
@@ -417,3 +422,404 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
         "steps": jnp.zeros((n,), jnp.int32),
         "tile_stats": tile_stats[::8, :5],
     }
+
+
+# ---------------------------------------------------------------------------
+# sub-gate variant: 4 independent 128-ray packets per program
+#
+# At 512 rays per packet the sorted stream already reaches the geometric
+# ideal (10M-tri probe: streams/gate == the footprint's window count), so
+# the remaining redundancy is the FOOTPRINT itself: a 16x32-px packet
+# tests ~4x the windows a ray needs. 128-ray packets shrink the footprint
+# 4x, but [CR, 128] dense math collapses to ~15G tests/s (round-2 ALU-
+# latency dead end). The fix: pack FOUR 128-ray sub-gates along the
+# SUBLANE axis — tri rows of four DIFFERENT windows stacked as
+# [4*win_rows, 128], each row block tested against its own sub-gate's
+# direction rows — so every vector op is [64, 128] (8 native ops, full
+# pipeline) while each sub-gate streams only ITS windows. Sub-gates keep
+# independent cursors into the shared per-super-gate sorted list (4-bit
+# need masks packed into the sort payload), independent t_uppers, and an
+# idle sub-gate simply re-tests its last window (idempotent: re-testing
+# cannot change a min) until the others finish.
+# ---------------------------------------------------------------------------
+
+SUB = 4
+SBH, SBW = 8, 16                 # sub-gate pixel block (128 rays)
+
+
+def gate_lists4(win_bnd, dir_g, origin, win_rows: int):
+    """Per-super-gate sorted lists with per-sub-gate need bits.
+
+    dir_g: strip-blocked directions — each consecutive 128 lanes is one
+    8x16-px sub-gate, each consecutive 512 one super-gate. Returns
+    (key [G, 8, Wc], pay [G, 8, Wc]) f32, entry j at [j % 8, j // 8]:
+    key = min over needing sub-gates of the conservative entry distance
+    (+inf when none needs it — the sorted tail), pay = window_id * 16 +
+    need bits (f32-exact for windows < 2^20)."""
+    g4 = dir_g.shape[0] // (SUB * GATE // SUB)          # = n sub-gates
+    d = dir_g.reshape(-1, GATE // SUB, 3).astype(jnp.float32)
+    o = jnp.asarray(origin, jnp.float32).reshape(3)
+    lo = [win_bnd[:, j] for j in range(3)]
+    hi = [win_bnd[:, 3 + j] for j in range(3)]
+
+    t_en = jnp.full((d.shape[0], 1), -INV_BIG, jnp.float32)
+    t_ex = jnp.full((d.shape[0], 1), INV_BIG, jnp.float32)
+    for ax in range(3):
+        inv = jnp.clip(1.0 / d[:, :, ax], -INV_BIG, INV_BIG)
+        il = jnp.min(inv, axis=1, keepdims=True)
+        ih = jnp.max(inv, axis=1, keepdims=True)
+        uniform = il * ih > 0.0
+        pos = il > 0.0
+        nearb = jnp.where(pos, lo[ax][None, :], hi[ax][None, :])
+        farb = jnp.where(pos, hi[ax][None, :], lo[ax][None, :])
+        near_min = jnp.minimum((nearb - o[ax]) * il, (nearb - o[ax]) * ih)
+        far_max = jnp.maximum((farb - o[ax]) * il, (farb - o[ax]) * ih)
+        t_en = jnp.maximum(t_en, jnp.where(uniform, near_min, -INV_BIG))
+        t_ex = jnp.minimum(t_ex, jnp.where(uniform, far_max, INV_BIG))
+    keep = (t_en <= t_ex) & (t_ex > 0.0)
+
+    fr = _frustum_rows(d.reshape(-1, 3), o, GATE // SUB, SBH, SBW)
+    for p in range(4):
+        n = [fr[:, 3 * p + j:3 * p + j + 1] for j in range(3)]
+        sup = jnp.zeros_like(t_en)
+        slack = jnp.zeros_like(t_en)
+        for ax in range(3):
+            cc = jnp.where(n[ax] > 0.0, lo[ax][None, :],
+                           hi[ax][None, :]) - o[ax]
+            sup = sup + n[ax] * cc
+            slack = slack + jnp.abs(cc)
+        keep = keep & (sup <= 1e-5 * slack)
+
+    w = keep.shape[1]
+    inf = jnp.float32(jnp.inf)
+    ten_s = jnp.where(keep, jnp.maximum(t_en, 0.0), inf)
+    g = d.shape[0] // SUB
+    ten_g = ten_s.reshape(g, SUB, w)
+    bits_g = keep.reshape(g, SUB, w)
+    key = jnp.min(ten_g, axis=1)                       # [G, W]
+    bits = jnp.zeros((g, w), jnp.int32)
+    for s in range(SUB):
+        bits = bits | (bits_g[:, s].astype(jnp.int32) << s)
+
+    ids = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.float32)[None] * 16.0, key.shape)
+    pay = ids + bits.astype(jnp.float32)
+    wpad = -w % LIST_CHUNK
+    if wpad:
+        key = jnp.concatenate(
+            [key, jnp.full((g, wpad), jnp.inf, jnp.float32)], axis=1)
+        pay = jnp.concatenate(
+            [pay, jnp.zeros((g, wpad), jnp.float32)], axis=1)
+    key, pay = jax.lax.sort((key, pay), dimension=1, num_keys=1)
+
+    def pack(x):  # [G, Wpad] -> [G, 8, Wpad/8], entry j at [j%8, j//8]
+        return x.reshape(g, -1, 8).transpose(0, 2, 1)
+
+    return pack(key), pack(pay)
+
+
+_gate_lists4 = jax.jit(gate_lists4, static_argnames=("win_rows",))
+
+TUP4_EVERY = max(int(_os.environ.get("CLPT_PLIST4_TUP", "1")), 1)
+
+
+def _kernel_plist4(key_ref, pay_ref, tris_ref, o_ref, d_ref, t_ref,
+                   slot_ref, stats_ref, key_smem, pay_smem, list_sem,
+                   tri_buf, tri_sem, *, so, win_rows, w_total):
+    g = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    wr = win_rows
+    rows = SUB * wr
+
+    # whole sorted list resident in SMEM (key + payload)
+    ka = pltpu.make_async_copy(key_ref.at[g], key_smem, list_sem)
+    ka.start()
+    ka.wait()
+    kb = pltpu.make_async_copy(pay_ref.at[g], pay_smem, list_sem)
+    kb.start()
+    kb.wait()
+
+    def key_at(j):
+        j = jnp.minimum(j, w_total - 1)
+        return key_smem[j % 8, j // 8]
+
+    def pay_at(j):
+        j = jnp.minimum(j, w_total - 1)
+        v = pay_smem[j % 8, j // 8].astype(jnp.int32)
+        return v >> 4, v & 15          # window id, need bits
+
+    # per-sub-gate direction rows, broadcast to this kernel's [rows,128]
+    # dense shape (built once; rows s*wr..(s+1)*wr test sub-gate s)
+    def dir_rows(axis):
+        parts = []
+        for s in range(SUB):
+            dsl = d_ref[axis:axis + 1, 128 * s:128 * (s + 1)]
+            parts.append(jnp.broadcast_to(dsl, (wr, 128)))
+        return jnp.concatenate(parts, axis=0)
+
+    rays = (None, None, None, dir_rows(0), dir_rows(1), dir_rows(2))
+
+    def scan(j, tup_s, sbit):
+        """First list index >= j needed by sub-gate s with key <= its
+        t_upper; w_total when the sub-gate is done (sorted keys: the
+        first key > tup_s ends it for good)."""
+        def cond(i):
+            _, bits = pay_at(i)
+            return ((i < w_total) & (key_at(i) <= tup_s)
+                    & ((bits & sbit) == 0))
+        i = jax.lax.while_loop(cond, lambda i: i + 1, j)
+        done = (i >= w_total) | (key_at(i) > tup_s)
+        return jnp.where(done, w_total, i)
+
+    def start_tri(row0, s, par):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row0, wr), :],
+            tri_buf.at[par, pl.ds(s * wr, wr)],
+            tri_sem.at[par, s]).start()
+
+    def wait_tri(row0, s, par):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row0, wr), :],
+            tri_buf.at[par, pl.ds(s * wr, wr)],
+            tri_sem.at[par, s]).wait()
+
+    big_t = jnp.float32(BIG)
+    # init cursors: first needed window per sub-gate. DMAs are issued
+    # UNCONDITIONALLY for every slot every iteration (a finished or
+    # never-active slot refetches a window it already consumed / a
+    # window its frustum provably misses — idempotent for the min
+    # accumulator and hit-free respectively), which keeps the
+    # started/waited pairing trivially exact and the buffer always
+    # consistent with the carried row ids.
+    js, row0s, alive = [], [], []
+    for s in range(SUB):
+        j0 = scan(jnp.int32(0), big_t, 1 << s)
+        a0 = j0 < w_total
+        wid0, _ = pay_at(j0)
+        r0 = jnp.where(a0, wid0 * wr, 0)
+        js.append(j0)
+        row0s.append(r0)
+        alive.append(a0)
+        start_tri(r0, s, 0)
+
+    iota_wr = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+
+    def row_ids_of(r0s):
+        return jnp.concatenate(
+            [(r + iota_wr).astype(jnp.float32) for r in r0s], axis=0)
+
+    t_acc0 = jnp.full((rows, 128), BIG, jnp.float32)
+    s_acc0 = jnp.full((rows, 128), -1.0, jnp.float32)
+
+    def sub_best(t_acc, s):
+        return jnp.min(t_acc[s * wr:(s + 1) * wr], axis=0, keepdims=True)
+
+    def body(state):
+        (j0, j1, j2, j3, r0, r1, r2, r3, a0, a1, a2, a3,
+         tu0, tu1, tu2, tu3, par, t_acc, s_acc, ns) = state
+        js = [j0, j1, j2, j3]
+        r0s = [r0, r1, r2, r3]
+        al = [a0, a1, a2, a3]
+        tus = [tu0, tu1, tu2, tu3]
+
+        # prefetch each live sub-gate's NEXT window; finished slots
+        # refetch their current one (idempotent), so every slot issues
+        # exactly one DMA per iteration and waits exactly one
+        njs, nr0s, nal = [], [], []
+        for s in range(SUB):
+            jn = scan(js[s] + 1, tus[s], 1 << s)
+            an = al[s] & (jn < w_total)
+            widn, _ = pay_at(jn)
+            rn = jnp.where(an, widn * wr, r0s[s])
+            start_tri(rn, s, 1 - par)
+            njs.append(jnp.where(al[s], jn, js[s]))
+            nr0s.append(rn)
+            nal.append(an)
+
+        # consume the current windows
+        for s in range(SUB):
+            wait_tri(r0s[s], s, par)
+
+        t_acc, s_acc = _mt_chunk_math_so(
+            tri_buf, par, rays, 128, None, None, None,
+            row_ids=row_ids_of(r0s), merge=False) if so else \
+            _mt_chunk_math(tri_buf, par, _general_rays4(o_ref, d_ref, wr),
+                           128, None, None, None,
+                           row_ids=row_ids_of(r0s), merge=False)
+        ta, sa = state[17], state[18]
+        take = t_acc <= ta
+        t_acc = jnp.where(take, t_acc, ta)
+        s_acc = jnp.where(take, s_acc, sa)
+
+        ntus = list(tus)
+        do_ref = (ns % TUP4_EVERY) == (TUP4_EVERY - 1)
+        for s in range(SUB):
+            ntus[s] = jax.lax.cond(
+                do_ref & al[s],
+                lambda s=s, t=t_acc: jnp.max(sub_best(t, s)),
+                lambda s=s: tus[s])
+
+        return (njs[0], njs[1], njs[2], njs[3],
+                nr0s[0], nr0s[1], nr0s[2], nr0s[3],
+                nal[0], nal[1], nal[2], nal[3],
+                ntus[0], ntus[1], ntus[2], ntus[3],
+                1 - par, t_acc, s_acc, ns + 1)
+
+    state = (js[0], js[1], js[2], js[3],
+             row0s[0], row0s[1], row0s[2], row0s[3],
+             alive[0], alive[1], alive[2], alive[3],
+             big_t, big_t, big_t, big_t,
+             jnp.int32(0), t_acc0, s_acc0, jnp.int32(0))
+    state = jax.lax.while_loop(
+        lambda st: st[8] | st[9] | st[10] | st[11], body, state)
+    t_acc, s_acc, ns = state[17], state[18], state[19]
+    # drain: the final iteration prefetched one window per slot into
+    # 1-par that the loop exit never consumed — wait them (discard)
+    final_par = state[16]
+    for s in range(SUB):
+        wait_tri(state[4 + s], s, final_par)
+
+    bt_parts, bs_parts = [], []
+    for s in range(SUB):
+        seg_t = t_acc[s * wr:(s + 1) * wr]
+        seg_s = s_acc[s * wr:(s + 1) * wr]
+        bt = jnp.min(seg_t, axis=0, keepdims=True)
+        cand = jnp.where(seg_t == bt, seg_s, BIG)
+        bs = jnp.min(cand, axis=0, keepdims=True)
+        bt_parts.append(bt)
+        bs_parts.append(jnp.where(bt < BIG, bs, -1.0))
+    t_ref[:] = jnp.concatenate(bt_parts, axis=1)
+    slot_ref[:] = jnp.concatenate(bs_parts, axis=1)
+    stats_ref[:] = jnp.where(
+        lane == 1, (SUB * ns).astype(jnp.float32),
+        jnp.where(lane == 2, jnp.float32(GATE),
+                  jnp.where(lane == 4, (SUB * ns).astype(jnp.float32),
+                            0.0)))
+
+
+def _general_rays4(o_ref, d_ref, wr):
+    """General-MT ray rows for the sub-gate layout: [4*wr, 128] blocks
+    of each sub-gate's origins/directions."""
+    def rowsof(ref, axis):
+        parts = []
+        for s in range(SUB):
+            sl = ref[axis:axis + 1, 128 * s:128 * (s + 1)]
+            parts.append(jnp.broadcast_to(sl, (wr, 128)))
+        return jnp.concatenate(parts, axis=0)
+
+    return (rowsof(o_ref, 0), rowsof(o_ref, 1), rowsof(o_ref, 2),
+            rowsof(d_ref, 0), rowsof(d_ref, 1), rowsof(d_ref, 2))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "so", "win_rows"))
+def _plist4_call(key, pay, tris128, orig_t, dir_t, interpret=False,
+                 so=True, win_rows=16):
+    n = orig_t.shape[1]
+    grid = n // GATE
+    w_total = key.shape[2] * 8
+    return pl.pallas_call(
+        functools.partial(_kernel_plist4, so=so, win_rows=win_rows,
+                          w_total=w_total),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # key lists (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # payload lists (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # tri rows (HBM)
+            pl.BlockSpec((3, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((8 * grid, 128), jnp.float32),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM(key.shape[1:], jnp.float32),
+            pltpu.SMEM(key.shape[1:], jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, SUB * win_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, SUB)),
+        ],
+        interpret=interpret,
+    )(key, pay, tris128, orig_t, dir_t)
+
+
+def traverse_plist4(mwin: MortonWindows, orig, dir, image_shape,
+                    interpret: bool = None):
+    """Sub-gate variant of traverse_plist (4 independent 128-ray packets
+    per program). Same record contract. SMEM bound: the whole sorted
+    list lives on-chip — 2 * 4 * Wpad bytes <= ~700 KB caps the scene at
+    ~10M triangles per 128-tri window (plist_supported4 checks)."""
+    from clpathtracer_tpu.ops.packet import _blockify_strips, \
+        _unblockify_strips
+    from clpathtracer_tpu.ops.traverse_fast import _mt_pre
+    n = orig.shape[0]
+    h, w = image_shape
+    assert n == h * w and h % GH == 0 and w % GW == 0
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    orig_b = _blockify_strips(orig, h, w, GH, GW, SBH, SBW)
+    dir_b = _blockify_strips(dir, h, w, GH, GW, SBH, SBW) \
+        .astype(jnp.float32)
+
+    key, pay = _gate_lists4(mwin.win_bnd, dir_b, orig[0], mwin.win_rows)
+
+    so = mwin.so_base is not None and _os.environ.get("CLPT_SO", "1") != "0"
+    if so:
+        o = orig[0]
+        rows128 = (mwin.so_base[0] + o[0] * mwin.so_base[1]
+                   + o[1] * mwin.so_base[2] + o[2] * mwin.so_base[3])
+    else:
+        rows128 = mwin.tris128
+
+    out_t, out_s, tile_stats = _plist4_call(
+        key, pay, rows128, orig_b.T.astype(jnp.float32), dir_b.T,
+        interpret=interpret, so=so, win_rows=mwin.win_rows)
+
+    best_t = _unblockify_strips(out_t[0], h, w, GH, GW, SBH, SBW)
+    best_slot = _unblockify_strips(out_s[0].astype(jnp.int32), h, w,
+                                   GH, GW, SBH, SBW)
+    hit = best_slot >= 0
+    tris16 = mwin.tris128.reshape(-1, 16)
+    slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
+    quads = mwin.quads
+    qsel = quads[slot_safe // 4].reshape(-1, 4, 16)
+    lanes = slot_safe % 4
+    sel = qsel[:, 0, :]
+    for j in range(1, 4):
+        sel = jnp.where((lanes == j)[:, None], qsel[:, j, :], sel)
+    v0s, e1s, e2s = sel[:, 0:3], sel[:, 3:6], sel[:, 6:9]
+    ok, t, u, v = _mt_pre(v0s, e1s, e2s, orig, dir)
+    tri = jnp.where(hit, sel[:, 9].astype(jnp.int32), -1)
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, BIG),
+        "tri": tri,
+        "u": jnp.where(hit, u, 0.0),
+        "v": jnp.where(hit, v, 0.0),
+        "steps": jnp.zeros((n,), jnp.int32),
+        "tile_stats": tile_stats[::8, :5],
+    }
+
+
+def plist4_supported(mwin, n_rays: int, image_shape) -> bool:
+    if not plist_supported(mwin, n_rays, image_shape):
+        return False
+    wpad = (mwin.num_windows + LIST_CHUNK - 1) // LIST_CHUNK * LIST_CHUNK
+    if 2 * 4 * wpad > 700 * 1024:
+        return False
+    if mwin.num_windows * 16 >= (1 << 24):  # payload f32-exactness
+        return False
+    return _os.environ.get("CLPT_SUBGATE", "1") != "0"

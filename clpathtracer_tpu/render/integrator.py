@@ -152,7 +152,22 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                      else pack_quads(tree.tri_indices, v0, v1, v2))
             from clpathtracer_tpu.ops.packet import (
                 packet_supported, traverse_packet)
-            if (opts.intersector == "packet"
+            from clpathtracer_tpu.ops.plist import (
+                plist_supported, traverse_plist)
+            shape_full = ((opts.height, opts.width)
+                          if orig.shape[0] == opts.width * opts.height
+                          else None)
+            if (opts.intersector == "packet" and coherent
+                    and shared_origin and grid_dirs and active is None
+                    and plist_supported(getattr(tree, "mwin", None),
+                                        orig.shape[0], shape_full)):
+                # walk-free prepass-list engine (ops/plist.py): preferred
+                # for unjittered shared-origin primary frames when the
+                # tree carries Morton windows (attach_morton_windows) —
+                # prepass culls/sorts on the VPU, the kernel is a pure
+                # sorted stream at the dense-math ceiling
+                rec = traverse_plist(tree.mwin, orig, dir, shape_full)
+            elif (opts.intersector == "packet"
                     and (coherent or not opts.sort_bounces)
                     and packet_supported(tree, orig.shape[0],
                                          opts.packet_tile)):

@@ -29,6 +29,7 @@ def main():
                   else os.environ.get("PROBE_SCENE", "terrain"))
     win_rows_list = [int(x) for x in os.environ.get(
         "PROBE_WIN_ROWS", "16,8").split(",")]
+    engine = os.environ.get("PROBE_ENGINE", "plist")
 
     import jax
     import jax.numpy as jnp
@@ -69,12 +70,14 @@ def main():
         mwin = pls.attach_so(mwin)
         log(f"# so tables {time.time()-t0:.1f}s")
 
+        trav = (pls.traverse_plist4 if engine == "plist4"
+                else pls.traverse_plist)
+
         def chain(n, mwin, orig, dir):
             def body(i, c):
                 chk, _, _ = c
                 eps = chk * 1e-38
-                rec = pls.traverse_plist(mwin, orig + eps, dir,
-                                         (res, res))
+                rec = trav(mwin, orig + eps, dir, (res, res))
                 chk = jnp.sum(jnp.where(rec["hit"], rec["t"], 0.0))
                 t2 = jnp.sum(rec["tri"] % 97).astype(jnp.float32)
                 return (chk, t2, rec["tile_stats"])
@@ -105,7 +108,7 @@ def main():
         span = win_rows * 8
         print(json.dumps({
             "cfg": {"scene": scene_kind, "win_rows": win_rows,
-                    "tris": ntris, "res": res,
+                    "tris": ntris, "res": res, "engine": engine,
                     "tup_every": pls.TUP_EVERY},
             "rays_per_s": n_rays / best,
             "frame_s": best,

@@ -129,3 +129,75 @@ def test_plist_multi_chunk_lists():
     rec = pls.traverse_plist(mwin, orig, dirs, (64, 64))
     ref = traverse_fast(tree, tree.quads, orig, dirs)
     _assert_parity(rec, ref)
+
+
+def test_render_image_uses_plist_when_attached():
+    """End-to-end dispatch: a tree with Morton windows attached renders
+    identically through the public API (the plist engine handles the
+    primary wave); with jittered spp sampling the engine must NOT
+    engage (grid_dirs=False) and the render stays finite."""
+    from clpathtracer_tpu.accel.sah import (attach_morton_windows,
+                                            build_kd_tree)
+    from clpathtracer_tpu.render.integrator import (RenderOptions,
+                                                    render_image)
+    tv, _, _ = _scene("terrain")
+    tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
+    tree_m = attach_morton_windows(tree, tv)
+    assert tree_m.mwin is not None
+    cam = Camera.create(position=[0.0, 14.0, 0.0],
+                        forward=[0.0, -1.0, 0.01])
+    opts = RenderOptions(width=64, height=64, mode="normal",
+                         intersector="packet", packet_tile=256)
+    a = np.asarray(render_image(tv_scene(), cam, opts, tree=tree))
+    b = np.asarray(render_image(tv_scene(), cam, opts, tree=tree_m))
+    # same hits -> same image, up to exact-t tie winners at shared
+    # mesh edges (documented freedom; the winners carry different
+    # per-face normals, so those pixels shade differently)
+    assert (np.abs(a - b).max(axis=-1) > 1e-5).mean() < 1e-2
+    opts_j = RenderOptions(width=64, height=64, mode="path", spp=2,
+                           bounces=1, intersector="packet",
+                           packet_tile=256, background=0.6)
+    c = np.asarray(render_image(tv_scene(), cam, opts_j, tree=tree_m,
+                                key=jax.random.PRNGKey(0)))
+    assert np.isfinite(c).all()
+
+
+def tv_scene():
+    from clpathtracer_tpu.scene.procedural import terrain_mesh
+    return terrain_mesh(30_000, seed=0, extent=10.0)
+
+
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+def test_plist4_parity_vs_wavefront(kind):
+    """Sub-gate engine (4 independent 128-ray packets per program):
+    identical hits to the wavefront reference."""
+    tv, orig, dirs = _scene(kind)
+    mwin = pls.build_morton_windows(tv, win_rows=16)
+    tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
+    rec = pls.traverse_plist4(mwin, orig, dirs, (64, 64))
+    ref = traverse_fast(tree, tree.quads, orig, dirs)
+    _assert_parity(rec, ref)
+
+
+def test_plist4_so_parity():
+    tv, orig, dirs = _scene("terrain")
+    mwin = pls.attach_so(pls.build_morton_windows(tv))
+    rec = pls.traverse_plist4(mwin, orig, dirs, (64, 64))
+    gen = pls.traverse_plist4(mwin.replace(so_base=None), orig, dirs,
+                              (64, 64))
+    h_s, h_g = np.asarray(rec["hit"]), np.asarray(gen["hit"])
+    assert (h_s != h_g).mean() < 2e-3
+    both = h_s & h_g
+    np.testing.assert_allclose(np.asarray(rec["t"])[both],
+                               np.asarray(gen["t"])[both],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_plist4_empty_gates():
+    tv, _, _ = _scene("terrain")
+    mwin = pls.build_morton_windows(tv)
+    cam = Camera.create(position=[0.0, 14.0, 0.0],
+                        forward=[0.0, 1.0, 0.01])
+    orig, dirs = generate_rays(cam_matrix(cam, 64), 64, 64)
+    rec = pls.traverse_plist4(mwin, orig, dirs, (64, 64))
+    assert not np.asarray(rec["hit"]).any()
