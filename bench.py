@@ -147,6 +147,19 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
         t0 = time.time()
         tree = attach_so_tables(tree)
         log(f"# so tables: {time.time()-t0:.1f}s")
+    # plist engine (ops/plist.py): walk-free sorted-window streaming.
+    # Per-scene choice like CLPT_STRIPS (the integrator auto-routes
+    # primary frames when Morton windows are attached); CLPT_PLIST=0/1
+    # overrides the tuning.
+    plist_flag = _USER_ENV.get("CLPT_PLIST",
+                               tuning.get("CLPT_PLIST", "0"))
+    use_plist = plist_flag == "1" and intersector == "packet"
+    if use_plist:
+        from clpathtracer_tpu.accel.sah import attach_morton_windows
+        t0 = time.time()
+        tree = attach_morton_windows(tree, tv, with_so=True)
+        log(f"# morton windows: {time.time()-t0:.1f}s "
+            f"({tree.mwin.num_windows} windows)")
 
     # n data-chained frames in one program (traced bound → one compile).
     # The chain dependence must be one XLA cannot constant-fold away
@@ -194,7 +207,37 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
               "leaf_size": leaf_size, "max_depth": max_depth,
               "packet_tile": packet_tile, "engine": engine,
               "kernel_mode": kmode, "hit_frac": float(hit_frac)}
-    if intersector == "packet" and kmode is not None:
+    if intersector == "packet" and getattr(tree, "mwin", None) is not None:
+        # plist engine engaged: its tile_stats are per 512-ray gate,
+        # lane 1 = windows streamed
+        try:
+            from clpathtracer_tpu.core.camera import (
+                cam_matrix, generate_rays)
+            from clpathtracer_tpu.ops.plist import GATE, traverse_plist
+
+            def stats_fn(scene, tree):
+                ci = cam_matrix(cam, height)
+                orig, dir = generate_rays(ci, width, height)
+                rec = traverse_plist(tree.mwin, orig, dir,
+                                     (height, width))
+                return rec["tile_stats"]
+
+            tstats = np.asarray(jax.jit(stats_fn)(scene, tree))
+            ns = tstats[:, 1]
+            span = tree.mwin.win_rows * 8
+            detail.update({
+                "engine_used": "plist",
+                "windows_per_gate": float(ns.mean()),
+                "tri_tests_per_ray": float(ns.sum()) * span * GATE
+                / n_rays,
+                "tri_tests_per_s": float(ns.sum()) * span * GATE / best,
+                "hbm_gb_per_frame": float(ns.sum()) * span * 64 / 1e9,
+            })
+            log(f"# denominators (plist): windows/gate={ns.mean():.1f} "
+                f"tests/ray={detail['tri_tests_per_ray']:.0f}")
+        except Exception as e:
+            log(f"# stats collection failed: {e}")
+    elif intersector == "packet" and kmode is not None:
         try:
             from clpathtracer_tpu.core.camera import (
                 cam_matrix, generate_rays)

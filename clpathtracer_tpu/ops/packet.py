@@ -390,7 +390,8 @@ def so_affine_tables(quads: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
-                      best_s, act_row=None, row_ids=None, merge=True):
+                      best_s, act_row=None, row_ids=None, merge=True,
+                      acc=None):
     """Dense shared-origin signed-volume test of the CHUNK_ROWS*8 tris in
     tri_buf[buf_slot] (rows from so_rows) — the SO twin of _mt_chunk_math.
     Ray origins are ignored (folded into the baked rows); only directions
@@ -401,7 +402,11 @@ def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
     the contiguous chunk_row0 + iota numbering — the sub-gate plist
     kernel packs rows from FOUR different windows into one buffer.
     merge=False returns the raw [n_rows, tile] (t_acc, s_acc)
-    accumulators for a caller-side (e.g. per-sub-gate) reduction."""
+    accumulators for a caller-side (e.g. per-sub-gate) reduction;
+    acc=(t_acc, s_acc) seeds them, letting a caller carry the argmin
+    ACROSS windows and merge once per frame (the round-2 "per-leaf
+    accumulator merge" lever, VERDICT r2 #8) — sound because row ids
+    are globally unique across windows."""
     dxyz = rays if len(rays) == 3 else rays[3:6]
     dx, dy, dz = dxyz
     n_rows = tri_buf.shape[1]  # CHUNK_ROWS, or the plist engine's win_rows
@@ -409,8 +414,11 @@ def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
         sub_iota = jax.lax.broadcasted_iota(
             jnp.int32, (n_rows, 1), 0).astype(jnp.float32)
         row_ids = chunk_row0 * 1.0 + sub_iota
-    t_acc = jnp.full((n_rows, tile), BIG, jnp.float32)
-    s_acc = jnp.full((n_rows, tile), -1.0, jnp.float32)
+    if acc is None:
+        t_acc = jnp.full((n_rows, tile), BIG, jnp.float32)
+        s_acc = jnp.full((n_rows, tile), -1.0, jnp.float32)
+    else:
+        t_acc, s_acc = acc
     for i in range(8):  # 8 interleaved groups of n_rows tris
         def col(j):
             return tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1] \
@@ -447,7 +455,7 @@ def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
 
 def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
                    best_s, act_row=None, compute_dtype=jnp.float32,
-                   row_ids=None, merge=True):
+                   row_ids=None, merge=True, acc=None):
     """Dense MT of the CHUNK_ROWS*8 tris already resident in
     tri_buf[buf_slot] against `rays` ([1, tile] SoA rows) — the math half
     of mt_chunk, no DMA wait (callers that share one DMA across
@@ -476,8 +484,11 @@ def _mt_chunk_math(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
     merge_old = _os.environ.get("CLPT_MERGE_OLD") == "1"  # A/B probes
     chunk_t = jnp.full((1, tile), BIG, jnp.float32)
     chunk_s = jnp.full((1, tile), -1.0, jnp.float32)
-    t_acc = jnp.full((n_rows, tile), BIG, jnp.float32)
-    s_acc = jnp.full((n_rows, tile), -1.0, jnp.float32)
+    if acc is None:
+        t_acc = jnp.full((n_rows, tile), BIG, jnp.float32)
+        s_acc = jnp.full((n_rows, tile), -1.0, jnp.float32)
+    else:
+        t_acc, s_acc = acc
     for i in range(8):  # 8 interleaved groups of n_rows tris
         def col(j):
             c = tri_buf[buf_slot, :, i * 16 + j:i * 16 + j + 1]

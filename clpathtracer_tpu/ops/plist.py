@@ -265,12 +265,17 @@ def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
     def _():
         start_tri(row0_0, 0)
 
-    best_t0 = jnp.full((1, GATE), BIG, jnp.float32)
-    best_s0 = jnp.full((1, GATE), -1.0, jnp.float32)
+    # argmin accumulators carried ACROSS windows (merged once at the
+    # end): removes the ~6-op per-window reduction from the hot loop
+    # (VERDICT r2 #8 — the "per-leaf accumulator merge" lever, sound
+    # here because plist row ids are globally unique)
+    t_acc0 = jnp.full((win_rows, GATE), BIG, jnp.float32)
+    s_acc0 = jnp.full((win_rows, GATE), -1.0, jnp.float32)
+    mt = _mt_chunk_math_so if so else _mt_chunk_math
     w_total = nchunks * LIST_CHUNK
 
     def body(state):
-        j, par, chunk, row0_j, alive, tup, bt, bs, ns = state
+        j, par, chunk, row0_j, alive, tup, ta, sa, ns = state
         # prefetch decision for j+1 (made ONCE; a fetched window is
         # always consumed, so no DMA is ever orphaned)
         j1 = j + 1
@@ -290,20 +295,24 @@ def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
 
         # consume window j
         wait_tri(row0_j, par)
-        bt, bs = _mt_math(so)(tri_buf, par, rays, GATE, row0_j,
-                              bt, bs, act_row=None)
+        ta, sa = mt(tri_buf, par, rays, GATE, row0_j, None, None,
+                    act_row=None, merge=False, acc=(ta, sa))
         ns = ns + 1
-        tup = jax.lax.cond(ns % TUP_EVERY == 0,
-                           lambda: jnp.max(bt), lambda: tup)
-        return j1, 1 - par, j1 // LIST_CHUNK, row0_1, nxt, tup, bt, bs, ns
+        tup = jax.lax.cond(
+            ns % TUP_EVERY == 0,
+            lambda: jnp.max(jnp.min(ta, axis=0)), lambda: tup)
+        return j1, 1 - par, j1 // LIST_CHUNK, row0_1, nxt, tup, ta, sa, ns
 
     st = (jnp.int32(0), jnp.int32(0), jnp.int32(0), row0_0, alive0,
-          tup0, best_t0, best_s0, jnp.int32(0))
-    _, _, _, _, _, _, best_t, best_s, ns = jax.lax.while_loop(
+          tup0, t_acc0, s_acc0, jnp.int32(0))
+    _, _, _, _, _, _, t_acc, s_acc, ns = jax.lax.while_loop(
         lambda s: s[4], body, st)
 
+    best_t = jnp.min(t_acc, axis=0, keepdims=True)
+    cand = jnp.where(t_acc == best_t, s_acc, BIG)
+    best_s = jnp.min(cand, axis=0, keepdims=True)
     t_ref[:] = best_t
-    slot_ref[:] = best_s
+    slot_ref[:] = jnp.where(best_t < BIG, best_s, -1.0)
     stats_ref[:] = jnp.where(
         lane == 0, 0.0,
         jnp.where(lane == 1, ns.astype(jnp.float32),
