@@ -49,12 +49,17 @@ _USER_ENV = {k: v for k, v in os.environ.items()
              if k.startswith("CLPT_")}
 
 SCENE_TUNING = {
-    # terrain: mask-cull prepass with per-window entry distances makes
-    # very fat leaves cheap (the t_en test replaces walk ordering)
+    # Primary rays ride the plist super-list engine (ops/plist.py,
+    # round-3: 64-tri windows + two-level super lists) on BOTH scenes —
+    # measured probes/probe_plist.py: terrain 16.5 ms vs the stream
+    # engine's 17.9, soup 34.8 vs 44. The kd-tree knobs below still
+    # shape the tree used by bounce/shadow wavefronts (path mode) and
+    # the stream-engine fallback.
     "terrain": {"tile": 2048, "leaf": 3072, "depth": 11,
-                "CLPT_STRIPS": "1"},
+                "CLPT_STRIPS": "1", "CLPT_PLIST": "1", "plist_rows": 8},
     "soup": {"tile": 512, "leaf": 512, "depth": 14,
-             "CLPT_STRIPS": "0", "CLPT_FRUSTUM": "0"},
+             "CLPT_STRIPS": "0", "CLPT_FRUSTUM": "0",
+             "CLPT_PLIST": "1", "plist_rows": 8},
 }
 
 
@@ -156,10 +161,13 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
     use_plist = plist_flag == "1" and intersector == "packet"
     if use_plist:
         from clpathtracer_tpu.accel.sah import attach_morton_windows
+        plist_rows = int(_USER_ENV.get(
+            "CLPT_WIN_ROWS", tuning.get("plist_rows", 16)))
         t0 = time.time()
-        tree = attach_morton_windows(tree, tv, with_so=True)
+        tree = attach_morton_windows(tree, tv, win_rows=plist_rows,
+                                     with_so=True)
         log(f"# morton windows: {time.time()-t0:.1f}s "
-            f"({tree.mwin.num_windows} windows)")
+            f"({tree.mwin.num_windows} windows, {plist_rows} rows)")
 
     # n data-chained frames in one program (traced bound → one compile).
     # The chain dependence must be one XLA cannot constant-fold away

@@ -75,6 +75,11 @@ LIST_CHUNK = 1024             # sorted-list entries per [8, 128] DMA chunk
 # the probe-favored smaller window (fewer tests, more fixed costs).
 WIN_ROWS = int(_os.environ.get("CLPT_WIN_ROWS", "16"))
 TUP_EVERY = max(int(_os.environ.get("CLPT_PLIST_TUP", "1")), 1)
+# windows per super-entry of the two-level (super) list variant: the
+# sort and the kernel's DMA/t_upper granularity move to supers of
+# SUPER consecutive Morton windows while per-window need bits keep the
+# dense-math granularity at single windows
+SUPER = 16
 
 
 @struct.dataclass
@@ -119,7 +124,9 @@ def build_morton_windows(tri_verts: np.ndarray,
     t = tv[perm]
     n = t.shape[0]
     span = win_rows * 8
-    pad = -n % span
+    # pad the window count to SUPER granularity (empty pad windows) so
+    # the super-list kernel can DMA whole supers of SUPER windows
+    pad = -n % (span * SUPER)
     ids = np.concatenate([perm, np.full(pad, -1, np.int64)])
     rows16 = pack_quads_host(ids, tv).reshape(-1, 16)
     vmin = t.min(axis=1)
@@ -148,26 +155,21 @@ def attach_so(mwin: MortonWindows) -> MortonWindows:
 # ---------------------------------------------------------------------------
 
 
-def gate_lists(win_bnd, dir_g, origin, win_rows: int):
-    """For every packet (gate), the windows it must test, sorted
-    front-to-back. Returns (row0 [G, C, 8, 128] f32, ten [G, C, 8, 128]
-    f32): entry j of gate g lives at [g, j // 1024, j % 8, (j % 1024)
-    // 8]; culled/pad entries carry t_en = +inf (the tail the kernel's
-    sorted BREAK never reaches). row0 is the window's first [*, 128]
-    triangle row as an exact f32 integer.
-
-    The cull math is the slab-interval + exact corner-frustum pair from
-    ops/packet.py::_strip_masks, at gate granularity: conservative (a
-    window is kept on any uncertainty), so the kernel's results equal
-    an unculled dense sweep."""
-    G = dir_g.shape[0] // GATE
-    d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
-    o = jnp.asarray(origin, jnp.float32).reshape(3)
+def _win_keys(win_bnd, d, o, bh, bw):
+    """Per-(packet, window) sorted-stream keys: conservative entry
+    distance where the packet must test the window, +inf where it is
+    culled. d: [N, L, 3] directions of N packets of L rays each (an
+    bh x bw pixel block); the cull math is the slab-interval + exact
+    corner-frustum pair from ops/packet.py::_strip_masks, conservative
+    (a window is kept on any uncertainty), so a kernel consuming the
+    non-inf entries equals an unculled dense sweep. Returns [N, W]."""
+    n_pk, n_lanes, _ = d.shape
+    o = jnp.asarray(o, jnp.float32).reshape(3)
     lo = [win_bnd[:, j] for j in range(3)]
     hi = [win_bnd[:, 3 + j] for j in range(3)]
 
-    t_en = jnp.full((G, 1), -INV_BIG, jnp.float32)
-    t_ex = jnp.full((G, 1), INV_BIG, jnp.float32)
+    t_en = jnp.full((n_pk, 1), -INV_BIG, jnp.float32)
+    t_ex = jnp.full((n_pk, 1), INV_BIG, jnp.float32)
     for ax in range(3):
         inv = jnp.clip(1.0 / d[:, :, ax], -INV_BIG, INV_BIG)
         il = jnp.min(inv, axis=1, keepdims=True)
@@ -182,7 +184,7 @@ def gate_lists(win_bnd, dir_g, origin, win_rows: int):
         t_ex = jnp.minimum(t_ex, jnp.where(uniform, far_max, INV_BIG))
     keep = (t_en <= t_ex) & (t_ex > 0.0)
 
-    fr = _frustum_rows(d.reshape(-1, 3), o, GATE, GH, GW)   # [G, 16]
+    fr = _frustum_rows(d.reshape(-1, 3), o, n_lanes, bh, bw)  # [N, 16]
     for p in range(4):
         n = [fr[:, 3 * p + j:3 * p + j + 1] for j in range(3)]
         sup = jnp.zeros_like(t_en)
@@ -194,8 +196,20 @@ def gate_lists(win_bnd, dir_g, origin, win_rows: int):
             slack = slack + jnp.abs(cc)
         keep = keep & (sup <= 1e-5 * slack)
 
+    return jnp.where(keep, jnp.maximum(t_en, 0.0), jnp.float32(jnp.inf))
+
+
+def gate_lists(win_bnd, dir_g, origin, win_rows: int):
+    """For every packet (gate), the windows it must test, sorted
+    front-to-back. Returns (row0 [G, C, 8, 128] f32, ten [G, C, 8, 128]
+    f32): entry j of gate g lives at [g, j // 1024, j % 8, (j % 1024)
+    // 8]; culled/pad entries carry t_en = +inf (the tail the kernel's
+    sorted BREAK never reaches). row0 is the window's first [*, 128]
+    triangle row as an exact f32 integer."""
+    G = dir_g.shape[0] // GATE
+    d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
+    key = _win_keys(win_bnd, d, origin, GH, GW)             # [G, W]
     inf = jnp.float32(jnp.inf)
-    key = jnp.where(keep, jnp.maximum(t_en, 0.0), inf)      # [G, W]
     w = key.shape[1]
     wpad = -w % LIST_CHUNK
     if wpad:
@@ -379,10 +393,12 @@ def plist_supported(mwin, n_rays: int, image_shape) -> bool:
 
 
 def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
-                   interpret: bool = None):
+                   interpret: bool = None, supers: bool = None):
     """Trace unjittered shared-origin primary rays. Same record contract
     as traverse_packet. Requires grid_dirs-quality rays (the prepass
-    frustum hulls assume it)."""
+    frustum hulls assume it). supers=True uses the two-level super-list
+    variant (default: CLPT_PLIST_SUPER env, on when the window count is
+    SUPER-granular)."""
     from clpathtracer_tpu.ops.packet import _blockify, _unblockify
     from clpathtracer_tpu.ops.traverse_fast import _mt_pre
     n = orig.shape[0]
@@ -390,11 +406,12 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
     assert n == h * w and h % GH == 0 and w % GW == 0
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if supers is None:
+        supers = _os.environ.get("CLPT_PLIST_SUPER", "1") != "0"
+    supers = supers and mwin.num_windows % SUPER == 0
 
     orig_b = _blockify(orig, h, w, GH, GW)
     dir_b = _blockify(dir, h, w, GH, GW).astype(jnp.float32)
-
-    row0, ten = _gate_lists(mwin.win_bnd, dir_b, orig[0], mwin.win_rows)
 
     so = mwin.so_base is not None and _os.environ.get("CLPT_SO", "1") != "0"
     if so:
@@ -404,9 +421,19 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
     else:
         rows128 = mwin.tris128
 
-    out_t, out_s, tile_stats = _plist_call(
-        row0, ten, rows128, orig_b.T.astype(jnp.float32), dir_b.T,
-        interpret=interpret, so=so, win_rows=mwin.win_rows)
+    if supers:
+        key, sid, bits = _gate_lists_super(mwin.win_bnd, dir_b, orig[0],
+                                           mwin.win_rows)
+        tris_w = rows128.reshape(-1, mwin.win_rows, 128)
+        out_t, out_s, tile_stats = _plist_super_call(
+            key, sid, bits, tris_w, orig_b.T.astype(jnp.float32),
+            dir_b.T, interpret=interpret, so=so, win_rows=mwin.win_rows)
+    else:
+        row0, ten = _gate_lists(mwin.win_bnd, dir_b, orig[0],
+                                mwin.win_rows)
+        out_t, out_s, tile_stats = _plist_call(
+            row0, ten, rows128, orig_b.T.astype(jnp.float32), dir_b.T,
+            interpret=interpret, so=so, win_rows=mwin.win_rows)
 
     best_t = _unblockify(out_t[0], h, w, GH, GW)
     best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, GH, GW)
@@ -431,6 +458,231 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
         "steps": jnp.zeros((n,), jnp.int32),
         "tile_stats": tile_stats[::8, :5],
     }
+
+
+# ---------------------------------------------------------------------------
+# super-list variant: two-level sorted lists
+#
+# The plain plist pays two per-WINDOW scalar costs the probes measure at
+# ~0.3-0.6 us each (probe_plist.py win_rows=8 vs 16): a DMA start/wait
+# pair and (at cadence 1) a vector->scalar t_upper sync. Both serialize
+# with the dense math (the round-2 finding), which is why 64-tri windows
+# LOSE end-to-end despite testing 28% fewer triangles. The super variant
+# moves the sorted list, the DMA, the BREAK, and the t_upper refresh to
+# supers of SUPER consecutive Morton windows (one [SUPER*win_rows, 128]
+# DMA each) while per-window NEED BITS in the sort payload keep the
+# dense-math granularity at single windows (a bit-gated pl.when skips a
+# window's vector work entirely). The sort also shrinks 16x — the 10M-tri
+# prepass cost (VERDICT r3 handoff #4's two-level window hierarchy).
+# ---------------------------------------------------------------------------
+
+
+def gate_lists_super(win_bnd, dir_g, origin, win_rows: int):
+    """Two-level lists: per-window keys (_win_keys) reduced to supers of
+    SUPER windows. Returns (key, sid, bits), each [G, C, 8, 128] f32 with
+    entry j of gate g at [g, j // 1024, j % 8, (j % 1024) // 8]:
+    key = min over needed windows of the conservative entry distance
+    (+inf when the gate needs nothing in the super — the sorted tail),
+    sid = super id (exact f32 int), bits = SUPER need bits (f32-exact:
+    SUPER <= 16 < 2^24)."""
+    G = dir_g.shape[0] // GATE
+    d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
+    key_w = _win_keys(win_bnd, d, origin, GH, GW)           # [G, W]
+    w = key_w.shape[1]
+    inf = jnp.float32(jnp.inf)
+    spad = -w % SUPER
+    if spad:  # unpadded builds (build_morton_windows pads to SUPER)
+        key_w = jnp.concatenate(
+            [key_w, jnp.full((G, spad), inf, jnp.float32)], axis=1)
+    kw = key_w.reshape(G, -1, SUPER)                        # [G, Ws, 16]
+    key = jnp.min(kw, axis=2)
+    fin = jnp.isfinite(kw)
+    bits = jnp.zeros(key.shape, jnp.int32)
+    for k in range(SUPER):
+        bits = bits | (fin[:, :, k].astype(jnp.int32) << k)
+    ws = key.shape[1]
+    sid = jnp.broadcast_to(
+        jnp.arange(ws, dtype=jnp.float32)[None], key.shape)
+    bitsf = bits.astype(jnp.float32)
+    wpad = -ws % LIST_CHUNK
+    if wpad:
+        key = jnp.concatenate(
+            [key, jnp.full((G, wpad), inf, jnp.float32)], axis=1)
+        sid = jnp.concatenate(
+            [sid, jnp.zeros((G, wpad), jnp.float32)], axis=1)
+        bitsf = jnp.concatenate(
+            [bitsf, jnp.zeros((G, wpad), jnp.float32)], axis=1)
+    key, sid, bitsf = jax.lax.sort((key, sid, bitsf), dimension=1,
+                                   num_keys=1)
+
+    def pack(x):  # [G, Wpad] -> [G, C, 8, 128], entry e at [e%8, e//8]
+        return x.reshape(G, -1, 128, 8).transpose(0, 1, 3, 2)
+
+    return pack(key), pack(sid), pack(bitsf)
+
+
+_gate_lists_super = jax.jit(gate_lists_super,
+                            static_argnames=("win_rows",))
+
+
+def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
+                        d_ref, t_ref, slot_ref, stats_ref, key_smem,
+                        sid_smem, bit_smem, list_sem, tri_buf, tri_sem,
+                        acc_t, acc_s, *, so, win_rows, nchunks):
+    g = pl.program_id(0)
+    rays = _ray_rows(o_ref, d_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    wr = win_rows
+
+    def load_chunk(c):
+        for ref, sm in ((key_ref, key_smem), (sid_ref, sid_smem),
+                        (bit_ref, bit_smem)):
+            cp = pltpu.make_async_copy(ref.at[g, c], sm, list_sem)
+            cp.start()
+            cp.wait()
+
+    def ent(j):
+        e = j % LIST_CHUNK
+        return (key_smem[e % 8, e // 8],
+                sid_smem[e % 8, e // 8].astype(jnp.int32),
+                bit_smem[e % 8, e // 8].astype(jnp.int32))
+
+    def start_tri(sid, par):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(sid * SUPER, SUPER)],
+            tri_buf.at[par], tri_sem.at[par]).start()
+
+    def wait_tri(sid, par):
+        pltpu.make_async_copy(
+            tris_ref.at[pl.ds(sid * SUPER, SUPER)],
+            tri_buf.at[par], tri_sem.at[par]).wait()
+
+    # accumulators live in VMEM scratch, not loop carry: the bit-gated
+    # per-window pl.when bodies must UPDATE them, and pl.when can't
+    # return values
+    acc_t[...] = jnp.full((wr, GATE), BIG, jnp.float32)
+    acc_s[...] = jnp.full((wr, GATE), -1.0, jnp.float32)
+
+    load_chunk(0)
+    key0, sid0, bit0 = ent(0)
+    tup0 = jnp.float32(BIG)
+    alive0 = key0 <= tup0
+
+    @pl.when(alive0)
+    def _():
+        start_tri(sid0, 0)
+
+    mt = _mt_chunk_math_so if so else _mt_chunk_math
+    w_total = nchunks * LIST_CHUNK
+    iota_wr = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+
+    def body(state):
+        j, par, sid_j, bit_j, alive, tup, ns, nw = state
+        j1 = j + 1
+
+        @pl.when((j1 % LIST_CHUNK == 0) & (j1 < w_total))
+        def _():
+            load_chunk(j1 // LIST_CHUNK)
+
+        key1, sid1, bit1 = ent(j1)  # j1 == w_total reads entry 0 of
+        # the resident chunk: stale, but nxt is then False and the loop
+        # exits without touching them
+        nxt = (j1 < w_total) & (key1 <= tup)
+
+        @pl.when(nxt)
+        def _():
+            start_tri(sid1, 1 - par)
+
+        # consume super j: per-window bit-gated dense math
+        wait_tri(sid_j, par)
+        for k in range(SUPER):
+            @pl.when(((bit_j >> k) & 1) == 1)
+            def _(k=k):
+                rid = ((sid_j * SUPER + k) * wr + iota_wr) \
+                    .astype(jnp.float32)
+                ta, sa = mt(tri_buf.at[par], k, rays, GATE, None, None,
+                            None, act_row=None, row_ids=rid,
+                            merge=False, acc=(acc_t[...], acc_s[...]))
+                acc_t[...] = ta
+                acc_s[...] = sa
+        ns = ns + 1
+        nw_j = jnp.int32(0)
+        for k in range(SUPER):
+            nw_j = nw_j + ((bit_j >> k) & 1)
+        nw = nw + nw_j
+        tup = jax.lax.cond(
+            ns % TUP_EVERY == 0,
+            lambda: jnp.max(jnp.min(acc_t[...], axis=0)), lambda: tup)
+        return j1, 1 - par, sid1, bit1, nxt, tup, ns, nw
+
+    st = (jnp.int32(0), jnp.int32(0), sid0, bit0, alive0, tup0,
+          jnp.int32(0), jnp.int32(0))
+    _, _, _, _, _, _, ns, nw = jax.lax.while_loop(
+        lambda s: s[4], body, st)
+
+    t_acc = acc_t[...]
+    s_acc = acc_s[...]
+    best_t = jnp.min(t_acc, axis=0, keepdims=True)
+    cand = jnp.where(t_acc == best_t, s_acc, BIG)
+    best_s = jnp.min(cand, axis=0, keepdims=True)
+    t_ref[:] = best_t
+    slot_ref[:] = jnp.where(best_t < BIG, best_s, -1.0)
+    stats_ref[:] = jnp.where(
+        lane == 0, 0.0,
+        jnp.where(lane == 1, nw.astype(jnp.float32),
+                  jnp.where(lane == 2, jnp.float32(GATE),
+                            jnp.where(lane == 3, ns.astype(jnp.float32),
+                                      jnp.where(lane == 4,
+                                                nw.astype(jnp.float32),
+                                                0.0)))))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "so", "win_rows"))
+def _plist_super_call(key, sid, bits, tris_w, orig_t, dir_t,
+                      interpret=False, so=True, win_rows=16):
+    n = orig_t.shape[1]
+    grid = n // GATE
+    nchunks = key.shape[1]
+    return pl.pallas_call(
+        functools.partial(_kernel_plist_super, so=so, win_rows=win_rows,
+                          nchunks=nchunks),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # key lists (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # sid lists (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # bit lists (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # tri rows (HBM)
+            pl.BlockSpec((3, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((8 * grid, 128), jnp.float32),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, 128), jnp.float32),      # key chunk
+            pltpu.SMEM((8, 128), jnp.float32),      # sid chunk
+            pltpu.SMEM((8, 128), jnp.float32),      # bits chunk
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, SUPER, win_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((win_rows, GATE), jnp.float32),
+            pltpu.VMEM((win_rows, GATE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(key, sid, bits, tris_w, orig_t, dir_t)
 
 
 # ---------------------------------------------------------------------------
@@ -465,43 +717,10 @@ def gate_lists4(win_bnd, dir_g, origin, win_rows: int):
     key = min over needing sub-gates of the conservative entry distance
     (+inf when none needs it — the sorted tail), pay = window_id * 16 +
     need bits (f32-exact for windows < 2^20)."""
-    g4 = dir_g.shape[0] // (SUB * GATE // SUB)          # = n sub-gates
     d = dir_g.reshape(-1, GATE // SUB, 3).astype(jnp.float32)
-    o = jnp.asarray(origin, jnp.float32).reshape(3)
-    lo = [win_bnd[:, j] for j in range(3)]
-    hi = [win_bnd[:, 3 + j] for j in range(3)]
-
-    t_en = jnp.full((d.shape[0], 1), -INV_BIG, jnp.float32)
-    t_ex = jnp.full((d.shape[0], 1), INV_BIG, jnp.float32)
-    for ax in range(3):
-        inv = jnp.clip(1.0 / d[:, :, ax], -INV_BIG, INV_BIG)
-        il = jnp.min(inv, axis=1, keepdims=True)
-        ih = jnp.max(inv, axis=1, keepdims=True)
-        uniform = il * ih > 0.0
-        pos = il > 0.0
-        nearb = jnp.where(pos, lo[ax][None, :], hi[ax][None, :])
-        farb = jnp.where(pos, hi[ax][None, :], lo[ax][None, :])
-        near_min = jnp.minimum((nearb - o[ax]) * il, (nearb - o[ax]) * ih)
-        far_max = jnp.maximum((farb - o[ax]) * il, (farb - o[ax]) * ih)
-        t_en = jnp.maximum(t_en, jnp.where(uniform, near_min, -INV_BIG))
-        t_ex = jnp.minimum(t_ex, jnp.where(uniform, far_max, INV_BIG))
-    keep = (t_en <= t_ex) & (t_ex > 0.0)
-
-    fr = _frustum_rows(d.reshape(-1, 3), o, GATE // SUB, SBH, SBW)
-    for p in range(4):
-        n = [fr[:, 3 * p + j:3 * p + j + 1] for j in range(3)]
-        sup = jnp.zeros_like(t_en)
-        slack = jnp.zeros_like(t_en)
-        for ax in range(3):
-            cc = jnp.where(n[ax] > 0.0, lo[ax][None, :],
-                           hi[ax][None, :]) - o[ax]
-            sup = sup + n[ax] * cc
-            slack = slack + jnp.abs(cc)
-        keep = keep & (sup <= 1e-5 * slack)
-
+    ten_s = _win_keys(win_bnd, d, origin, SBH, SBW)
+    keep = jnp.isfinite(ten_s)
     w = keep.shape[1]
-    inf = jnp.float32(jnp.inf)
-    ten_s = jnp.where(keep, jnp.maximum(t_en, 0.0), inf)
     g = d.shape[0] // SUB
     ten_g = ten_s.reshape(g, SUB, w)
     bits_g = keep.reshape(g, SUB, w)

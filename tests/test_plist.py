@@ -54,14 +54,43 @@ def _assert_parity(rec, ref):
 
 @pytest.mark.parametrize("kind", ["terrain", "soup"])
 @pytest.mark.parametrize("win_rows", [16, 8])
-def test_plist_parity_vs_wavefront(kind, win_rows):
+@pytest.mark.parametrize("supers", [False, True])
+def test_plist_parity_vs_wavefront(kind, win_rows, supers):
     tv, orig, dirs = _scene(kind)
     mwin = pls.build_morton_windows(tv, win_rows=win_rows)
     assert mwin.num_windows * win_rows * 8 >= tv.shape[0]
     tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
-    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=supers)
     ref = traverse_fast(tree, tree.quads, orig, dirs)
     _assert_parity(rec, ref)
+
+
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+def test_plist_super_exact_match_plain(kind):
+    """The two-level super-list variant is the same intersector with a
+    different stream schedule: results must match the plain plist kernel
+    EXACTLY (same windows tested, same tie rules), and the need-bit
+    window count must equal the plain stream count when no break cuts
+    either (identical culling)."""
+    tv, orig, dirs = _scene(kind)
+    for mwin in (pls.build_morton_windows(tv),
+                 pls.attach_so(pls.build_morton_windows(tv))):
+        a = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=False)
+        b = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=True)
+        for k in ("hit", "t", "tri", "u", "v"):
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
+
+
+def test_plist_super_empty_gates():
+    tv, _, _ = _scene("terrain")
+    mwin = pls.build_morton_windows(tv)
+    cam = Camera.create(position=[0.0, 14.0, 0.0],
+                        forward=[0.0, 1.0, 0.01])
+    orig, dirs = generate_rays(cam_matrix(cam, 64), 64, 64)  # sky-facing
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=True)
+    assert not np.asarray(rec["hit"]).any()
+    assert np.asarray(rec["tile_stats"])[:, 1].sum() == 0
 
 
 @pytest.mark.parametrize("kind", ["terrain", "soup"])
@@ -83,7 +112,8 @@ def test_plist_so_affine_parity(kind):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_plist_sorted_break_is_conservative():
+@pytest.mark.parametrize("supers", [False, True])
+def test_plist_sorted_break_is_conservative(supers):
     """The early break must never drop a real hit: compare against the
     same engine with the break disabled (t_upper pinned at BIG via
     cadence larger than any list)."""
@@ -92,9 +122,11 @@ def test_plist_sorted_break_is_conservative():
     import clpathtracer_tpu.ops.plist as mod
     old = mod.TUP_EVERY
     try:
-        rec = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+        rec = pls.traverse_plist(mwin, orig, dirs, (64, 64),
+                                 supers=supers)
         mod.TUP_EVERY = 10 ** 9  # never refresh -> no break, full sweep
-        full = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+        full = pls.traverse_plist(mwin, orig, dirs, (64, 64),
+                                  supers=supers)
     finally:
         mod.TUP_EVERY = old
     np.testing.assert_array_equal(np.asarray(rec["hit"]),
