@@ -199,6 +199,43 @@ def _win_keys(win_bnd, d, o, bh, bw):
     return jnp.where(keep, jnp.maximum(t_en, 0.0), jnp.float32(jnp.inf))
 
 
+def _bundle_keys(win_bnd, orig_b, dir_b):
+    """Conservative per-(bundle, window) keys for ARBITRARY ray bundles
+    (no shared origin, no pixel-grid frustum): interval-arithmetic slab
+    test with per-axis origin ranges [olo, ohi] x inverse-direction
+    ranges [il, ih]. Sound by interval bounds: the bundle entry key
+    lower-bounds every lane's entry distance and the exit upper-bounds
+    every lane's exit, so a culled window (en > ex or ex <= 0) provably
+    misses every lane. Mixed-sign direction axes contribute nothing
+    (conservative). orig_b/dir_b: [B, L, 3]. Returns [B, W] (+inf =
+    culled); culling quality IS the bundle coherence — callers sort."""
+    lo = [win_bnd[:, j] for j in range(3)]
+    hi = [win_bnd[:, 3 + j] for j in range(3)]
+    B = orig_b.shape[0]
+    t_en = jnp.full((B, 1), -INV_BIG, jnp.float32)
+    t_ex = jnp.full((B, 1), INV_BIG, jnp.float32)
+    for ax in range(3):
+        inv = jnp.clip(1.0 / dir_b[:, :, ax], -INV_BIG, INV_BIG)
+        il = jnp.min(inv, axis=1, keepdims=True)
+        ih = jnp.max(inv, axis=1, keepdims=True)
+        olo = jnp.min(orig_b[:, :, ax], axis=1, keepdims=True)
+        ohi = jnp.max(orig_b[:, :, ax], axis=1, keepdims=True)
+        uniform = il * ih > 0.0
+        pos = il > 0.0
+        nearb = jnp.where(pos, lo[ax][None, :], hi[ax][None, :])
+        farb = jnp.where(pos, hi[ax][None, :], lo[ax][None, :])
+        na, nb = nearb - ohi, nearb - olo
+        fa, fb = farb - ohi, farb - olo
+        near_lo = jnp.minimum(jnp.minimum(na * il, na * ih),
+                              jnp.minimum(nb * il, nb * ih))
+        far_hi = jnp.maximum(jnp.maximum(fa * il, fa * ih),
+                             jnp.maximum(fb * il, fb * ih))
+        t_en = jnp.maximum(t_en, jnp.where(uniform, near_lo, -INV_BIG))
+        t_ex = jnp.minimum(t_ex, jnp.where(uniform, far_hi, INV_BIG))
+    keep = (t_en <= t_ex) & (t_ex > 0.0)
+    return jnp.where(keep, jnp.maximum(t_en, 0.0), jnp.float32(jnp.inf))
+
+
 def gate_lists(win_bnd, dir_g, origin, win_rows: int):
     """For every packet (gate), the windows it must test, sorted
     front-to-back. Returns (row0 [G, C, 8, 128] f32, ten [G, C, 8, 128]
@@ -400,7 +437,6 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
     variant (default: CLPT_PLIST_SUPER env, on when the window count is
     SUPER-granular)."""
     from clpathtracer_tpu.ops.packet import _blockify, _unblockify
-    from clpathtracer_tpu.ops.traverse_fast import _mt_pre
     n = orig.shape[0]
     h, w = image_shape
     assert n == h * w and h % GH == 0 and w % GW == 0
@@ -425,9 +461,11 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
         key, sid, bits = _gate_lists_super(mwin.win_bnd, dir_b, orig[0],
                                            mwin.win_rows)
         tris_w = rows128.reshape(-1, mwin.win_rows, 128)
+        t0 = jnp.full((1, n), BIG, jnp.float32)
         out_t, out_s, tile_stats = _plist_super_call(
             key, sid, bits, tris_w, orig_b.T.astype(jnp.float32),
-            dir_b.T, interpret=interpret, so=so, win_rows=mwin.win_rows)
+            dir_b.T, t0, interpret=interpret, so=so,
+            win_rows=mwin.win_rows)
     else:
         row0, ten = _gate_lists(mwin.win_bnd, dir_b, orig[0],
                                 mwin.win_rows)
@@ -437,6 +475,17 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
 
     best_t = _unblockify(out_t[0], h, w, GH, GW)
     best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, GH, GW)
+    return _resolve_winners(mwin, best_slot, orig, dir,
+                            tile_stats[::8, :5])
+
+
+def _resolve_winners(mwin, best_slot, orig, dir, tile_stats):
+    """Re-resolve the kernel's winner slots to the traverse record: the
+    winner quad's exact f32 t/u/v via one general MT per ray
+    (ops/traverse_fast.py::_mt_pre) — the kernels carry only (t, slot).
+    best_slot must be in the caller's ray order (unblockify first)."""
+    from clpathtracer_tpu.ops.traverse_fast import _mt_pre
+    n = orig.shape[0]
     hit = best_slot >= 0
     tris16 = mwin.tris128.reshape(-1, 16)
     slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
@@ -456,7 +505,7 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
         "u": jnp.where(hit, u, 0.0),
         "v": jnp.where(hit, v, 0.0),
         "steps": jnp.zeros((n,), jnp.int32),
-        "tile_stats": tile_stats[::8, :5],
+        "tile_stats": tile_stats,
     }
 
 
@@ -488,7 +537,14 @@ def gate_lists_super(win_bnd, dir_g, origin, win_rows: int):
     G = dir_g.shape[0] // GATE
     d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
     key_w = _win_keys(win_bnd, d, origin, GH, GW)           # [G, W]
-    w = key_w.shape[1]
+    return _super_pack(key_w)
+
+
+def _super_pack(key_w):
+    """Reduce per-window keys [G, W] to sorted super-entry lists (the
+    gate_lists_super contract): min-key per super, need bits, variadic
+    key+sid+bits sort, [G, C, 8, 128] chunk packing."""
+    G, w = key_w.shape
     inf = jnp.float32(jnp.inf)
     spad = -w % SUPER
     if spad:  # unpadded builds (build_morton_windows pads to SUPER)
@@ -526,13 +582,20 @@ _gate_lists_super = jax.jit(gate_lists_super,
 
 
 def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
-                        d_ref, t_ref, slot_ref, stats_ref, key_smem,
-                        sid_smem, bit_smem, list_sem, tri_buf, tri_sem,
-                        acc_t, acc_s, *, so, win_rows, nchunks):
+                        d_ref, t0_ref, t_ref, slot_ref, stats_ref,
+                        key_smem, sid_smem, bit_smem, list_sem, tri_buf,
+                        tri_sem, acc_t, acc_s, *, so, win_rows, nchunks):
     g = pl.program_id(0)
     rays = _ray_rows(o_ref, d_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     wr = win_rows
+    # per-lane t upper-bound seeds ([1, GATE]): BIG for primary rays;
+    # the light distance for shadow bundles (windows entirely beyond
+    # every lane's bound can never occlude), 0 for dead lanes. Also
+    # clamps the t_upper REFRESH per lane — without it a single
+    # never-hit lane (acc stays BIG) would drag tup back to BIG and
+    # void the bound.
+    t0 = t0_ref[...]
 
     def load_chunk(c):
         for ref, sm in ((key_ref, key_smem), (sid_ref, sid_smem),
@@ -565,7 +628,7 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
 
     load_chunk(0)
     key0, sid0, bit0 = ent(0)
-    tup0 = jnp.float32(BIG)
+    tup0 = jnp.minimum(jnp.float32(BIG), jnp.max(t0))
     alive0 = key0 <= tup0
 
     @pl.when(alive0)
@@ -593,11 +656,14 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
         def _():
             start_tri(sid1, 1 - par)
 
-        # consume super j: per-window bit-gated dense math
+        # consume super j: per-window bit-gated dense math. A/B knob
+        # CLPT_SUPER_NOBITS=1 runs every window unconditionally (sound:
+        # the cull is conservative, un-needed windows can only miss) —
+        # measures the scalar-branch cost against the extra dense math.
         wait_tri(sid_j, par)
+        nobits = _os.environ.get("CLPT_SUPER_NOBITS") == "1"
         for k in range(SUPER):
-            @pl.when(((bit_j >> k) & 1) == 1)
-            def _(k=k):
+            def consume(k=k):
                 rid = ((sid_j * SUPER + k) * wr + iota_wr) \
                     .astype(jnp.float32)
                 ta, sa = mt(tri_buf.at[par], k, rays, GATE, None, None,
@@ -605,6 +671,10 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
                             merge=False, acc=(acc_t[...], acc_s[...]))
                 acc_t[...] = ta
                 acc_s[...] = sa
+            if nobits:
+                consume()
+            else:
+                pl.when(((bit_j >> k) & 1) == 1)(consume)
         ns = ns + 1
         nw_j = jnp.int32(0)
         for k in range(SUPER):
@@ -612,7 +682,8 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
         nw = nw + nw_j
         tup = jax.lax.cond(
             ns % TUP_EVERY == 0,
-            lambda: jnp.max(jnp.min(acc_t[...], axis=0)), lambda: tup)
+            lambda: jnp.max(jnp.minimum(jnp.min(acc_t[...], axis=0),
+                                        t0[0])), lambda: tup)
         return j1, 1 - par, sid1, bit1, nxt, tup, ns, nw
 
     st = (jnp.int32(0), jnp.int32(0), sid0, bit0, alive0, tup0,
@@ -639,7 +710,7 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "so", "win_rows"))
-def _plist_super_call(key, sid, bits, tris_w, orig_t, dir_t,
+def _plist_super_call(key, sid, bits, tris_w, orig_t, dir_t, t0,
                       interpret=False, so=True, win_rows=16):
     n = orig_t.shape[1]
     grid = n // GATE
@@ -657,6 +728,8 @@ def _plist_super_call(key, sid, bits, tris_w, orig_t, dir_t,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, GATE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),  # t upper-bound seeds
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
@@ -682,7 +755,61 @@ def _plist_super_call(key, sid, bits, tris_w, orig_t, dir_t,
             pltpu.VMEM((win_rows, GATE), jnp.float32),
         ],
         interpret=interpret,
-    )(key, sid, bits, tris_w, orig_t, dir_t)
+    )(key, sid, bits, tris_w, orig_t, dir_t, t0)
+
+
+@jax.jit
+def _bundle_lists(win_bnd, ob, db):
+    return _super_pack(_bundle_keys(win_bnd, ob, db))
+
+
+def plist_bundle_supported(mwin, n_rays: int) -> bool:
+    return (mwin is not None and n_rays % GATE == 0
+            and mwin.num_windows % SUPER == 0
+            and _os.environ.get("CLPT_PLIST_BOUNCE", "1") != "0")
+
+
+def traverse_plist_bundle(mwin: MortonWindows, orig, dir, active=None,
+                          t_max=None, interpret: bool = None):
+    """Trace an ARBITRARY wavefront (scattered bounce/shadow rays)
+    through the Morton windows: consecutive 512-ray bundles get
+    conservative interval-slab keys (_bundle_keys — no shared origin,
+    no frustum) and ride the same super-list streaming kernel with the
+    general per-lane MT math. Same record contract as traverse_plist.
+
+    Callers should Morton/octant-sort the wavefront first (ops/sort.py)
+    — culling quality IS the bundle coherence. Dead lanes (active
+    False) get zeroed directions: their slab intervals collapse
+    conservatively and the dense MT can never accept a hit (det == 0).
+    t_max ([N] f32, optional): per-lane upper bound on useful hits
+    (shadow-query light distances) — seeds the kernel's streaming break
+    so windows beyond every lane's bound are never fetched; hits beyond
+    a lane's own t_max may still be reported (callers compare t).
+    Replaces the kd-walk packet engine for sorted bounce waves
+    (reference analogue: the per-ray rope walk of
+    /root/reference/src/kernel.cl:323-389 re-shaped for bundles)."""
+    n = orig.shape[0]
+    assert n % GATE == 0
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    dirm = (jnp.where(active[:, None], dir, 0.0)
+            if active is not None else dir)
+    ob = orig.reshape(-1, GATE, 3).astype(jnp.float32)
+    db = dirm.reshape(-1, GATE, 3).astype(jnp.float32)
+    key, sid, bits = _bundle_lists(mwin.win_bnd, ob, db)
+    tris_w = mwin.tris128.reshape(-1, mwin.win_rows, 128)
+    t0 = (jnp.full((n,), BIG, jnp.float32) if t_max is None
+          else jnp.asarray(t_max, jnp.float32))
+    if active is not None:
+        t0 = jnp.where(active, t0, 0.0)
+    out_t, out_s, tile_stats = _plist_super_call(
+        key, sid, bits, tris_w,
+        jnp.asarray(orig, jnp.float32).T, jnp.asarray(dirm, jnp.float32).T,
+        t0.reshape(1, n),
+        interpret=interpret, so=False, win_rows=mwin.win_rows)
+    best_slot = out_s[0].astype(jnp.int32)
+    return _resolve_winners(mwin, best_slot, orig, dir,
+                            tile_stats[::8, :5])
 
 
 # ---------------------------------------------------------------------------
@@ -991,7 +1118,6 @@ def traverse_plist4(mwin: MortonWindows, orig, dir, image_shape,
     ~10M triangles per 128-tri window (plist_supported4 checks)."""
     from clpathtracer_tpu.ops.packet import _blockify_strips, \
         _unblockify_strips
-    from clpathtracer_tpu.ops.traverse_fast import _mt_pre
     n = orig.shape[0]
     h, w = image_shape
     assert n == h * w and h % GH == 0 and w % GW == 0
@@ -1019,27 +1145,8 @@ def traverse_plist4(mwin: MortonWindows, orig, dir, image_shape,
     best_t = _unblockify_strips(out_t[0], h, w, GH, GW, SBH, SBW)
     best_slot = _unblockify_strips(out_s[0].astype(jnp.int32), h, w,
                                    GH, GW, SBH, SBW)
-    hit = best_slot >= 0
-    tris16 = mwin.tris128.reshape(-1, 16)
-    slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
-    quads = mwin.quads
-    qsel = quads[slot_safe // 4].reshape(-1, 4, 16)
-    lanes = slot_safe % 4
-    sel = qsel[:, 0, :]
-    for j in range(1, 4):
-        sel = jnp.where((lanes == j)[:, None], qsel[:, j, :], sel)
-    v0s, e1s, e2s = sel[:, 0:3], sel[:, 3:6], sel[:, 6:9]
-    ok, t, u, v = _mt_pre(v0s, e1s, e2s, orig, dir)
-    tri = jnp.where(hit, sel[:, 9].astype(jnp.int32), -1)
-    return {
-        "hit": hit,
-        "t": jnp.where(hit, t, BIG),
-        "tri": tri,
-        "u": jnp.where(hit, u, 0.0),
-        "v": jnp.where(hit, v, 0.0),
-        "steps": jnp.zeros((n,), jnp.int32),
-        "tile_stats": tile_stats[::8, :5],
-    }
+    return _resolve_winners(mwin, best_slot, orig, dir,
+                            tile_stats[::8, :5])
 
 
 def plist4_supported(mwin, n_rays: int, image_shape) -> bool:

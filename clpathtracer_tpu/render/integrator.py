@@ -187,18 +187,31 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                                       shared_origin=shared_origin,
                                       grid_dirs=grid_dirs)
             elif (opts.intersector == "packet" and opts.sort_bounces
-                  and packet_supported(tree, orig.shape[0],
-                                       opts.packet_tile)):
+                  and (packet_supported(tree, orig.shape[0],
+                                        opts.packet_tile)
+                       or getattr(tree, "mwin", None) is not None)):
                 # scattered bounce rays: Morton/octant-sort the wavefront
                 # into coherent packets — dead lanes cluster at the tail
                 # where whole tiles skip — trace, restore order
-                # (ops/sort.py)
+                # (ops/sort.py). With Morton windows attached the bundles
+                # ride the walk-free plist super-list engine
+                # (ops/plist.py::traverse_plist_bundle) instead of the
+                # kd-walk packet kernel.
+                from clpathtracer_tpu.ops.plist import (
+                    plist_bundle_supported, traverse_plist_bundle)
                 from clpathtracer_tpu.ops.sort import sort_rays
                 perm, inv = sort_rays(orig, dir, alive=active)
                 act_p = active[perm] if active is not None else None
-                rec = traverse_packet(tree, quads, orig[perm], dir[perm],
-                                      tile=opts.packet_tile, active=act_p,
-                                      precision=opts.precision)
+                if plist_bundle_supported(getattr(tree, "mwin", None),
+                                          orig.shape[0]):
+                    rec = traverse_plist_bundle(tree.mwin, orig[perm],
+                                                dir[perm], active=act_p)
+                else:
+                    rec = traverse_packet(tree, quads, orig[perm],
+                                          dir[perm],
+                                          tile=opts.packet_tile,
+                                          active=act_p,
+                                          precision=opts.precision)
                 rec = {k: v[inv] if v.shape[:1] == perm.shape else v
                        for k, v in rec.items()}
             else:
@@ -351,13 +364,39 @@ def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions,
     elif (opts.use_tree and tree is not None
             and getattr(tree, "node_table", None) is not None
             and opts.tri_block == 4):
-        quads = (tree.quads if getattr(tree, "quads", None) is not None
-                 else pack_quads(tree.tri_indices, *scene.tri_verts()))
-        rec = traverse_fast(tree, sg(quads), o, d,
-                            max_iters=opts.max_iters, compact=opts.compact,
-                            t_max=dd - 1e-3,
-                            active=None if active is None else sg(active))
-        occ = rec["hit"]
+        import os as _os
+
+        from clpathtracer_tpu.ops.plist import (plist_bundle_supported,
+                                                traverse_plist_bundle)
+        act = None if active is None else sg(active)
+        if (opts.sort_bounces
+                and _os.environ.get("CLPT_SHADOW_BUNDLE", "0") == "1"
+                and plist_bundle_supported(getattr(tree, "mwin", None),
+                                           o.shape[0])):
+            # MEASURED NEGATIVE, kept env-gated (off by default): shadow
+            # rays through the sorted-bundle plist engine with the
+            # t_max-seeded break. On the emissive soup it is 2.3x SLOWER
+            # per shadow wave than the t_max rope walk below (2.8s vs
+            # 1.2s per wave, chip, 512^2): shadow directions point at
+            # per-lane random light samples, so bundles get near-useless
+            # interval cones, while the fog's high occlusion lets the
+            # per-ray walk exit on the first nearby leaf.
+            from clpathtracer_tpu.ops.sort import sort_rays
+            perm, inv = sort_rays(o, d, alive=act)
+            rec = traverse_plist_bundle(
+                tree.mwin, o[perm], d[perm],
+                active=None if act is None else act[perm],
+                t_max=dd[perm])
+            occ = (rec["hit"] & (rec["t"] < dd[perm] - 1e-3))[inv]
+        else:
+            quads = (tree.quads
+                     if getattr(tree, "quads", None) is not None
+                     else pack_quads(tree.tri_indices, *scene.tri_verts()))
+            rec = traverse_fast(tree, sg(quads), o, d,
+                                max_iters=opts.max_iters,
+                                compact=opts.compact,
+                                t_max=dd - 1e-3, active=act)
+            occ = rec["hit"]
     else:
         srec = intersect_scene(scene, tree, o, d, opts, coherent=False)
         occ = srec["hit"] & (srec["t"] < dd - 1e-3)
@@ -389,8 +428,14 @@ def _sample_light(scene, key, n):
     probs = w / jnp.maximum(total, 1e-30)
 
     kf, kb = jax.random.split(key)
-    f = jax.random.categorical(kf, jnp.log(jnp.maximum(probs, 1e-37)),
-                               shape=(n,))
+    # inverse-CDF sample, NOT jax.random.categorical: categorical's
+    # Gumbel-max reduces over an (n, num_tris) product — ~2.6e11
+    # generated elements per 262k-ray wave on a 1M-tri scene (XLA fuses
+    # the reduce so it fits, but the arithmetic alone costs seconds).
+    # searchsorted is n * log2(num_tris) work.
+    cdf = jnp.cumsum(probs)
+    u = jax.random.uniform(kf, (n,)) * cdf[-1]
+    f = jnp.clip(jnp.searchsorted(cdf, u), 0, probs.shape[0] - 1)
     uv = jax.random.uniform(kb, (n, 2))
     su = jnp.sqrt(uv[:, 0])
     bu = 1.0 - su

@@ -117,6 +117,8 @@ def main():
                                  "p90": float(np.percentile(ns, 90)),
                                  "max": float(ns.max()),
                                  "sum": float(ns.sum())},
+            # super-list kernel: lane 3 counts consumed supers
+            "supers_per_gate": float(ts[:, 3].mean()),
             "tests_per_ray": float(ns.sum()) * span * pls.GATE / n_rays,
             "tri_tests_per_s": float(ns.sum()) * span * pls.GATE / best,
             "checksum": chk2,

@@ -200,6 +200,60 @@ def tv_scene():
 
 
 @pytest.mark.parametrize("kind", ["terrain", "soup"])
+def test_plist_bundle_parity_vs_wavefront(kind):
+    """The bundle engine (arbitrary scattered rays, interval-slab keys,
+    general per-lane MT) matches the wavefront reference exactly on
+    Morton-sorted random rays."""
+    from clpathtracer_tpu.ops.sort import sort_rays
+    tv, _, _ = _scene(kind)
+    mwin = pls.build_morton_windows(tv, win_rows=8)
+    tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
+    rng = np.random.default_rng(3)
+    n = 2048
+    orig = jnp.asarray(rng.uniform(-12, 12, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d)
+    perm, inv = sort_rays(orig, dirs)
+    rec = pls.traverse_plist_bundle(mwin, orig[perm], dirs[perm])
+    rec = {k: (v[inv] if v.shape[:1] == perm.shape else v)
+           for k, v in rec.items()}
+    ref = traverse_fast(tree, tree.quads, orig, dirs)
+    _assert_parity(rec, ref)
+
+
+def test_plist_bundle_active_mask():
+    """Dead lanes (active False) never take hits and alive lanes match
+    the all-alive trace."""
+    from clpathtracer_tpu.ops.sort import sort_rays
+    tv, _, _ = _scene("terrain")
+    mwin = pls.build_morton_windows(tv, win_rows=8)
+    rng = np.random.default_rng(5)
+    n = 1024
+    orig = jnp.asarray(rng.uniform(-12, 12, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d)
+    perm, inv = sort_rays(orig, dirs)
+    full = pls.traverse_plist_bundle(mwin, orig[perm], dirs[perm])
+    full = {k: (v[inv] if v.shape[:1] == perm.shape else v)
+            for k, v in full.items()}
+    act = jnp.asarray(np.arange(n) % 2 == 0)
+    perm2, inv2 = sort_rays(orig, dirs, alive=act)
+    rec = pls.traverse_plist_bundle(mwin, orig[perm2], dirs[perm2],
+                                    active=act[perm2])
+    rec = {k: (v[inv2] if v.shape[:1] == perm2.shape else v)
+           for k, v in rec.items()}
+    a = np.asarray(act)
+    assert not np.asarray(rec["hit"])[~a].any()
+    np.testing.assert_array_equal(np.asarray(rec["hit"])[a],
+                                  np.asarray(full["hit"])[a])
+    h = a & np.asarray(full["hit"])
+    np.testing.assert_array_equal(np.asarray(rec["t"])[h],
+                                  np.asarray(full["t"])[h])
+
+
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
 def test_plist4_parity_vs_wavefront(kind):
     """Sub-gate engine (4 independent 128-ray packets per program):
     identical hits to the wavefront reference."""
