@@ -10,6 +10,9 @@ Controls (reference bindings, src/game.c:108-171):
   W/A/S/D   move forward/left/back/right      Space/C  up/down
   Shift     sprint (x3)      Ctrl+move        walk (x0.3)
   arrows    look             +/-              FOV zoom
+  mouse     drag to look (the reference's raw-mouse capture,
+            src/GLState.c:130-133 / src/game.c:181-202, recast as
+            motion_notify deltas while a button is held)
   q         quit
 
 Requires matplotlib; import is deferred so the core library never needs it.
@@ -81,6 +84,34 @@ def run_viewer(scene, tree, opts, position=(0.0, 0.1, -0.2), fps_cap=30.0,
             state["dirty"] = True
 
     fig.canvas.mpl_connect("key_press_event", on_key)
+
+    # mouse-look: continuous pixel deltas while a button is held — the
+    # viewer analogue of the reference's raw mouse capture. Sensitivity
+    # matches FlyCamera.look's radians-per-unit scaled by FOV (the
+    # reference rescales sensitivity with zoom; fc.look already does).
+    drag = {"xy": None}
+
+    def on_press(event):
+        if event.button == 1 and event.inaxes is ax:
+            drag["xy"] = (event.x, event.y)
+
+    def on_release(event):
+        drag["xy"] = None
+
+    def on_motion(event):
+        if drag["xy"] is None or event.x is None:
+            return
+        px, py = drag["xy"]
+        drag["xy"] = (event.x, event.y)
+        # matplotlib y grows upward; fc.look's dy is pitch-down, so an
+        # upward drag (dy > 0) must pass negative dy to look UP (the
+        # reference's non-inverted mouse look)
+        fc.look((event.x - px) * 0.005, -(event.y - py) * 0.005)
+        state["dirty"] = True
+
+    fig.canvas.mpl_connect("button_press_event", on_press)
+    fig.canvas.mpl_connect("button_release_event", on_release)
+    fig.canvas.mpl_connect("motion_notify_event", on_motion)
 
     def on_timer(_=None):
         if state["quit"]:

@@ -1,0 +1,110 @@
+"""Isolate one NEE shadow wave on the chip: traverse_fast with t_max on
+fog-interior origins and per-lane random light directions — the
+configuration that dominates the path-mode frame (2x ~1.2s of 3.49s).
+
+Variants: unsorted (the integrator today), Morton-sorted, and
+compact on/off, plus a max_iters sweep.
+
+  env PYTHONPATH=/root/.axon_site:/root/repo python probes/probe_shadow_wave.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clpathtracer_tpu.accel.sah import build_kd_tree
+    from clpathtracer_tpu.core.camera import Camera, cam_matrix, generate_rays
+    from clpathtracer_tpu.ops.sort import sort_rays
+    from clpathtracer_tpu.ops.traverse_fast import traverse_fast
+    from clpathtracer_tpu.scene.procedural import random_tri_soup
+
+    ntris = int(os.environ.get("PROBE_TRIS", 1_000_000))
+    res = int(os.environ.get("PROBE_RES", 512))
+    reps = int(os.environ.get("PROBE_REPS", 5))
+    dev = jax.devices()[0]
+    cpu = jax.local_devices(backend="cpu")[0]
+    log(f"# device {dev}")
+
+    with jax.default_device(cpu):
+        scene = random_tri_soup(ntris, seed=0, extent=10.0, tri_size=0.01)
+        cam = Camera.create(position=[0.0, 0.0, -25.0],
+                            forward=[0.0, 0.0, 1.0])
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = build_kd_tree(tv, max_depth=14, leaf_size=512, tri_block=4)
+        orig, dirs = generate_rays(cam_matrix(cam, res), res, res)
+        # primary hit points as shadow origins (host-side oracle trace is
+        # too slow at 1M; approximate: points along each primary ray at a
+        # fog-typical depth plus noise — same spatial statistics)
+        rng = np.random.default_rng(0)
+        depth = rng.uniform(18.0, 30.0, (res * res, 1)).astype(np.float32)
+        o_np = np.asarray(orig) + np.asarray(dirs) * depth
+        # per-lane random light points in the fog volume
+        lp = rng.uniform(-10, 10, (res * res, 3)).astype(np.float32)
+        to_l = lp - o_np
+        dist_np = np.linalg.norm(to_l, axis=1)
+        d_np = to_l / np.maximum(dist_np[:, None], 1e-9)
+        act_np = rng.uniform(size=(res * res,)) < 0.7
+
+    o = jax.device_put(jnp.asarray(o_np), dev)
+    d = jax.device_put(jnp.asarray(d_np), dev)
+    dist = jax.device_put(jnp.asarray(dist_np), dev)
+    act = jax.device_put(jnp.asarray(act_np), dev)
+    tree = jax.device_put(tree, dev)
+    quads = tree.quads
+
+    def occ_wave(tree, quads, o, d, dist, act, sort, compact, max_iters):
+        if sort:
+            perm, inv = sort_rays(o, d, alive=act)
+            o, d, dist, act = o[perm], d[perm], dist[perm], act[perm]
+        rec = traverse_fast(tree, quads, o, d, max_iters=max_iters,
+                            compact=compact, t_max=dist - 1e-3,
+                            active=act)
+        occ = rec["hit"]
+        if sort:
+            occ = occ[inv]
+        return occ
+
+    for sort in (False, True):
+        for compact in (True, False):
+            for mi in (16384, 2048):
+                def chain(n, tree, quads, o, d, dist, act):
+                    def body(i, c):
+                        occ = occ_wave(tree, quads, o + c * 1e-38, d,
+                                       dist, act, sort, compact, mi)
+                        return jnp.sum(occ.astype(jnp.float32))
+                    return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+                jf = jax.jit(chain)
+                t0 = time.time()
+                chk = float(jf(1, tree, quads, o, d, dist, act))
+                comp = time.time() - t0
+                t0 = time.time()
+                _ = float(jf(1, tree, quads, o, d, dist, act))
+                t1 = time.time() - t0
+                t0 = time.time()
+                chk2 = float(jf(1 + reps, tree, quads, o, d, dist, act))
+                tk = time.time() - t0
+                wave = max((tk - t1) / reps, 1e-9)
+                print(json.dumps({
+                    "sort": sort, "compact": compact, "max_iters": mi,
+                    "wave_ms": wave * 1e3,
+                    "us_per_ray": wave / (res * res) * 1e6,
+                    "occluded_frac": chk / (res * res * 0.7),
+                    "compile_s": comp}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

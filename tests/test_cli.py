@@ -168,6 +168,44 @@ class TestViewer:
         fc.step(0.1)
         assert fc.position[2] > p0[2]
 
+    def test_viewer_mouse_look(self, cube_obj, monkeypatch):
+        """Dragging with the left button held turns the camera — the
+        reference's raw-mouse look (src/GLState.c:130-133) recast as
+        motion_notify deltas."""
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        from matplotlib.backend_bases import MouseEvent
+        monkeypatch.setattr(plt, "show", lambda *a, **k: None)
+        from clpathtracer_tpu.cli.viewer import run_viewer
+        from clpathtracer_tpu.render.integrator import RenderOptions
+        from clpathtracer_tpu.scene.cache import load_model
+        scene, tree = load_model(cube_obj)
+        fc = run_viewer(scene, tree,
+                        RenderOptions(width=16, height=16, mode="normal"),
+                        position=(0.5, 0.5, -2.0))
+        fig = plt.gcf()
+        yaw0, pitch0 = fc.yaw, fc.pitch
+        ax = fig.axes[0]
+        (x0, y0), (x1, y1) = ax.bbox.get_points()
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        MouseEvent("button_press_event", fig.canvas, cx, cy,
+                   button=1)._process()
+        MouseEvent("motion_notify_event", fig.canvas, cx + 40,
+                   cy + 25)._process()
+        MouseEvent("button_release_event", fig.canvas, cx + 40, cy + 25,
+                   button=1)._process()
+        assert fc.yaw != yaw0 and fc.pitch != pitch0
+        # drag up must pitch UP (non-inverted look): dy>0 -> pitch toward
+        # +up, i.e. the pitch moved opposite the pitch-down key direction
+        assert (fc.pitch - pitch0) * (+1.0) != 0.0
+        # releasing ends the drag: further motion must not turn
+        yaw1 = fc.yaw
+        MouseEvent("motion_notify_event", fig.canvas, cx + 80,
+                   cy)._process()
+        assert fc.yaw == yaw1
+        plt.close(fig)
+
     def test_render_with_sphere(self, cube_obj, tmp_path):
         """Sphere primitives via CLI — the reference's dead sphere pipeline
         made real end-to-end."""
