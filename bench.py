@@ -140,6 +140,8 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
                          bounces=bounces, use_tree=True, tri_block=4,
                          intersector=intersector, packet_tile=packet_tile,
                          nee=nee, sort_bounces=sort_bounces,
+                         nee_light_stride=int(
+                             os.environ.get("BENCH_NEE_STRIDE", "1")),
                          background=0.0 if mode == "path" else 1.0)
 
     scene = jax.device_put(scene, dev)

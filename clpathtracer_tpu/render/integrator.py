@@ -85,6 +85,14 @@ class RenderOptions:
     precision: str = "f32"     # "bf16" = preview-quality packet
     #   intersection (~2x VPU rate; bf16 cancellation costs ~7% of hits
     #   on small-triangle scenes — previews only). Stream engine only.
+    nee_light_stride: int = 1  # NEE: one light sample shared by each
+    #   run of this many consecutive rays (1 = independent per-lane
+    #   sampling, the reference estimator). Strides of a plist-bundle
+    #   multiple (512) make the shadow wave's directions converge to
+    #   per-bundle points — the coherence the sorted-bundle shadow
+    #   engine needs (CLPT_SHADOW_BUNDLE) — at the cost of CORRELATED
+    #   direct-lighting noise within each run (unbiased: the shared
+    #   sample is still drawn from the exact emitter pdf).
 
 
 # ---------------------------------------------------------------------------
@@ -381,13 +389,22 @@ def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions,
             # per-lane random light samples, so bundles get near-useless
             # interval cones, while the fog's high occlusion lets the
             # per-ray walk exit on the first nearby leaf.
-            from clpathtracer_tpu.ops.sort import sort_rays
-            perm, inv = sort_rays(o, d, alive=act)
-            rec = traverse_plist_bundle(
-                tree.mwin, o[perm], d[perm],
-                active=None if act is None else act[perm],
-                t_max=dd[perm])
-            occ = (rec["hit"] & (rec["t"] < dd[perm] - 1e-3))[inv]
+            # With nee_light_stride >= GATE the wavefront arrives in
+            # runs that SHARE a light sample — bundles must then follow
+            # the pixel-order runs (a Morton re-sort would remix rays
+            # across runs and destroy the converging-direction cones).
+            if opts.nee_light_stride >= 512:
+                rec = traverse_plist_bundle(tree.mwin, o, d, active=act,
+                                            t_max=dd)
+                occ = rec["hit"] & (rec["t"] < dd - 1e-3)
+            else:
+                from clpathtracer_tpu.ops.sort import sort_rays
+                perm, inv = sort_rays(o, d, alive=act)
+                rec = traverse_plist_bundle(
+                    tree.mwin, o[perm], d[perm],
+                    active=None if act is None else act[perm],
+                    t_max=dd[perm])
+                occ = (rec["hit"] & (rec["t"] < dd[perm] - 1e-3))[inv]
         else:
             quads = (tree.quads
                      if getattr(tree, "quads", None) is not None
@@ -409,16 +426,24 @@ def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions,
     return occ
 
 
-def _sample_light(scene, key, n):
+def _sample_light(scene, key, n, stride: int = 1):
     """Area-sample emissive triangles: returns (point [n,3], normal [n,3],
     emitted [n,3], pdf_area [n], any_light scalar bool).
 
     Faces weighted by luminance x area; barycentric-uniform point on the
     chosen face. pdf is per unit area so the G-term conversion applies.
+    stride > 1 draws one sample per run of `stride` consecutive lanes
+    (RenderOptions.nee_light_stride): correlated but unbiased — each
+    run's sample still comes from the exact emitter pdf.
     """
     if scene.num_tris == 0:
         z = jnp.zeros((n, 3))
         return z, z, z, jnp.ones((n,)), jnp.asarray(False)
+    if stride > 1:
+        m = -(-n // stride)
+        p, nrm, lemit, pdf_area, any_light = _sample_light(scene, key, m)
+        rep = lambda x: jnp.repeat(x, stride, axis=0)[:n]
+        return rep(p), rep(nrm), rep(lemit), rep(pdf_area), any_light
     v0, v1, v2 = scene.tri_verts()
     cross = vm.cross(v1 - v0, v2 - v0)
     area = 0.5 * vm.length(cross)
@@ -493,7 +518,8 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
             # light direction is albedo/pi right here — the albedo update
             # below belongs to the cosine-sampled continuation only
             key, kl = jax.random.split(key)
-            lp, ln, lemit, pdf_a, any_light = _sample_light(scene, kl, n)
+            lp, ln, lemit, pdf_a, any_light = _sample_light(
+                scene, kl, n, stride=opts.nee_light_stride)
             to_l = lp - point
             dist2 = jnp.maximum(vm.length_squared(to_l), 1e-12)
             dist = jnp.sqrt(dist2)

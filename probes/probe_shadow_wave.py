@@ -77,9 +77,12 @@ def main():
             occ = occ[inv]
         return occ
 
-    for sort in (False, True):
-        for compact in (True, False):
-            for mi in (16384, 2048):
+    combos = os.environ.get(
+        "PROBE_COMBOS",
+        "0:1:16384,0:1:2048,1:1:16384,1:0:16384").split(",")
+    for combo in combos:
+        s, c, m = combo.split(":")
+        for sort, compact, mi in [(s == "1", c == "1", int(m))]:
                 def chain(n, tree, quads, o, d, dist, act):
                     def body(i, c):
                         occ = occ_wave(tree, quads, o + c * 1e-38, d,

@@ -261,6 +261,29 @@ class TestNee:
         diff = np.abs(img_nee - img_bsdf).mean()
         assert diff < 0.15, diff
 
+    def test_nee_shared_light_stride_unbiased(self):
+        """nee_light_stride > 1 (one light sample per run of lanes —
+        the coherent-shadow-bundle estimator) must converge to the
+        per-lane estimator's mean: the shared sample is still drawn
+        from the exact emitter pdf, only the within-run correlation
+        changes."""
+        scene = cornell_box(light=True)
+        cam = Camera.create(position=[0.0, 0.0, -1.5],
+                            forward=[0.0, 0.0, 1.0])
+        base = dict(width=16, height=16, mode="path", bounces=2,
+                    nee=True, background=0.0)
+
+        def mean_img(stride, keys=24):
+            opts = RenderOptions(**base, nee_light_stride=stride)
+            acc = 0.0
+            for i in range(keys):
+                acc = acc + np.asarray(render_image(
+                    scene, cam, opts, key=jax.random.PRNGKey(100 + i)))
+            return acc / keys
+
+        a, b = mean_img(1), mean_img(8)
+        np.testing.assert_allclose(b.mean(), a.mean(), rtol=0.1)
+
     def test_nee_unbiased_low_albedo(self):
         """Regression (ADVICE r1): with albedo 0.25 the old NEE path applied
         the hit albedo twice, biasing the mean ~4x dark — the high-albedo
