@@ -75,7 +75,7 @@ def main():
         occ = rec["hit"]
         if sort:
             occ = occ[inv]
-        return occ
+        return occ, rec["steps"]
 
     combos = os.environ.get(
         "PROBE_COMBOS",
@@ -85,20 +85,26 @@ def main():
         for sort, compact, mi in [(s == "1", c == "1", int(m))]:
                 def chain(n, tree, quads, o, d, dist, act):
                     def body(i, c):
-                        occ = occ_wave(tree, quads, o + c * 1e-38, d,
-                                       dist, act, sort, compact, mi)
-                        return jnp.sum(occ.astype(jnp.float32))
-                    return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+                        occ, st = occ_wave(tree, quads, o + c[0] * 1e-38,
+                                           d, dist, act, sort, compact,
+                                           mi)
+                        return (jnp.sum(occ.astype(jnp.float32)),
+                                jnp.mean(st.astype(jnp.float32)),
+                                jnp.max(st))
+                    z = (jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
+                    return jax.lax.fori_loop(0, n, body, z)
 
                 jf = jax.jit(chain)
                 t0 = time.time()
-                chk = float(jf(1, tree, quads, o, d, dist, act))
+                out = jf(1, tree, quads, o, d, dist, act)
+                chk = float(out[0])
                 comp = time.time() - t0
                 t0 = time.time()
-                _ = float(jf(1, tree, quads, o, d, dist, act))
+                _ = float(jf(1, tree, quads, o, d, dist, act)[0])
                 t1 = time.time() - t0
                 t0 = time.time()
-                chk2 = float(jf(1 + reps, tree, quads, o, d, dist, act))
+                out = jf(1 + reps, tree, quads, o, d, dist, act)
+                chk2 = float(out[0])
                 tk = time.time() - t0
                 wave = max((tk - t1) / reps, 1e-9)
                 print(json.dumps({
@@ -106,6 +112,8 @@ def main():
                     "wave_ms": wave * 1e3,
                     "us_per_ray": wave / (res * res) * 1e6,
                     "occluded_frac": chk / (res * res * 0.7),
+                    "steps_mean": float(out[1]),
+                    "steps_max": int(out[2]),
                     "compile_s": comp}), flush=True)
 
 

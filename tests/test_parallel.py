@@ -121,3 +121,30 @@ class TestShardedPacket:
             jax.device_put(tree, repl),
             jax.device_put(jax.random.PRNGKey(0), repl)))
         np.testing.assert_array_equal(img_1, img_8)
+
+    def test_plist_sharded_matches_single(self):
+        """The plist super-list engine under shard_map: each device runs
+        the prepass+kernel on its own row block. Bit-identical to the
+        single-device plist render — gate partitioning cannot change
+        winners (per-ray nearest + lowest-slot tie rule are
+        gate-independent)."""
+        from clpathtracer_tpu.accel.sah import attach_morton_windows
+        from clpathtracer_tpu.parallel.mesh import (
+            make_sharded_packet_renderer, replicated)
+        scene = icosphere(2)
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = attach_morton_windows(_tree_for(scene), tv, win_rows=8)
+        assert tree.mwin is not None
+        cam = Camera.create(position=[0.0, 0.0, -1.0], forward=[0, 0, 1.0])
+        opts = RenderOptions(width=64, height=256, mode="normal",
+                             intersector="packet")
+        img_1 = np.asarray(render_image(scene, cam, opts, tree=tree))
+        mesh = default_mesh()
+        repl = replicated(mesh)
+        rend = make_sharded_packet_renderer(opts, mesh)
+        img_8 = np.asarray(rend(
+            jax.device_put(scene, repl), jax.device_put(cam, repl),
+            jax.device_put(tree, repl),
+            jax.device_put(jax.random.PRNGKey(0), repl)))
+        np.testing.assert_array_equal(img_1, img_8)
