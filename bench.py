@@ -127,6 +127,15 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
         t0 = time.time()
         tree = build_kd_tree(tv, max_depth=max_depth, leaf_size=leaf_size,
                              tri_block=4)
+        if mode == "path" and nee:
+            # NEE shadow rays ride the per-ray any_hit walk, whose
+            # optimum is small leaves (3.9x measured vs the packet-tuned
+            # tree — accel/sah.py::attach_shadow_tree)
+            from clpathtracer_tpu.accel.sah import attach_shadow_tree
+            ts = time.time()
+            tree = attach_shadow_tree(tree, tv)
+            log(f"# shadow tree: {time.time()-ts:.1f}s "
+                f"stats={tree.shadow.stats()}")
     log(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}")
 
     from clpathtracer_tpu.ops.packet import packet_mode

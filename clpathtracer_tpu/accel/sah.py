@@ -85,6 +85,13 @@ class FlatKdTree:
     #   walk-free prepass-list engine's global-Morton window structure;
     #   attach_morton_windows adds it, and the integrator prefers it for
     #   unjittered shared-origin primary frames
+    shadow: "object" = None  # optional second FlatKdTree tuned for the
+    #   per-ray occlusion walk (attach_shadow_tree). The packet/plist
+    #   optimum is very fat leaves, but the t_max rope walk tests 4 tris
+    #   per step, so a fat-leaf tree wastes ~leaf/2 quad steps inside the
+    #   first occupied leaf; a walk-tuned tree (leaf ~64) with any_hit
+    #   measured 3.9x on the fog shadow wave (probe_shadow_wave.py).
+    #   Used by render/integrator.py::_occluded when present.
     max_leaf_tris: int = struct.field(pytree_node=False, default=None)
     #   static: the largest leaf's triangle count, known at build/load
     #   time. The SMEM node layout packs a leaf's DMA-window count in 6
@@ -680,3 +687,23 @@ def attach_morton_windows(tree: FlatKdTree, tri_verts: np.ndarray,
             mwin = jax.device_put(mwin, dev)
         mwin = attach_so(mwin)
     return tree.replace(mwin=mwin)
+
+
+def attach_shadow_tree(tree: FlatKdTree, tri_verts: np.ndarray,
+                       leaf_size: int = 64,
+                       max_depth: int = 20) -> FlatKdTree:
+    """Attach a second kd-tree tuned for the per-ray occlusion walk
+    (traverse_fast any_hit + t_max — NEE shadow rays).
+
+    The packet/plist engines want very fat leaves (dense math amortizes
+    DMA), but the shadow walk's cost is quad steps until the FIRST hit:
+    measured on the fog shadow wave (probes/probe_shadow_wave.py,
+    chip), leaf 512 -> 64 cuts mean steps/ray 274 -> 65 and the wave
+    5.72 s -> 1.45 s with any_hit (3.9x). In path mode the main tree
+    serves only shadow queries once primaries/bounces ride the plist
+    engine, so the walk-tuned build costs only memory (~1x tri bytes).
+    """
+    sub = build_kd_tree(np.asarray(tri_verts, np.float32),
+                        max_depth=max_depth, leaf_size=leaf_size,
+                        tri_block=4)
+    return tree.replace(shadow=sub)

@@ -107,7 +107,7 @@ def _mt_pre(v0, e1, e2, orig, dir, eps=0.0):
 
 def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
                   max_iters: int = 16384, compact: bool = True,
-                  t_max=None, active=None):
+                  t_max=None, active=None, any_hit: bool = False):
     """Trace a wavefront through the packed kd-tree.
 
     tree: FlatKdTree with a `node_table` (built by build_kd_tree with
@@ -128,7 +128,18 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
     start inactive and report no hit). With wind-down compaction they fold
     out on the first round, so a mostly-dead wavefront costs a fraction of
     a full one.
+
+    any_hit=True (requires t_max): occlusion-query semantics — a lane
+    stops on the FIRST accepted hit below its bound instead of walking
+    on to prove it nearest. `hit` is exact (occluded iff some hit
+    < t_max); `t`/`tri`/`u`/`v` describe *a* hit, not necessarily the
+    nearest (the reference's shadow query needs only the boolean,
+    /root/reference/src/kernel.cl:399-417's bounce loop never shades
+    shadow hits). With the fog's ~99.8% occlusion this cuts the mean
+    steps/ray several-fold: most lanes die inside their first occupied
+    leaf rather than finishing its quad list and walking past the hit.
     """
+    assert not any_hit or t_max is not None, "any_hit needs t_max"
     n = orig.shape[0]
     table = tree.node_table
     tri_slots = tree.tri_indices
@@ -266,6 +277,9 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         p = jnp.where(hop[:, None], p_hop, s["p"])
         offset = jnp.where(stay, offset_next, 0)
         active = act & jnp.where(hop, new_node >= 0, True)
+        if any_hit:
+            # occlusion settled the moment a hit below the bound lands
+            active = active & ~take
 
         return {**s, "node": node, "p": p, "active": active,
                 "best_t": best_t, "best_slot": best_slot, "offset": offset,

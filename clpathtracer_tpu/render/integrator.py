@@ -406,13 +406,20 @@ def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions,
                     t_max=dd[perm])
                 occ = (rec["hit"] & (rec["t"] < dd[perm] - 1e-3))[inv]
         else:
-            quads = (tree.quads
-                     if getattr(tree, "quads", None) is not None
-                     else pack_quads(tree.tri_indices, *scene.tri_verts()))
-            rec = traverse_fast(tree, sg(quads), o, d,
+            # walk-tuned shadow tree when attached (accel/sah.py::
+            # attach_shadow_tree): the occlusion walk wants small leaves
+            # where the packet engines want fat ones — measured 3.9x
+            # with any_hit on the fog shadow wave
+            stree = getattr(tree, "shadow", None)
+            wtree = stree if stree is not None else tree
+            quads = (wtree.quads
+                     if getattr(wtree, "quads", None) is not None
+                     else pack_quads(wtree.tri_indices, *scene.tri_verts()))
+            rec = traverse_fast(wtree, sg(quads), o, d,
                                 max_iters=opts.max_iters,
                                 compact=opts.compact,
-                                t_max=dd - 1e-3, active=act)
+                                t_max=dd - 1e-3, active=act,
+                                any_hit=True)
             occ = rec["hit"]
     else:
         srec = intersect_scene(scene, tree, o, d, opts, coherent=False)

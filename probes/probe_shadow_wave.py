@@ -2,8 +2,11 @@
 fog-interior origins and per-lane random light directions — the
 configuration that dominates the path-mode frame (2x ~1.2s of 3.49s).
 
-Variants: unsorted (the integrator today), Morton-sorted, and
-compact on/off, plus a max_iters sweep.
+Variants: unsorted (the integrator today), Morton-sorted, compact
+on/off, a max_iters sweep, and any_hit occlusion mode; PROBE_LEAF /
+PROBE_DEPTH re-tune the kd tree for the walk (in path mode the tree
+serves ONLY shadow rays — primaries/bounces ride plist — so a
+walk-tuned build is free to differ from the packet-tuned one).
 
   env PYTHONPATH=/root/.axon_site:/root/repo python probes/probe_shadow_wave.py
 """
@@ -43,7 +46,10 @@ def main():
                             forward=[0.0, 0.0, 1.0])
         v0, v1, v2 = scene.tri_verts()
         tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
-        tree = build_kd_tree(tv, max_depth=14, leaf_size=512, tri_block=4)
+        leaf = int(os.environ.get("PROBE_LEAF", 512))
+        depth = int(os.environ.get("PROBE_DEPTH", 14))
+        tree = build_kd_tree(tv, max_depth=depth, leaf_size=leaf,
+                             tri_block=4)
         orig, dirs = generate_rays(cam_matrix(cam, res), res, res)
         # primary hit points as shadow origins (host-side oracle trace is
         # too slow at 1M; approximate: points along each primary ray at a
@@ -65,13 +71,14 @@ def main():
     tree = jax.device_put(tree, dev)
     quads = tree.quads
 
-    def occ_wave(tree, quads, o, d, dist, act, sort, compact, max_iters):
+    def occ_wave(tree, quads, o, d, dist, act, sort, compact, max_iters,
+                 anyh):
         if sort:
             perm, inv = sort_rays(o, d, alive=act)
             o, d, dist, act = o[perm], d[perm], dist[perm], act[perm]
         rec = traverse_fast(tree, quads, o, d, max_iters=max_iters,
                             compact=compact, t_max=dist - 1e-3,
-                            active=act)
+                            active=act, any_hit=anyh)
         occ = rec["hit"]
         if sort:
             occ = occ[inv]
@@ -79,15 +86,16 @@ def main():
 
     combos = os.environ.get(
         "PROBE_COMBOS",
-        "0:1:16384,0:1:2048,1:1:16384,1:0:16384").split(",")
+        "0:1:16384:0,0:1:16384:1,1:1:16384:1").split(",")
     for combo in combos:
-        s, c, m = combo.split(":")
-        for sort, compact, mi in [(s == "1", c == "1", int(m))]:
+        s, c, m, ah = (combo.split(":") + ["0"])[:4]
+        for sort, compact, mi, anyh in [
+                (s == "1", c == "1", int(m), ah == "1")]:
                 def chain(n, tree, quads, o, d, dist, act):
                     def body(i, c):
                         occ, st = occ_wave(tree, quads, o + c[0] * 1e-38,
                                            d, dist, act, sort, compact,
-                                           mi)
+                                           mi, anyh)
                         return (jnp.sum(occ.astype(jnp.float32)),
                                 jnp.mean(st.astype(jnp.float32)),
                                 jnp.max(st))
@@ -109,6 +117,8 @@ def main():
                 wave = max((tk - t1) / reps, 1e-9)
                 print(json.dumps({
                     "sort": sort, "compact": compact, "max_iters": mi,
+                    "any_hit": anyh,
+                    "leaf": int(os.environ.get("PROBE_LEAF", 512)),
                     "wave_ms": wave * 1e3,
                     "us_per_ray": wave / (res * res) * 1e6,
                     "occluded_frac": chk / (res * res * 0.7),

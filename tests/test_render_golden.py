@@ -372,3 +372,29 @@ class TestBaselineConfig1:
         hit_px = (img < 0.65).all(-1)
         assert 0.05 < hit_px.mean() < 0.9
         np.testing.assert_allclose(img[hit_px], 0.6, atol=0.02)
+
+
+def test_shadow_tree_image_parity():
+    """A walk-tuned shadow tree (accel/sah.py::attach_shadow_tree) must
+    not change the path+NEE image at all — the any_hit occlusion boolean
+    is exact regardless of tree shape."""
+    from clpathtracer_tpu.accel.sah import attach_shadow_tree
+    from clpathtracer_tpu.core.camera import Camera
+    from clpathtracer_tpu.scene.procedural import random_tri_soup
+    import jax
+
+    scene = random_tri_soup(3000, seed=4, extent=2.0, tri_size=0.05,
+                            emissive_frac=0.01).bake_shading()
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4, leaf_size=64)
+    cam = Camera.create(position=[0.0, 0.0, -1.5], forward=[0, 0, 1.0])
+    opts = RenderOptions(width=32, height=32, mode="path", bounces=2,
+                         nee=True, spp=1)
+    key = jax.random.PRNGKey(7)
+    base = np.asarray(render_image(scene, cam, opts, tree=tree, key=key))
+    st = attach_shadow_tree(tree, tv, leaf_size=8, max_depth=18)
+    assert st.shadow is not None and st.shadow.num_nodes > tree.num_nodes
+    with_shadow = np.asarray(
+        render_image(scene, cam, opts, tree=st, key=key))
+    np.testing.assert_array_equal(base, with_shadow)

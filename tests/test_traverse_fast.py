@@ -122,3 +122,33 @@ def test_t_max_survives_winddown_compaction():
     h = np.asarray(a["hit"])
     np.testing.assert_array_equal(np.asarray(a["t"])[h],
                                   np.asarray(b["t"])[h])
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_any_hit_occlusion_matches_nearest(compact):
+    """any_hit=True must report the exact same occlusion BOOLEAN as the
+    nearest-hit walk with the same t_max (only t/tri may differ: any_hit
+    stops on the first accepted hit). Mixed occluded/unoccluded lanes,
+    dead lanes, and per-lane bounds all exercised."""
+    scene = random_tri_soup(4000, seed=5, extent=3.0, tri_size=0.08)
+    scene, tree, orig, dir, (v0, v1, v2) = _fixture(scene, pos=(0, 0, -5.0))
+    quads = pack_quads(tree.tri_indices, v0, v1, v2)
+    n = orig.shape[0]
+    rng = np.random.default_rng(0)
+    tmax = jnp.asarray(rng.uniform(0.5, 9.0, n).astype(np.float32))
+    act = jnp.asarray(rng.uniform(size=n) < 0.8)
+
+    near = traverse_fast(tree, quads, orig, dir, compact=compact,
+                         t_max=tmax, active=act)
+    anyh = traverse_fast(tree, quads, orig, dir, compact=compact,
+                         t_max=tmax, active=act, any_hit=True)
+    occ_near = np.asarray(near["hit"])
+    occ_any = np.asarray(anyh["hit"])
+    assert occ_near.any() and not occ_near.all()  # non-trivial fixture
+    np.testing.assert_array_equal(occ_any, occ_near)
+    # any reported hit must be a real one strictly below the lane's bound
+    h = occ_any
+    assert (np.asarray(anyh["t"])[h] < np.asarray(tmax)[h]).all()
+    assert (np.asarray(anyh["tri"])[h] >= 0).all()
+    # any_hit must do no MORE work than the nearest walk
+    assert np.asarray(anyh["steps"]).sum() <= np.asarray(near["steps"]).sum()
