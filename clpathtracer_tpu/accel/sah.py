@@ -690,18 +690,21 @@ def attach_morton_windows(tree: FlatKdTree, tri_verts: np.ndarray,
 
 
 def attach_shadow_tree(tree: FlatKdTree, tri_verts: np.ndarray,
-                       leaf_size: int = 64,
-                       max_depth: int = 20) -> FlatKdTree:
+                       leaf_size: int = 16,
+                       max_depth: int = 26) -> FlatKdTree:
     """Attach a second kd-tree tuned for the per-ray occlusion walk
     (traverse_fast any_hit + t_max — NEE shadow rays).
 
     The packet/plist engines want very fat leaves (dense math amortizes
-    DMA), but the shadow walk's cost is quad steps until the FIRST hit:
-    measured on the fog shadow wave (probes/probe_shadow_wave.py,
-    chip), leaf 512 -> 64 cuts mean steps/ray 274 -> 65 and the wave
-    5.72 s -> 1.45 s with any_hit (3.9x). In path mode the main tree
-    serves only shadow queries once primaries/bounces ride the plist
-    engine, so the walk-tuned build costs only memory (~1x tri bytes).
+    DMA), but the shadow walk's cost is quad steps until the FIRST hit.
+    Measured on the 1M-tri fog shadow wave (probes/probe_shadow_wave.py,
+    chip, any_hit on): leaf 512 nearest-walk baseline 5.72 s/wave (274
+    steps/ray mean); any_hit alone 3.82 s; walk-tuned leaves sweep
+    128/64/32/16/8/4 -> 1.96/1.45/1.31/0.615/1.40/1.63 s — leaf 16 /
+    depth 26 is a reproducible 9.3x over the baseline (51.7 steps/ray,
+    bit-identical occlusion). In path mode the main tree serves only
+    shadow queries once primaries/bounces ride the plist engine, so the
+    walk-tuned build costs only memory (~1x tri bytes).
     """
     sub = build_kd_tree(np.asarray(tri_verts, np.float32),
                         max_depth=max_depth, leaf_size=leaf_size,

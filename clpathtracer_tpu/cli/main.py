@@ -132,6 +132,15 @@ def _load(args):
             sphere_radius=jnp.asarray(sp[:, 3]),
             sphere_albedo=jnp.full((len(sp), 3), 0.75, jnp.float32),
             sphere_emission=jnp.zeros((len(sp), 3), jnp.float32))
+    if (getattr(args, "mode", None) == "path" and getattr(args, "nee",
+                                                          False)
+            and tree is not None and scene.num_tris > 0):
+        # NEE shadow rays ride the per-ray any_hit walk; a walk-tuned
+        # second tree is 3.9x there (accel/sah.py::attach_shadow_tree)
+        from clpathtracer_tpu.accel.sah import attach_shadow_tree
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = attach_shadow_tree(tree, tv)
     # the reference prints parse/build wall time (src/model.c:136-143)
     print(f"# loaded {scene.num_tris} tris, {scene.num_spheres} spheres "
           f"in {time.time()-t0:.2f}s ({len(skipped)} skipped)",

@@ -67,8 +67,13 @@ from clpathtracer_tpu.ops.packet import (
     BIG, INV_BIG, _frustum_rows, _mt_chunk_math, _mt_chunk_math_so,
     _mt_math, _pad_rows8, _ray_rows, so_rows)
 
-GATE = 512                    # rays per packet: 16x32 pixel block
-GH, GW = 16, 32
+GATE = 512                    # rays per packet: GH x GW pixel block
+# gate aspect (pixels): the footprint's window count scales with
+# (frustum extent + window size)^2, so aspect is a per-scene tunable
+# like win_rows (sweep via probe_plist.py with CLPT_GATE_H)
+GH = int(_os.environ.get("CLPT_GATE_H", "16"))
+GW = GATE // GH
+assert GATE % GH == 0, GH
 LIST_CHUNK = 1024             # sorted-list entries per [8, 128] DMA chunk
 # windows per DMA in quad-row units: win_rows*8 triangles each. 16 rows
 # (128 tris) matches the stream engine's measured DMA sweet spot; 8 is

@@ -184,8 +184,10 @@ def test_render_image_uses_plist_when_attached():
     b = np.asarray(render_image(tv_scene(), cam, opts, tree=tree_m))
     # same hits -> same image, up to exact-t tie winners at shared
     # mesh edges (documented freedom; the winners carry different
-    # per-face normals, so those pixels shade differently)
-    assert (np.abs(a - b).max(axis=-1) > 1e-5).mean() < 1e-2
+    # per-face normals, so those pixels shade differently). Budget
+    # 1.5%: measured 0.4-1.1% tie pixels on this fixture across gate
+    # aspects (CLPT_GATE_H 8/16 regroup packets -> different tie picks)
+    assert (np.abs(a - b).max(axis=-1) > 1e-5).mean() < 1.5e-2
     opts_j = RenderOptions(width=64, height=64, mode="path", spp=2,
                            bounces=1, intersector="packet",
                            packet_tile=256, background=0.6)
