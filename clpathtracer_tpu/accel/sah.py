@@ -85,6 +85,11 @@ class FlatKdTree:
     #   walk-free prepass-list engine's global-Morton window structure;
     #   attach_morton_windows adds it, and the integrator prefers it for
     #   unjittered shared-origin primary frames
+    grid: "object" = None  # optional accel/grid.py::UniformGrid — the
+    #   fog-scene accelerator (attach_grid). The DDA walk (ops/
+    #   grid_walk.py) needs no root descent and no node-row gather, so
+    #   for uniformly dense scenes it beats the kd rope walk on per-ray
+    #   queries; _occluded prefers it over `shadow` when present.
     shadow: "object" = None  # optional second FlatKdTree tuned for the
     #   per-ray occlusion walk (attach_shadow_tree). The packet/plist
     #   optimum is very fat leaves, but the t_max rope walk tests 4 tris
@@ -710,3 +715,20 @@ def attach_shadow_tree(tree: FlatKdTree, tri_verts: np.ndarray,
                         max_depth=max_depth, leaf_size=leaf_size,
                         tri_block=4)
     return tree.replace(shadow=sub)
+
+
+def attach_grid(tree: FlatKdTree, tri_verts: np.ndarray, res=None,
+                density: float = 1.0) -> FlatKdTree:
+    """Attach a uniform grid (accel/grid.py) for per-ray DDA queries.
+
+    The right accelerator for fog-like scenes (uniform triangle density):
+    render/integrator.py::_occluded prefers it over the shadow kd-tree,
+    and intersect_scene's incoherent-wave branch can route bounce
+    nearest-hit queries through it (CLPT_BOUNCE_GRID). Like the shadow
+    tree this is a per-scene tuning choice, not a default — surface
+    meshes with wildly varying density stay on the kd walk.
+    """
+    from clpathtracer_tpu.accel.grid import build_grid
+    sub = build_grid(np.asarray(tri_verts, np.float32), res=res,
+                     density=density)
+    return tree.replace(grid=sub)

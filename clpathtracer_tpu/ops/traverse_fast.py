@@ -349,15 +349,22 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         out = {"best_t": results_t, "best_slot": results_slot,
                "steps": results_steps}
 
-    best_slot = out["best_slot"]
-    best_t = out["best_t"]
+    rec = resolve_slot(quads, out["best_slot"], orig, dir, tcount)
+    rec["steps"] = out["steps"]
+    return rec
+
+
+def resolve_slot(quads, best_slot, orig, dir, tcount: int = None):
+    """Differentiable-friendly re-resolve at the winning triangle slot,
+    matching ops.traverse.traverse's output exactly. Lane extraction as a
+    4-way select (per-lane fancy indexing would be a slow narrow gather);
+    the triangle id comes from the quad row itself — no extra gather.
+    Shared by the kd walk above and the grid DDA walk (ops/grid_walk.py).
+    """
+    if tcount is None:
+        tcount = quads.shape[0] * QBLOCK
     hit = best_slot >= 0
     slot_safe = jnp.clip(best_slot, 0, tcount - 1)
-
-    # differentiable-friendly re-resolve at the winning triangle, matching
-    # ops.traverse.traverse's output exactly. Lane extraction as a 4-way
-    # select (per-lane fancy indexing would be a slow narrow gather); the
-    # triangle id comes from the quad row itself — no extra gather.
     qsel = quads[slot_safe // QBLOCK].reshape(-1, QBLOCK, 16)
     lane = slot_safe % QBLOCK
     sel = qsel[:, 0, :]
@@ -372,5 +379,4 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         "tri": tri.astype(jnp.int32),
         "u": jnp.where(hit, u, 0.0),
         "v": jnp.where(hit, v, 0.0),
-        "steps": out["steps"],
     }

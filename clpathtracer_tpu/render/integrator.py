@@ -23,6 +23,7 @@ Three shading modes:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -194,6 +195,29 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                                       precision=opts.precision,
                                       shared_origin=shared_origin,
                                       grid_dirs=grid_dirs)
+            elif (not coherent and getattr(tree, "grid", None) is not None
+                    and os.environ.get("CLPT_BOUNCE_GRID", "1") == "1"):
+                # incoherent bounce wave on a fog-like scene with a grid
+                # attached (accel/sah.py::attach_grid): per-ray DDA
+                # nearest-hit — no packet/bundle cone to degrade, dead
+                # lanes fold out in the first wind-down round. Morton
+                # sorting first improves the cell/quad gather locality
+                # (same reason the bundle engine sorts).
+                from clpathtracer_tpu.ops.grid_walk import traverse_grid
+                from clpathtracer_tpu.ops.sort import sort_rays
+                if opts.sort_bounces:
+                    perm, inv = sort_rays(orig, dir, alive=active)
+                    act_p = active[perm] if active is not None else None
+                    rec = traverse_grid(tree.grid, orig[perm], dir[perm],
+                                        max_iters=opts.max_iters,
+                                        compact=opts.compact, active=act_p)
+                    rec = {k: v[inv] if v.shape[:1] == perm.shape else v
+                           for k, v in rec.items()}
+                else:
+                    rec = traverse_grid(tree.grid, orig, dir,
+                                        max_iters=opts.max_iters,
+                                        compact=opts.compact,
+                                        active=active)
             elif (opts.intersector == "packet" and opts.sort_bounces
                   and (packet_supported(tree, orig.shape[0],
                                         opts.packet_tile)
@@ -405,6 +429,18 @@ def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions,
                     active=None if act is None else act[perm],
                     t_max=dd[perm])
                 occ = (rec["hit"] & (rec["t"] < dd[perm] - 1e-3))[inv]
+        elif getattr(tree, "grid", None) is not None:
+            # uniform-grid DDA occlusion (accel/grid.py, attach_grid):
+            # preferred for fog-like scenes — the any-hit query settles
+            # within a handful of cells with no root descent and no
+            # node-row gather per step
+            from clpathtracer_tpu.ops.grid_walk import traverse_grid
+            rec = traverse_grid(sg(tree.grid), o, d,
+                                max_iters=opts.max_iters,
+                                compact=opts.compact,
+                                t_max=dd - 1e-3, active=act,
+                                any_hit=True)
+            occ = rec["hit"]
         else:
             # walk-tuned shadow tree when attached (accel/sah.py::
             # attach_shadow_tree): the occlusion walk wants small leaves

@@ -398,3 +398,43 @@ def test_shadow_tree_image_parity():
     with_shadow = np.asarray(
         render_image(scene, cam, opts, tree=st, key=key))
     np.testing.assert_array_equal(base, with_shadow)
+
+
+def test_grid_image_parity(monkeypatch):
+    """A uniform grid (accel/sah.py::attach_grid) must not change the
+    path+NEE image: shadow occlusion booleans are exact and the bounce
+    nearest-hit runs the same Möller–Trumbore arithmetic, so with the
+    bounce reroute disabled the images are bit-equal, and with it enabled
+    they differ at most by fp wobble in the engines' hit re-resolve."""
+    from clpathtracer_tpu.accel.sah import attach_grid
+    from clpathtracer_tpu.core.camera import Camera
+    from clpathtracer_tpu.scene.procedural import random_tri_soup
+    import jax
+
+    scene = random_tri_soup(3000, seed=4, extent=2.0, tri_size=0.05,
+                            emissive_frac=0.01).bake_shading()
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, tri_block=4, leaf_size=64)
+    cam = Camera.create(position=[0.0, 0.0, -1.5], forward=[0, 0, 1.0])
+    key = jax.random.PRNGKey(7)
+    gt = attach_grid(tree, tv)
+    assert gt.grid is not None
+
+    # shadow-route only (CLPT_BOUNCE_GRID=0): bit-equal images
+    monkeypatch.setenv("CLPT_BOUNCE_GRID", "0")
+    opts = RenderOptions(width=32, height=32, mode="path", bounces=2,
+                         nee=True, spp=1)
+    base = np.asarray(render_image(scene, cam, opts, tree=tree, key=key))
+    with_grid = np.asarray(render_image(scene, cam, opts, tree=gt, key=key))
+    np.testing.assert_array_equal(base, with_grid)
+
+    # bounce reroute on (the default): fp-wobble tolerance only.
+    # different width → different jit signature (the env knob is read at
+    # trace time; identical signatures would reuse the cached program)
+    monkeypatch.setenv("CLPT_BOUNCE_GRID", "1")
+    opts2 = RenderOptions(width=34, height=32, mode="path", bounces=2,
+                          nee=True, spp=1)
+    base2 = np.asarray(render_image(scene, cam, opts2, tree=tree, key=key))
+    grid2 = np.asarray(render_image(scene, cam, opts2, tree=gt, key=key))
+    np.testing.assert_allclose(base2, grid2, atol=1e-4)
