@@ -128,14 +128,15 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
         tree = build_kd_tree(tv, max_depth=max_depth, leaf_size=leaf_size,
                              tri_block=4)
         if mode == "path" and nee:
-            # NEE shadow rays ride the per-ray any_hit walk, whose
-            # optimum is small leaves (3.9x measured vs the packet-tuned
-            # tree — accel/sah.py::attach_shadow_tree)
-            from clpathtracer_tpu.accel.sah import attach_shadow_tree
+            # incoherent path-mode waves (bounce nearest-hit + NEE shadow
+            # occlusion) ride the uniform-grid DDA on this fog scene:
+            # measured 7.6x on the bounce wave and 3.3x on the shadow
+            # wave vs the bundle-plist / walk-tuned kd-tree incumbents
+            # (probes/probe_grid.py, chip, bit-identical results)
+            from clpathtracer_tpu.accel.sah import attach_grid
             ts = time.time()
-            tree = attach_shadow_tree(tree, tv)
-            log(f"# shadow tree: {time.time()-ts:.1f}s "
-                f"stats={tree.shadow.stats()}")
+            tree = attach_grid(tree, tv)
+            log(f"# grid: {time.time()-ts:.1f}s stats={tree.grid.stats()}")
     log(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}")
 
     from clpathtracer_tpu.ops.packet import packet_mode

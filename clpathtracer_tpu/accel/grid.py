@@ -73,6 +73,23 @@ def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
     return out
 
 
+def fog_likeness(tri_verts: np.ndarray, res: int = 24) -> float:
+    """Cheap scene-uniformity score in [0, 1]: the fraction of coarse
+    grid cells occupied by triangle centroids. Volumetric fog fills most
+    of its AABB (score near 1); surface meshes sweep a 2-D sheet through
+    the 3-D volume (score ~ 1/res). Used to auto-pick the per-ray
+    accelerator: uniform grid for fog-like scenes, walk-tuned kd tree
+    for surfaces (cli/main.py).
+    """
+    tv = np.asarray(tri_verts, np.float32)
+    c = tv.mean(axis=1)
+    lo = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - lo, 1e-6)
+    cell = np.clip((c - lo) / ext * res, 0, res - 1).astype(np.int64)
+    cid = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+    return float(np.unique(cid).size / res ** 3)
+
+
 def build_grid(tri_verts: np.ndarray, res=None,
                density: float = 1.0) -> UniformGrid:
     """Bin triangles into a uniform grid (vectorized numpy, host-side).

@@ -135,12 +135,21 @@ def _load(args):
     if (getattr(args, "mode", None) == "path" and getattr(args, "nee",
                                                           False)
             and tree is not None and scene.num_tris > 0):
-        # NEE shadow rays ride the per-ray any_hit walk; a walk-tuned
-        # second tree is 3.9x there (accel/sah.py::attach_shadow_tree)
-        from clpathtracer_tpu.accel.sah import attach_shadow_tree
+        # per-ray path-mode waves (bounce nearest-hit, NEE shadow
+        # occlusion) want a second accelerator: a uniform grid when the
+        # scene is fog-like (measured 7.6x/3.3x on the 1M fog waves —
+        # probes/probe_grid.py), a walk-tuned kd tree for surface meshes
+        # (3.9x — accel/sah.py::attach_shadow_tree). Auto-picked by
+        # centroid-occupancy (accel/grid.py::fog_likeness).
+        from clpathtracer_tpu.accel.grid import fog_likeness
+        from clpathtracer_tpu.accel.sah import attach_grid, \
+            attach_shadow_tree
         v0, v1, v2 = scene.tri_verts()
         tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
-        tree = attach_shadow_tree(tree, tv)
+        if fog_likeness(tv) > 0.5:
+            tree = attach_grid(tree, tv)
+        else:
+            tree = attach_shadow_tree(tree, tv)
     # the reference prints parse/build wall time (src/model.c:136-143)
     print(f"# loaded {scene.num_tris} tris, {scene.num_spheres} spheres "
           f"in {time.time()-t0:.2f}s ({len(skipped)} skipped)",

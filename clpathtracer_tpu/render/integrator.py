@@ -200,24 +200,17 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                 # incoherent bounce wave on a fog-like scene with a grid
                 # attached (accel/sah.py::attach_grid): per-ray DDA
                 # nearest-hit — no packet/bundle cone to degrade, dead
-                # lanes fold out in the first wind-down round. Morton
-                # sorting first improves the cell/quad gather locality
-                # (same reason the bundle engine sorts).
+                # lanes fold out in the first wind-down round. Measured
+                # on the 1M fog bounce wave (probes/probe_grid.py, chip):
+                # 0.171 s vs the sorted bundle plist's 1.301 s, identical
+                # t sums — and Morton-sorting first LOSES (0.190 s): the
+                # DDA has no cone to tighten, so the sort only buys
+                # gather locality worth less than its own cost.
                 from clpathtracer_tpu.ops.grid_walk import traverse_grid
-                from clpathtracer_tpu.ops.sort import sort_rays
-                if opts.sort_bounces:
-                    perm, inv = sort_rays(orig, dir, alive=active)
-                    act_p = active[perm] if active is not None else None
-                    rec = traverse_grid(tree.grid, orig[perm], dir[perm],
-                                        max_iters=opts.max_iters,
-                                        compact=opts.compact, active=act_p)
-                    rec = {k: v[inv] if v.shape[:1] == perm.shape else v
-                           for k, v in rec.items()}
-                else:
-                    rec = traverse_grid(tree.grid, orig, dir,
-                                        max_iters=opts.max_iters,
-                                        compact=opts.compact,
-                                        active=active)
+                rec = traverse_grid(tree.grid, orig, dir,
+                                    max_iters=opts.max_iters,
+                                    compact=opts.compact,
+                                    active=active)
             elif (opts.intersector == "packet" and opts.sort_bounces
                   and (packet_supported(tree, orig.shape[0],
                                         opts.packet_tile)

@@ -218,3 +218,13 @@ def test_edge_rays():
     np.testing.assert_allclose(np.asarray(ref["t"])[hit],
                                np.asarray(rec["t"])[hit], rtol=1e-5,
                                atol=1e-6)
+
+
+def test_fog_likeness_discriminates():
+    """The auto-pick heuristic: volumetric fog scores high, surface
+    meshes (terrain heightfield) score low."""
+    from clpathtracer_tpu.accel.grid import fog_likeness
+    fog = _tv(random_tri_soup(20000, seed=0, extent=3.0, tri_size=0.02))
+    surf = _tv(terrain_mesh(20000, seed=0, extent=3.0))
+    assert fog_likeness(fog) > 0.5
+    assert fog_likeness(surf) < 0.3
