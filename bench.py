@@ -127,7 +127,7 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
         t0 = time.time()
         tree = build_kd_tree(tv, max_depth=max_depth, leaf_size=leaf_size,
                              tri_block=4)
-        if mode == "path" and nee:
+        if mode == "path" and scene_kind == "soup":
             # incoherent path-mode waves (bounce nearest-hit + NEE shadow
             # occlusion) ride the uniform-grid DDA on this fog scene:
             # measured 7.6x on the bounce wave and 3.3x on the shadow

@@ -28,6 +28,7 @@ FD test harness (tests/test_grad.py) checks interior pixels.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -70,7 +71,23 @@ def intersect_diff(scene, tree, orig, dir, tri_block: int = 4,
                 pack_quads, traverse_fast)
             quads = pack_quads(tree.tri_indices, sg(v0), sg(v1), sg(v2))
             n = orig.shape[0]
-            if packet and packet_supported(tree, n, packet_tile):
+            if (not coherent and getattr(tree, "grid", None) is not None
+                    and os.environ.get("CLPT_BOUNCE_GRID", "1") == "1"):
+                # incoherent bounce wave with a uniform grid attached:
+                # same reroute as the primal integrator
+                # (render/integrator.py) — topology is detached, so the
+                # DDA walk (measured 7.6x over the sorted bundle engines
+                # on the 1M fog, probes/probe_grid.py) is eligible as the
+                # forward intersector; the per-winner re-resolve below
+                # restores the gradient path. NOTE: the grid's baked
+                # quads come from build-time verts — detached topology
+                # makes that sound (hit *selection* may lag a vertex
+                # update by one build, exactly like tree.quads on the
+                # packet path; t/u/v re-resolve from live verts below).
+                from clpathtracer_tpu.ops.grid_walk import traverse_grid
+                rec = traverse_grid(sg(tree.grid), sg(orig), sg(dir),
+                                    max_iters=max_iters, active=active)
+            elif packet and packet_supported(tree, n, packet_tile):
                 # topology is detached anyway, so the fast Pallas packet
                 # engine is eligible as the forward intersector
                 # (VERDICT r1 #7): coherent primaries go straight in,

@@ -23,6 +23,8 @@ distance-bounded occlusion query (NEE shadow rays).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -198,7 +200,11 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         state["ridx"] = jnp.arange(n, dtype=jnp.int32)
         it = jnp.int32(0)
         size = n
-        min_size = min(n, max(2048, n // 64))
+        # the DDA's stragglers are the rays that miss everything and walk
+        # the whole grid (~sum(res) cells), so the tail floor is a real
+        # cost knob: sweepable via CLPT_GRID_MIN (chip-measured default)
+        floor = int(os.environ.get("CLPT_GRID_MIN", "2048"))
+        min_size = min(n, max(floor, n // 64))
 
         def run_loop(s, it0):
             def cond(carry):

@@ -143,32 +143,38 @@ def main():
                               "steps_mean": extra[0]}), flush=True)
 
     if "bounce" in wave:
-        # incumbent: Morton-sorted bundle plist (integrator bounce route)
-        with jax.default_device(cpu):
-            btree = build_kd_tree(tv, max_depth=14, leaf_size=512,
-                                  tri_block=4)
-        btree = jax.device_put(btree, dev)
-        btree = attach_morton_windows(btree, tv, win_rows=8, with_so=True)
-        from clpathtracer_tpu.ops.plist import traverse_plist_bundle
+        if os.environ.get("PROBE_SKIP_INCUMBENT") != "1":
+            # incumbent: Morton-sorted bundle plist (integrator bounce
+            # route before the grid)
+            with jax.default_device(cpu):
+                btree = build_kd_tree(tv, max_depth=14, leaf_size=512,
+                                      tri_block=4)
+            btree = jax.device_put(btree, dev)
+            btree = attach_morton_windows(btree, tv, win_rows=8,
+                                          with_so=True)
+            from clpathtracer_tpu.ops.plist import traverse_plist_bundle
 
-        def pb_chain(n, mwin, o, d, act):
-            def body(i, c):
-                perm, inv = sort_rays(o + c[0] * 1e-38, d, alive=act)
-                rec = traverse_plist_bundle(mwin, (o + c[0] * 1e-38)[perm],
-                                            d[perm], active=act[perm])
-                t = jnp.where(rec["hit"], rec["t"], 0.0)
-                return (jnp.sum(t), jnp.float32(0))
-            return jax.lax.fori_loop(0, n, body,
-                                     (jnp.float32(0), jnp.float32(0)))
+            def pb_chain(n, mwin, o, d, act):
+                def body(i, c):
+                    perm, inv = sort_rays(o + c[0] * 1e-38, d, alive=act)
+                    rec = traverse_plist_bundle(
+                        mwin, (o + c[0] * 1e-38)[perm], d[perm],
+                        active=act[perm])
+                    t = jnp.where(rec["hit"], rec["t"], 0.0)
+                    return (jnp.sum(t), jnp.float32(0))
+                return jax.lax.fori_loop(0, n, body,
+                                         (jnp.float32(0), jnp.float32(0)))
 
-        chk, chk2, comp, t, _ = timed(
-            jax.jit(pb_chain), (btree.mwin, o, bdir, act), reps)
-        print(json.dumps({"wave": "bounce", "engine": "plist_bundle",
-                          "s": round(t, 4), "tsum": chk, "tsum2": chk2,
-                          "compile_s": round(comp, 1)}), flush=True)
+            chk, chk2, comp, t, _ = timed(
+                jax.jit(pb_chain), (btree.mwin, o, bdir, act), reps)
+            print(json.dumps({"wave": "bounce", "engine": "plist_bundle",
+                              "s": round(t, 4), "tsum": chk, "tsum2": chk2,
+                              "compile_s": round(comp, 1)}), flush=True)
 
+        sorts = ((False, True) if os.environ.get("PROBE_SORTS", "1") == "1"
+                 else (False,))
         for dens, g in grids.items():
-            for sort in (False, True):
+            for sort in sorts:
                 def gb_chain(n, g, o, d, act):
                     def body(i, c):
                         oo = o + c[0] * 1e-38

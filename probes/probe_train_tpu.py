@@ -48,6 +48,12 @@ def main():
         v0, v1, v2 = scene.tri_verts()
         tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
         tree = build_kd_tree(tv, tri_block=4, leaf_size=512, max_depth=14)
+        if os.environ.get("PROBE_GRID", "1") == "1":
+            # bounce waves ride the uniform-grid DDA (accel/grid.py) in
+            # diff mode too — the fog is its scene class
+            from clpathtracer_tpu.accel.sah import attach_grid
+            tree = attach_grid(tree, tv)
+            log(f"# grid: {tree.grid.stats()}")
     cam = Camera.create(position=[0.0, 0.0, -25.0], forward=[0.0, 0.0, 1.0])
     opts = RenderOptions(width=res, height=res, mode="path", bounces=2,
                          background=0.0, differentiable=True,
@@ -68,7 +74,12 @@ def main():
     def chain(n, state, cam, target, key):
         def body(i, c):
             st, _ = c
-            st2, loss = step(st, cam, target, key)
+            # fresh key per step: with a FIXED key and albedo-only params
+            # the whole traversal is loop-invariant and XLA hoists it out
+            # of the chain — the "step" then measures only shading +
+            # backward (observed: 10 ms/step vs the 42 ms forward). Real
+            # training re-samples paths every step; measure that.
+            st2, loss = step(st, cam, target, jax.random.fold_in(key, i))
             return st2, loss
         return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
 
@@ -87,14 +98,23 @@ def main():
     tk = time.time() - t0
     step_s = max((tk - t1) / reps, 1e-9)
 
-    # forward-only of the same frame shape for the bwd/fwd ratio
+    # forward-only for the bwd/fwd ratio — matched to the train step's
+    # OWN forward (render_rays without the shared-origin/grid-dirs
+    # primary-cull promises; render_image's promised primaries run a
+    # different, prepass-heavy engine config and make the ratio
+    # incomparable)
     import dataclasses
+
+    from clpathtracer_tpu.core.camera import cam_matrix, generate_rays
+    from clpathtracer_tpu.render.integrator import render_rays
     fopts = dataclasses.replace(opts, differentiable=False)
 
     def fchain(n, scene, tree, camera):
         def body(i, c):
             cam_i = camera.replace(position=camera.position + c * 1e-38)
-            img = render_image(scene, cam_i, fopts, tree=tree, key=key)
+            ci = cam_matrix(cam_i, fopts.height)
+            orig, dir = generate_rays(ci, fopts.width, fopts.height)
+            img = render_rays(scene, tree, orig, dir, fopts, key)
             return jnp.sum(img)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
