@@ -37,13 +37,30 @@ QBLOCK = 4  # triangles per quad row (ops/traverse_fast.py)
 
 @struct.dataclass
 class UniformGrid:
-    """Device-resident uniform grid (SoA, gather-friendly rows)."""
+    """Device-resident uniform grid (SoA, gather-friendly rows).
 
-    cells: jnp.ndarray   # [C, 8] f32 (quad_start, tri_count, pad…)
-    quads: jnp.ndarray   # [Q, 64] f32 quad rows (pack_quads_host)
-    lo: jnp.ndarray      # [3] f32 grid AABB min
-    hi: jnp.ndarray      # [3] f32 grid AABB max
-    h: jnp.ndarray       # [3] f32 cell size
+    Two interchangeable device layouts (ops/grid_walk.py walks both):
+
+    * split (cells + quads): [C, 8] meta rows + [Q, 64] quad rows — two
+      gathers per walk iteration.
+    * inline (table): ONE unified [C + S, 128] row table. Row `cid`
+      (cid < C) is that cell's row: 16-lane slot 0 carries
+      (spill_row, count) and slots 1..7 carry the cell's first 7
+      triangles inline; rows >= C are 8-triangle spill rows for cells
+      with more. A 128-wide gather costs the SAME as 64-wide and LESS
+      than 8-wide on this chip (latency-bound; narrow rows lane-pad),
+      so most cells complete in a single one-gather iteration.
+
+    Triangle records are 16 lanes each, pack_quads_host's layout:
+    (v0[3], e1[3], e2[3], tri_id, pad[6]); tri_id -1 = pad slot.
+    """
+
+    cells: jnp.ndarray = None   # [C, 8] f32 (quad_start, tri_count, pad…)
+    quads: jnp.ndarray = None   # [Q, 64] f32 quad rows (pack_quads_host)
+    table: jnp.ndarray = None   # [C + S, 128] f32 unified inline layout
+    lo: jnp.ndarray = None      # [3] f32 grid AABB min
+    hi: jnp.ndarray = None      # [3] f32 grid AABB max
+    h: jnp.ndarray = None       # [3] f32 cell size
     res: tuple = struct.field(pytree_node=False, default=(1, 1, 1))
 
     @property
@@ -51,7 +68,16 @@ class UniformGrid:
         return int(np.prod(self.res))
 
     def stats(self) -> dict:
-        counts = np.asarray(self.cells[:, 1])
+        if self.cells is not None:
+            counts = np.asarray(self.cells[:, 1])
+            extra = {"quad_rows": int(self.quads.shape[0]),
+                     "mem_mb": float((self.quads.size + self.cells.size)
+                                     * 4 / 1e6)}
+        else:
+            c = self.num_cells
+            counts = np.asarray(self.table[:c, 1])
+            extra = {"spill_rows": int(self.table.shape[0] - c),
+                     "mem_mb": float(self.table.size * 4 / 1e6)}
         occupied = counts > 0
         entries = float(counts.sum())
         return {
@@ -62,8 +88,7 @@ class UniformGrid:
             "avg_tris_per_occupied_cell": float(
                 entries / max(occupied.sum(), 1)),
             "max_tris_per_cell": int(counts.max(initial=0)),
-            "quad_rows": int(self.quads.shape[0]),
-            "mem_mb": float((self.quads.size + self.cells.size) * 4 / 1e6),
+            **extra,
         }
 
 
@@ -71,6 +96,18 @@ def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
     out = np.zeros_like(a)
     np.cumsum(a[:-1], out=out[1:])
     return out
+
+
+def _records16(idx: np.ndarray, tv: np.ndarray) -> np.ndarray:
+    """Per-triangle 16-lane records (pack_quads_host's element layout,
+    without the 4-per-row padding requirement): v0, e1, e2, tri_id."""
+    a = tv[idx, 0]
+    r = np.zeros((idx.shape[0], 16), np.float32)
+    r[:, 0:3] = a
+    r[:, 3:6] = tv[idx, 1] - a
+    r[:, 6:9] = tv[idx, 2] - a
+    r[:, 9] = idx.astype(np.float32)
+    return r
 
 
 def fog_likeness(tri_verts: np.ndarray, res: int = 24) -> float:
@@ -90,14 +127,15 @@ def fog_likeness(tri_verts: np.ndarray, res: int = 24) -> float:
     return float(np.unique(cid).size / res ** 3)
 
 
-def build_grid(tri_verts: np.ndarray, res=None,
-               density: float = 1.0) -> UniformGrid:
+def build_grid(tri_verts: np.ndarray, res=None, density: float = 1.0,
+               layout: str = "inline") -> UniformGrid:
     """Bin triangles into a uniform grid (vectorized numpy, host-side).
 
     tri_verts: [F, 3, 3]. res: per-axis cell counts; default picks
     roughly `density` triangles per cell with cells as close to cubical
     as the scene AABB allows (the classic lambda-heuristic with
-    lambda = 1/density).
+    lambda = 1/density). layout: "inline" (one unified 128-wide row
+    table, the measured-faster walk) or "split" (meta + quad tables).
     """
     tv = np.asarray(tri_verts, np.float32)
     f = tv.shape[0]
@@ -154,8 +192,36 @@ def build_grid(tri_verts: np.ndarray, res=None,
 
     starts = np.searchsorted(cellid_s, np.arange(ncells, dtype=np.int64))
     ccount = np.diff(np.append(starts, total))
+    geom = dict(lo=jnp.asarray(lo), hi=jnp.asarray(hi), h=jnp.asarray(h),
+                res=res)
 
-    # pad each cell's list to a QBLOCK multiple and scatter into slots
+    if layout == "inline":
+        # unified [C + S, 128] table: row cid = slot0 meta (spill_row,
+        # count) + 7 inline tris; spill rows of 8 tris for the rest
+        inl = np.minimum(ccount, 7)
+        spill_rows = -(-np.maximum(ccount - 7, 0) // 8)
+        srow0 = ncells + _exclusive_cumsum(spill_rows)
+        nrows = int(ncells + spill_rows.sum())
+        assert nrows < (1 << 24), (
+            f"{nrows} grid rows overflow f32-exact row ids — lower the "
+            "grid resolution/density")
+        # per-entry destination record (table viewed as [nrows*8, 16])
+        within = np.arange(total, dtype=np.int64) - starts[cellid_s]
+        is_inl = within < 7
+        rec = np.where(
+            is_inl,
+            cellid_s * 8 + within + 1,                       # slots 1..7
+            (srow0[cellid_s] + (within - 7) // 8) * 8 + (within - 7) % 8)
+        records = np.zeros((nrows * 8, 16), np.float32)
+        records[:, 9] = -1.0                                  # pad tri_id
+        records[rec] = _records16(tid_s.astype(np.int32), tv)
+        records[np.arange(ncells) * 8, 0] = srow0.astype(np.float32)
+        records[np.arange(ncells) * 8, 1] = ccount.astype(np.float32)
+        table = records.reshape(nrows, 128)
+        return UniformGrid(table=jnp.asarray(table), **geom)
+
+    # split layout: pad each cell's list to a QBLOCK multiple and
+    # scatter into quad-row slots
     padded = -(-ccount // QBLOCK) * QBLOCK
     pstart = _exclusive_cumsum(padded)
     total_padded = int(padded.sum())
@@ -173,5 +239,4 @@ def build_grid(tri_verts: np.ndarray, res=None,
 
     quads = pack_quads_host(tri_slots, tv)
     return UniformGrid(cells=jnp.asarray(cells), quads=jnp.asarray(quads),
-                       lo=jnp.asarray(lo), hi=jnp.asarray(hi),
-                       h=jnp.asarray(h), res=res)
+                       **geom)

@@ -51,11 +51,16 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
     """
     assert not any_hit or t_max is not None, "any_hit needs t_max"
     n = orig.shape[0]
-    cells = grid.cells
-    quads = grid.quads
-    nq = quads.shape[0]
-    ncells = cells.shape[0]
+    inline = getattr(grid, "table", None) is not None
+    if inline:
+        table = grid.table
+        nrows = table.shape[0]
+    else:
+        cells = grid.cells
+        quads = grid.quads
+        nq = quads.shape[0]
     rx, ry, rz = grid.res
+    ncells = rx * ry * rz
 
     # grid geometry as traced values (pass-through from the grid pytree:
     # keeping the jaxpr constant-free — CLAUDE.md jax 0.9 note)
@@ -95,6 +100,7 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
     dt = jnp.where(dir != 0, gh[None, :] * jnp.abs(inv_d), BIG)
 
     zero_i = cell[:, 0] * 0
+    cid0 = (cell[:, 0] * ry + cell[:, 1]) * rz + cell[:, 2]
     state = {
         "cell": cell,
         "t_next": t_next,
@@ -111,40 +117,19 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
     }
     if t_max is not None:
         state["t_bound"] = t_max + orig[:, 0] * 0.0
+    if inline:
+        # row: the absolute table row this iteration gathers (cell row or
+        # spill row); count/spill: the current cell's meta, captured on
+        # its cell-row iteration and carried through its spill rows
+        state["row"] = cid0
+        state["count"] = zero_i
+        state["spill"] = zero_i
 
-    def body(s):
-        act = s["active"]
-        o, d = s["orig"], s["dir"]
-        c = s["cell"]
-        cid = (c[:, 0] * ry + c[:, 1]) * rz + c[:, 2]
-        row = cells[jnp.clip(cid, 0, ncells - 1)]      # [n', 8] wide gather
-        qstart = row[:, 0].astype(jnp.int32)
-        count = row[:, 1].astype(jnp.int32)
-
-        qidx = qstart + s["offset"] // QBLOCK
-        qrow = quads[jnp.clip(qidx, 0, nq - 1)]        # [n', 64] wide gather
-        qr = qrow.reshape(-1, QBLOCK, 16)
-        tv0, te1, te2 = qr[..., 0:3], qr[..., 3:6], qr[..., 6:9]
-        tid = qr[..., 9].astype(jnp.int32)
-        in_cell = (s["offset"][:, None] + jnp.arange(QBLOCK)[None, :]
-                   ) < count[:, None]
-        valid = in_cell & (tid >= 0) & act[:, None]
-        ok, t, _, _ = _mt_pre(tv0, te1, te2, o[:, None, :], d[:, None, :])
-        ok = ok & valid
-        t_m = jnp.where(ok, t, BIG)
-        k = (QBLOCK - 1) - jnp.argmin(t_m[:, ::-1], axis=1)
-        bt = jnp.min(t_m, axis=1)
-        bslot = (qidx * QBLOCK + k).astype(jnp.int32)
-        take = (bt < BIG) & (bt <= s["best_t"])
-        if t_max is not None:
-            take = take & (bt < s["t_bound"])
-        best_t = jnp.where(take, bt, s["best_t"])
-        best_slot = jnp.where(take, bslot, s["best_slot"])
-
-        # --- DDA advance (when this cell's list is exhausted) ---
-        offset_next = s["offset"] + QBLOCK
+    def finish(s, act, count, offset_next, best_t, best_slot, take):
+        """Shared tail: per-cell termination test + DDA advance. Returns
+        (cell2, t_next2, adv, cid_new, active2, cell_done)."""
+        c, tn = s["cell"], s["t_next"]
         cell_done = offset_next >= count
-        tn = s["t_next"]
         t_exit = jnp.min(tn, axis=1)
         # settled: nothing in a later cell (entry >= t_exit) can beat the
         # best; with a bound, later cells are irrelevant past it
@@ -167,18 +152,103 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         out = ((c_new[:, 0] < 0) | (c_new[:, 0] >= rx)
                | (c_new[:, 1] < 0) | (c_new[:, 1] >= ry)
                | (c_new[:, 2] < 0) | (c_new[:, 2] >= rz))
-
         adv = act & cell_done
         cell2 = jnp.where(adv[:, None], c_new, c)
         t_next2 = jnp.where(adv[:, None], tn_new, tn)
-        offset2 = jnp.where(act & ~cell_done, offset_next, 0)
+        cid_new = (c_new[:, 0] * ry + c_new[:, 1]) * rz + c_new[:, 2]
         active2 = act & ~(cell_done & (settled | out))
         if any_hit:
             active2 = active2 & ~take
+        return cell2, t_next2, adv, cid_new, active2, cell_done
+
+    def take_best(s, t_m, bslot):
+        k_last = t_m.shape[1] - 1 - jnp.argmin(t_m[:, ::-1], axis=1)
+        bt = jnp.min(t_m, axis=1)
+        take = (bt < BIG) & (bt <= s["best_t"])
+        if t_max is not None:
+            take = take & (bt < s["t_bound"])
+        best_t = jnp.where(take, bt, s["best_t"])
+        best_slot = jnp.where(take, bslot(k_last), s["best_slot"])
+        return take, best_t, best_slot
+
+    def body_split(s):
+        act = s["active"]
+        o, d = s["orig"], s["dir"]
+        c = s["cell"]
+        cid = (c[:, 0] * ry + c[:, 1]) * rz + c[:, 2]
+        row = cells[jnp.clip(cid, 0, ncells - 1)]      # [n', 8] wide gather
+        qstart = row[:, 0].astype(jnp.int32)
+        count = row[:, 1].astype(jnp.int32)
+
+        qidx = qstart + s["offset"] // QBLOCK
+        qrow = quads[jnp.clip(qidx, 0, nq - 1)]        # [n', 64] wide gather
+        qr = qrow.reshape(-1, QBLOCK, 16)
+        tid = qr[..., 9].astype(jnp.int32)
+        in_cell = (s["offset"][:, None] + jnp.arange(QBLOCK)[None, :]
+                   ) < count[:, None]
+        valid = in_cell & (tid >= 0) & act[:, None]
+        ok, t, _, _ = _mt_pre(qr[..., 0:3], qr[..., 3:6], qr[..., 6:9],
+                              o[:, None, :], d[:, None, :])
+        t_m = jnp.where(ok & valid, t, BIG)
+        take, best_t, best_slot = take_best(
+            s, t_m, lambda k: (qidx * QBLOCK + k).astype(jnp.int32))
+
+        offset_next = s["offset"] + QBLOCK
+        cell2, t_next2, adv, _, active2, cell_done = finish(
+            s, act, count, offset_next, best_t, best_slot, take)
+        offset2 = jnp.where(act & ~cell_done, offset_next, 0)
         return {**s, "cell": cell2, "t_next": t_next2, "offset": offset2,
                 "active": active2, "best_t": best_t,
                 "best_slot": best_slot,
                 "steps": s["steps"] + act.astype(jnp.int32)}
+
+    def body_inline(s):
+        act = s["active"]
+        o, d = s["orig"], s["dir"]
+        ridx = jnp.clip(s["row"], 0, nrows - 1)
+        row = table[ridx]                            # [n', 128] — the ONLY
+        #   gather this iteration: cell rows carry meta + 7 inline tris,
+        #   spill rows 8 tris (accel/grid.py inline layout)
+        at_cell = s["row"] < ncells
+        count = jnp.where(at_cell, row[:, 1], s["count"].astype(
+            row.dtype)).astype(jnp.int32)
+        spill = jnp.where(at_cell, row[:, 0], s["spill"].astype(
+            row.dtype)).astype(jnp.int32)
+        r8 = row.reshape(-1, 8, 16)
+        # test block: inline rows use slots 1..7 (7 tris; 8th lane
+        # masked), spill rows slots 0..7
+        blk = jnp.where(at_cell[:, None, None],
+                        jnp.concatenate([r8[:, 1:8], r8[:, 7:8]], axis=1),
+                        r8)
+        tid = blk[..., 9].astype(jnp.int32)
+        j = jnp.arange(8)[None, :]
+        pos = s["offset"][:, None] + j
+        valid = ((pos < count[:, None]) & (tid >= 0) & act[:, None]
+                 & (~at_cell[:, None] | (j < 7)))
+        ok, t, _, _ = _mt_pre(blk[..., 0:3], blk[..., 3:6], blk[..., 6:9],
+                              o[:, None, :], d[:, None, :])
+        t_m = jnp.where(ok & valid, t, BIG)
+        # winning sub-slot within the TABLE row: inline slot j holds the
+        # row's record j+1
+        take, best_t, best_slot = take_best(
+            s, t_m, lambda k: (ridx * 8 + jnp.where(at_cell, k + 1, k)
+                               ).astype(jnp.int32))
+
+        consumed = jnp.where(at_cell, 7, 8)
+        offset_next = s["offset"] + consumed
+        cell2, t_next2, adv, cid_new, active2, cell_done = finish(
+            s, act, count, offset_next, best_t, best_slot, take)
+        # next row: this cell's next spill row, or the next cell's row
+        row_stay = spill + (offset_next - 7) // 8
+        row2 = jnp.where(adv, cid_new, jnp.where(act, row_stay, s["row"]))
+        offset2 = jnp.where(act & ~cell_done, offset_next, 0)
+        return {**s, "cell": cell2, "t_next": t_next2, "offset": offset2,
+                "row": row2, "count": count, "spill": spill,
+                "active": active2, "best_t": best_t,
+                "best_slot": best_slot,
+                "steps": s["steps"] + act.astype(jnp.int32)}
+
+    body = body_inline if inline else body_split
 
     if not compact:
         def cond(carry):
@@ -205,13 +275,21 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         # cost knob: sweepable via CLPT_GRID_MIN (chip-measured default)
         floor = int(os.environ.get("CLPT_GRID_MIN", "2048"))
         min_size = min(n, max(floor, n // 64))
+        # wind-down aggressiveness: shrink the wavefront F-fold once
+        # active lanes drop below 1/F. Fog active fractions decay fast
+        # (most lanes settle in their first occupied cells), so eager
+        # halving beats quartering: chip sweep F=2/4/8 → bounce
+        # 115.5/135.6/180.5 ms, shadow 125.6/150 ms at F=2/4
+        # (probes/probe_grid.py); the extra argsort rounds cost less
+        # than the over-wide head iterations they remove
+        frac = int(os.environ.get("CLPT_GRID_FRAC", "2"))
 
         def run_loop(s, it0):
             def cond(carry):
                 s, it = carry
                 return (jnp.any(s["active"]) & (it < it0 + max_iters)
                         & (jnp.sum(s["active"])
-                           > s["active"].shape[0] // 4))
+                           > s["active"].shape[0] // frac))
 
             def bd(carry):
                 s, it = carry
@@ -228,9 +306,9 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
             if size <= min_size:
                 break
             order = jnp.argsort(~state["active"])
-            quarter = max(size // 4, min_size)
-            state = jax.tree.map(lambda a: a[order[:quarter]], state)
-            size = quarter
+            shrunk = max(size // frac, min_size)
+            state = jax.tree.map(lambda a: a[order[:shrunk]], state)
+            size = shrunk
 
         def cond(carry):
             s, it = carry
@@ -247,6 +325,30 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         out = {"best_t": results_t, "best_slot": results_slot,
                "steps": results_steps}
 
-    rec = resolve_slot(quads, out["best_slot"], orig, dir)
+    if inline:
+        rec = _resolve_table(table, out["best_slot"], orig, dir)
+    else:
+        rec = resolve_slot(quads, out["best_slot"], orig, dir)
     rec["steps"] = out["steps"]
     return rec
+
+
+def _resolve_table(table, best_slot, orig, dir):
+    """resolve_slot for the inline layout: slots index the unified
+    [R, 128] table as row*8 + record (8 16-lane records per row)."""
+    hit = best_slot >= 0
+    slot_safe = jnp.clip(best_slot, 0, table.shape[0] * 8 - 1)
+    rsel = table[slot_safe // 8].reshape(-1, 8, 16)
+    lane = slot_safe % 8
+    sel = rsel[:, 0, :]
+    for j in range(1, 8):
+        sel = jnp.where((lane == j)[:, None], rsel[:, j, :], sel)
+    ok, t, u, v = _mt_pre(sel[:, 0:3], sel[:, 3:6], sel[:, 6:9], orig, dir)
+    tri = jnp.where(hit, sel[:, 9].astype(jnp.int32), -1)
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, BIG),
+        "tri": tri.astype(jnp.int32),
+        "u": jnp.where(hit, u, 0.0),
+        "v": jnp.where(hit, v, 0.0),
+    }

@@ -91,13 +91,16 @@ def main():
     dist = jax.device_put(jnp.asarray(dist_np), dev)
     act = jax.device_put(jnp.asarray(act_np), dev)
 
+    layouts = os.environ.get("PROBE_LAYOUTS", "inline,split").split(",")
     grids = {}
     for dens in densities:
-        t0 = time.time()
-        with jax.default_device(cpu):
-            g = build_grid(tv, density=dens)
-        log(f"# grid dens={dens}: {time.time()-t0:.1f}s {g.stats()}")
-        grids[dens] = jax.device_put(g, dev)
+        for layout in layouts:
+            t0 = time.time()
+            with jax.default_device(cpu):
+                g = build_grid(tv, density=dens, layout=layout)
+            log(f"# grid dens={dens} {layout}: {time.time()-t0:.1f}s "
+                f"{g.stats()}")
+            grids[(dens, layout)] = jax.device_put(g, dev)
 
     if "shadow" in wave:
         # incumbent: walk-tuned kd tree, any_hit (bench path gate config)
@@ -123,7 +126,7 @@ def main():
                           "compile_s": round(comp, 1),
                           "steps_mean": extra[0]}), flush=True)
 
-        for dens, g in grids.items():
+        for (dens, layout), g in grids.items():
             def g_chain(n, g, o, d, dist, act):
                 def body(i, c):
                     rec = traverse_grid(g, o + c[0] * 1e-38, d,
@@ -137,6 +140,7 @@ def main():
             chk, chk2, comp, t, extra = timed(
                 jax.jit(g_chain), (g, o, d, dist, act), reps)
             print(json.dumps({"wave": "shadow", "engine": "grid",
+                              "layout": layout,
                               "density": dens, "s": round(t, 4),
                               "occ": chk, "occ2": chk2,
                               "compile_s": round(comp, 1),
@@ -173,7 +177,7 @@ def main():
 
         sorts = ((False, True) if os.environ.get("PROBE_SORTS", "1") == "1"
                  else (False,))
-        for dens, g in grids.items():
+        for (dens, layout), g in grids.items():
             for sort in sorts:
                 def gb_chain(n, g, o, d, act):
                     def body(i, c):
@@ -197,6 +201,7 @@ def main():
                 chk, chk2, comp, t, extra = timed(
                     jax.jit(gb_chain), (g, o, bdir, act), reps)
                 print(json.dumps({"wave": "bounce", "engine": "grid",
+                                  "layout": layout,
                                   "density": dens, "sorted": sort,
                                   "s": round(t, 4), "tsum": chk,
                                   "tsum2": chk2,

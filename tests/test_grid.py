@@ -45,7 +45,7 @@ class TestBuild:
         """Each triangle appears in every cell its AABB overlaps."""
         scene = random_tri_soup(500, seed=0, extent=2.0, tri_size=0.1)
         tv = _tv(scene)
-        g = build_grid(tv, res=(7, 5, 6))
+        g = build_grid(tv, res=(7, 5, 6), layout="split")
         cells = np.asarray(g.cells)
         quads = np.asarray(g.quads).reshape(-1, 16)
         lo, h = np.asarray(g.lo), np.asarray(g.h)
@@ -69,7 +69,7 @@ class TestBuild:
 
     def test_counts_and_padding(self):
         scene = icosphere(2)
-        g = build_grid(_tv(scene), res=4)
+        g = build_grid(_tv(scene), res=4, layout="split")
         cells = np.asarray(g.cells)
         quads = np.asarray(g.quads).reshape(-1, 16)
         total = int(cells[:, 1].sum())
@@ -86,6 +86,7 @@ class TestBuild:
         assert np.prod(g2.res) < np.prod(g.res)
 
 
+@pytest.mark.parametrize("layout", ["split", "inline"])
 @pytest.mark.parametrize("compact", [False, True])
 @pytest.mark.parametrize("make,pos", [
     (lambda: cornell_box(light=False), (0.0, 0.0, -1.0)),
@@ -96,13 +97,13 @@ class TestBuild:
     # lines and SAH split planes — see test_crack_rays_grid_beats_kd_walk
     (lambda: terrain_mesh(2000, seed=0, extent=3.0), (0.013, 6.0, -3.0)),
 ])
-def test_grid_matches_kd_walk(make, pos, compact):
+def test_grid_matches_kd_walk(make, pos, compact, layout):
     scene = make()
     tv = _tv(scene)
     fwd = (0.0, -1.0, 0.5) if pos[1] > 2 else (0.0, 0.0, 1.0)
     orig, dir = _rays(24, 24, pos, fwd)
     ref = _kd_rec(tv, orig, dir)
-    g = build_grid(tv)
+    g = build_grid(tv, layout=layout)
     rec = jax.jit(lambda o, d: traverse_grid(g, o, d, compact=compact))(
         orig, dir)
     np.testing.assert_array_equal(np.asarray(ref["hit"]),
@@ -127,14 +128,54 @@ def test_grid_vs_bruteforce_soup():
     tv = _tv(scene)
     orig, dir = _rays(16, 16, (0.0, 0.0, -3.0))
     ref = nearest_hit_bruteforce(scene, orig, dir)
-    g = build_grid(tv)
-    rec = traverse_grid(g, orig, dir)
-    np.testing.assert_array_equal(np.asarray(ref["hit"]),
-                                  np.asarray(rec["hit"]))
-    hit = np.asarray(ref["hit"])
-    np.testing.assert_allclose(np.asarray(ref["t"])[hit],
-                               np.asarray(rec["t"])[hit],
-                               rtol=1e-5, atol=1e-6)
+    recs = {}
+    for layout in ("split", "inline"):
+        g = build_grid(tv, layout=layout)
+        rec = traverse_grid(g, orig, dir)
+        np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                      np.asarray(rec["hit"]))
+        hit = np.asarray(ref["hit"])
+        np.testing.assert_allclose(np.asarray(ref["t"])[hit],
+                                   np.asarray(rec["t"])[hit],
+                                   rtol=1e-5, atol=1e-6)
+        recs[layout] = rec
+    # the two layouts run identical arithmetic on identical records:
+    # bit-equal t and identical winners
+    np.testing.assert_array_equal(np.asarray(recs["split"]["t"]),
+                                  np.asarray(recs["inline"]["t"]))
+    np.testing.assert_array_equal(np.asarray(recs["split"]["tri"]),
+                                  np.asarray(recs["inline"]["tri"]))
+
+
+def test_inline_table_build_invariants():
+    """Inline layout: every cell's members reachable via its row chain
+    (7 inline + spill rows of 8), counts exact."""
+    scene = random_tri_soup(800, seed=2, extent=2.0, tri_size=0.12)
+    tv = _tv(scene)
+    g = build_grid(tv, res=(5, 4, 6), layout="inline")
+    t = np.asarray(g.table)
+    C = int(np.prod(g.res))
+    recs = t.reshape(-1, 8, 16)
+    sg = build_grid(tv, res=(5, 4, 6), layout="split")
+    cells = np.asarray(sg.cells)
+    quads = np.asarray(sg.quads).reshape(-1, 16)
+    for cid in range(C):
+        cnt = int(recs[cid, 0, 1])
+        assert cnt == int(cells[cid, 1])
+        ids = [int(recs[cid, 1 + j, 9]) for j in range(min(cnt, 7))]
+        spill = int(recs[cid, 0, 0])
+        k = cnt - len(ids)
+        r = spill
+        while k > 0:
+            take = min(k, 8)
+            ids += [int(recs[r, j, 9]) for j in range(take)]
+            k -= take
+            r += 1
+        want = sorted(
+            int(x) for x in
+            quads[int(cells[cid, 0]) * 4:int(cells[cid, 0]) * 4
+                  + int(cells[cid, 1]), 9])
+        assert sorted(ids) == want, cid
 
 
 def test_crack_rays_grid_beats_kd_walk():
@@ -165,8 +206,9 @@ def test_crack_rays_grid_beats_kd_walk():
     assert np.all(np.asarray(dir)[missed][:, 0] == 0.0)
 
 
+@pytest.mark.parametrize("layout", ["split", "inline"])
 @pytest.mark.parametrize("any_hit", [False, True])
-def test_occlusion_parity(any_hit):
+def test_occlusion_parity(any_hit, layout):
     """Distance-bounded occlusion: grid == kd walk booleans, with mixed
     active/dead lanes and per-lane bounds (the NEE shadow-wave shape)."""
     scene = random_tri_soup(4000, seed=5, extent=2.0, tri_size=0.08)
@@ -181,7 +223,7 @@ def test_occlusion_parity(any_hit):
     act = jnp.asarray(rng.uniform(size=n) < 0.7)
 
     ref = _kd_rec(tv, o, d, t_max=t_max, active=act, any_hit=any_hit)
-    g = build_grid(tv)
+    g = build_grid(tv, layout=layout)
     rec = traverse_grid(g, o, d, t_max=t_max, active=act, any_hit=any_hit)
     np.testing.assert_array_equal(np.asarray(ref["hit"]),
                                   np.asarray(rec["hit"]))

@@ -66,6 +66,28 @@ class TestShardedRender:
             scene, cam, opts, tree=tree, mesh=default_mesh(), key=key))
         np.testing.assert_array_equal(img_1, img_8)
 
+    def test_path_mode_sharded_with_grid(self):
+        """The uniform-grid DDA walk is pure XLA — GSPMD must partition a
+        grid-accelerated path+NEE render bit-identically across 8
+        devices (the inline 128-wide table replicates; ray state
+        shards)."""
+        from clpathtracer_tpu.accel.sah import attach_grid
+        from clpathtracer_tpu.scene.procedural import random_tri_soup
+        scene = random_tri_soup(2000, seed=8, extent=2.0, tri_size=0.08,
+                                emissive_frac=0.02).bake_shading()
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        tree = attach_grid(build_kd_tree(tv, tri_block=4), tv)
+        cam = Camera.create(position=[0.0, 0.0, -3.0], forward=[0, 0, 1.0])
+        opts = RenderOptions(width=16, height=16, mode="path", bounces=2,
+                             nee=True, background=0.0)
+        key = jax.random.PRNGKey(6)
+        img_1 = np.asarray(render_image(scene, cam, opts, tree=tree,
+                                        key=key))
+        img_8 = np.asarray(render_image_sharded(
+            scene, cam, opts, tree=tree, mesh=default_mesh(), key=key))
+        np.testing.assert_array_equal(img_1, img_8)
+
 
 class TestDistributedTrain:
     def test_train_step_reduces_loss(self):
