@@ -127,16 +127,26 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
         t0 = time.time()
         tree = build_kd_tree(tv, max_depth=max_depth, leaf_size=leaf_size,
                              tri_block=4)
-        if mode == "path" and scene_kind == "soup":
+        if mode == "path":
             # incoherent path-mode waves (bounce nearest-hit + NEE shadow
-            # occlusion) ride the uniform-grid DDA on this fog scene:
-            # measured 7.6x on the bounce wave and 3.3x on the shadow
-            # wave vs the bundle-plist / walk-tuned kd-tree incumbents
-            # (probes/probe_grid.py, chip, bit-identical results)
-            from clpathtracer_tpu.accel.sah import attach_grid
+            # occlusion) want a second accelerator, auto-picked like
+            # cli/main.py: the uniform-grid DDA on fog-like scenes
+            # (measured 7.6x bounce / 3.3x shadow — probes/probe_grid.py)
+            # and the walk-tuned shadow kd-tree on surface meshes
+            # (measured 3.9x on NEE occlusion walks), so env-driven
+            # non-soup path+NEE configs don't silently fall back to the
+            # packet-tuned fat-leaf tree
+            from clpathtracer_tpu.accel.grid import fog_likeness
+            from clpathtracer_tpu.accel.sah import (attach_grid,
+                                                    attach_shadow_tree)
             ts = time.time()
-            tree = attach_grid(tree, tv)
-            log(f"# grid: {time.time()-ts:.1f}s stats={tree.grid.stats()}")
+            if fog_likeness(tv) > 0.5:
+                tree = attach_grid(tree, tv)
+                log(f"# grid: {time.time()-ts:.1f}s "
+                    f"stats={tree.grid.stats()}")
+            elif nee:
+                tree = attach_shadow_tree(tree, tv)
+                log(f"# shadow tree: {time.time()-ts:.1f}s")
     log(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}")
 
     from clpathtracer_tpu.ops.packet import packet_mode

@@ -156,9 +156,21 @@ def build_grid(tri_verts: np.ndarray, res=None, density: float = 1.0,
         k = (f / (density * float(np.prod(ext)))) ** (1.0 / 3.0)
         res = np.maximum(1, np.minimum(
             512, np.round(ext * k))).astype(np.int64)
+        # cap TOTAL cells too: the per-axis cap alone admits up to 512^3
+        # = 1.3e8 cells (a multi-GB table) when density is tiny or the
+        # extents are skewed — a mis-tuned density should hit the loud
+        # f32-exactness assert below, not an allocation OOM first
+        cap = min(1 << 23, max(8 * f, 1 << 12))
+        over = float(np.prod(res)) / cap
+        if over > 1.0:
+            res = np.maximum(1, np.floor(
+                res / over ** (1.0 / 3.0))).astype(np.int64)
     res = tuple(int(r) for r in np.broadcast_to(res, (3,)))
     rx, ry, rz = res
     ncells = rx * ry * rz
+    assert ncells < (1 << 24), (
+        f"{res} = {ncells} grid cells overflow f32-exact row ids — "
+        "lower the grid resolution/density")
     h = (ext / np.asarray(res, np.float32)).astype(np.float32)
     inv_h = 1.0 / h
 

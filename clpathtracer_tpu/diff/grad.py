@@ -44,7 +44,8 @@ def intersect_diff(scene, tree, orig, dir, tri_block: int = 4,
                    max_iters: int = 4096, scene_axis: str = None,
                    packet: bool = False, coherent: bool = True,
                    packet_tile: int = 1024, image_shape=None, active=None,
-                   shared_origin: bool = False, grid_dirs: bool = False):
+                   shared_origin: bool = False, grid_dirs: bool = False,
+                   bounce_grid: bool = None):
     """Nearest triangle hit with differentiable t/u/v and detached topology.
 
     Returns dict(hit [N] bool, tri [N] i32, t [N], u [N], v [N]) where t/u/v
@@ -71,8 +72,14 @@ def intersect_diff(scene, tree, orig, dir, tri_block: int = 4,
                 pack_quads, traverse_fast)
             quads = pack_quads(tree.tri_indices, sg(v0), sg(v1), sg(v2))
             n = orig.shape[0]
+            if bounce_grid is None:
+                # legacy env fallback for direct callers; render paths
+                # thread RenderOptions.bounce_grid (resolved at options
+                # CONSTRUCTION, so it participates in the jit cache key)
+                bounce_grid = os.environ.get(
+                    "CLPT_BOUNCE_GRID", "1") == "1"
             if (not coherent and getattr(tree, "grid", None) is not None
-                    and os.environ.get("CLPT_BOUNCE_GRID", "1") == "1"):
+                    and bounce_grid):
                 # incoherent bounce wave with a uniform grid attached:
                 # same reroute as the primal integrator
                 # (render/integrator.py) — topology is detached, so the

@@ -67,11 +67,19 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
     glo, gh = grid.lo, grid.h
     inv_d = 1.0 / dir
 
-    # slab test against the grid AABB → entry distance
+    # slab test against the grid AABB → entry distance. dir==0 axes get
+    # the origin-in-slab answer directly: (b - orig) * inv_d is 0 * inf
+    # = NaN when the origin sits exactly on a slab plane (the grid pad
+    # is only 1e-4*ext, so that happens), which would silently void
+    # `inside` below.
     t_lo = (glo[None, :] - orig) * inv_d
     t_hi = (grid.hi[None, :] - orig) * inv_d
-    t_near = jnp.minimum(t_lo, t_hi)
-    t_far = jnp.maximum(t_lo, t_hi)
+    d0 = dir == 0
+    in_slab = (orig >= glo[None, :]) & (orig <= grid.hi[None, :])
+    t_near = jnp.where(d0, jnp.where(in_slab, -BIG, BIG),
+                       jnp.minimum(t_lo, t_hi))
+    t_far = jnp.where(d0, jnp.where(in_slab, BIG, -BIG),
+                      jnp.maximum(t_lo, t_hi))
     t_en = jnp.max(t_near, axis=1)
     t_ex = jnp.min(t_far, axis=1)
     t0 = jnp.maximum(t_en, 0.0)

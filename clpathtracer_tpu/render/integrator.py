@@ -86,6 +86,13 @@ class RenderOptions:
     precision: str = "f32"     # "bf16" = preview-quality packet
     #   intersection (~2x VPU rate; bf16 cancellation costs ~7% of hits
     #   on small-triangle scenes — previews only). Stream engine only.
+    bounce_grid: bool = None   # route incoherent bounce/shadow waves
+    #   through the scene's attached uniform grid (tree.grid) when one
+    #   exists. None resolves from CLPT_BOUNCE_GRID at CONSTRUCTION time
+    #   (default on): the choice then lives in the hashable options and
+    #   participates in the jit cache key, so flipping the env var
+    #   between same-shape calls can never silently reuse a stale cached
+    #   program, and an explicit False opts out per-render.
     nee_light_stride: int = 1  # NEE: one light sample shared by each
     #   run of this many consecutive rays (1 = independent per-lane
     #   sampling, the reference estimator). Strides of a plist-bundle
@@ -94,6 +101,12 @@ class RenderOptions:
     #   engine needs (CLPT_SHADOW_BUNDLE) — at the cost of CORRELATED
     #   direct-lighting noise within each run (unbiased: the shared
     #   sample is still drawn from the exact emitter pdf).
+
+    def __post_init__(self):
+        if self.bounce_grid is None:
+            object.__setattr__(
+                self, "bounce_grid",
+                os.environ.get("CLPT_BOUNCE_GRID", "1") == "1")
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +152,7 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
             coherent=(coherent or not opts.sort_bounces),
             shared_origin=shared_origin,
             grid_dirs=grid_dirs,
+            bounce_grid=opts.bounce_grid,
             packet_tile=opts.packet_tile,
             image_shape=((opts.height, opts.width)
                          if n == opts.width * opts.height else None),
@@ -196,7 +210,7 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                                       shared_origin=shared_origin,
                                       grid_dirs=grid_dirs)
             elif (not coherent and getattr(tree, "grid", None) is not None
-                    and os.environ.get("CLPT_BOUNCE_GRID", "1") == "1"):
+                    and opts.bounce_grid):
                 # incoherent bounce wave on a fog-like scene with a grid
                 # attached (accel/sah.py::attach_grid): per-ray DDA
                 # nearest-hit — no packet/bundle cone to degrade, dead
