@@ -187,7 +187,8 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
             "CLPT_WIN_ROWS", tuning.get("plist_rows", 16)))
         t0 = time.time()
         tree = attach_morton_windows(tree, tv, win_rows=plist_rows,
-                                     with_so=True)
+                                     with_so=True,
+                                     shade_rows=scene.shade_rows)
         log(f"# morton windows: {time.time()-t0:.1f}s "
             f"({tree.mwin.num_windows} windows, {plist_rows} rows)")
 

@@ -673,16 +673,22 @@ def attach_so_tables(tree: FlatKdTree) -> FlatKdTree:
 
 def attach_morton_windows(tree: FlatKdTree, tri_verts: np.ndarray,
                           win_rows: int = None,
-                          with_so: bool = False) -> FlatKdTree:
+                          with_so: bool = False,
+                          shade_rows=None) -> FlatKdTree:
     """Attach the plist engine's global-Morton window structure
     (ops/plist.py). Host-side numpy build like the kd build itself;
     with_so additionally bakes the affine shared-origin tables ON the
-    current device (call after device_put, like attach_so_tables).
-    Adds ~1x (plus 4x with SO tables) of the quad bytes."""
-    from clpathtracer_tpu.ops.plist import attach_so, build_morton_windows
+    current device (call after device_put, like attach_so_tables);
+    shade_rows (the scene's baked [T, 16] shade table) additionally
+    bakes fused resolve rows so winner resolution + shading cost ONE
+    row gather per wave instead of two (ops/plist.py::attach_resolve).
+    Adds ~1x (plus 4x with SO tables, plus 2x with resolve rows) of the
+    quad bytes."""
+    from clpathtracer_tpu.ops.plist import (attach_resolve, attach_so,
+                                            build_morton_windows)
     mwin = build_morton_windows(np.asarray(tri_verts, np.float32),
                                 win_rows=win_rows)
-    if with_so:
+    if with_so or shade_rows is not None:
         import jax
         dev = None
         if tree.quads is not None:
@@ -690,7 +696,10 @@ def attach_morton_windows(tree: FlatKdTree, tri_verts: np.ndarray,
             dev = next(iter(devs)) if devs else None
         if dev is not None:
             mwin = jax.device_put(mwin, dev)
-        mwin = attach_so(mwin)
+        if with_so:
+            mwin = attach_so(mwin)
+        if shade_rows is not None:
+            mwin = attach_resolve(mwin, shade_rows)
     return tree.replace(mwin=mwin)
 
 

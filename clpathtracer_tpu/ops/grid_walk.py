@@ -28,7 +28,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from clpathtracer_tpu.ops.traverse_fast import _mt_pre, resolve_slot
+from clpathtracer_tpu.ops.traverse_fast import _mt_pre
 
 BIG = 3.4e38
 QBLOCK = 4
@@ -51,6 +51,29 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
     """
     assert not any_hit or t_max is not None, "any_hit needs t_max"
     n = orig.shape[0]
+    # wave chunking: a 262k-lane row gather runs at ~45 GB/s effective,
+    # but HALF-width gathers are 2.4x cheaper each (2 x 1.22 ms vs
+    # 2.95 ms — probes/probe_gather_tpu.py e), so splitting the wave
+    # into sequential chunks cuts the walk's gather bill (each chunk
+    # also gets its own finer wind-down). Chip sweep on the 262k-lane
+    # 1M-fog waves (probes/probe_grid.py, CLPT_GRID_CHUNK env):
+    # 0/131072/65536/32768 -> bounce 114.9/101.4/95.5/106.7 ms, shadow
+    # 129/111.7/103.9/113.6 ms — 64k is the measured optimum (32k pays
+    # more wind-down rounds than its narrower gathers save). 0 disables;
+    # waves not divisible by the chunk stay full-width.
+    chunk = int(os.environ.get("CLPT_GRID_CHUNK", "65536"))
+    if chunk > 0 and n > chunk and n % chunk == 0:
+        recs = []
+        for i in range(0, n, chunk):
+            sl = slice(i, i + chunk)
+            recs.append(traverse_grid(
+                grid, orig[sl], dir[sl], max_iters=max_iters,
+                compact=compact,
+                t_max=None if t_max is None else t_max[sl],
+                active=None if active is None else active[sl],
+                any_hit=any_hit))
+        return {k: jnp.concatenate([r[k] for r in recs])
+                for k in recs[0]}
     inline = getattr(grid, "table", None) is not None
     if inline:
         table = grid.table
@@ -109,6 +132,10 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
 
     zero_i = cell[:, 0] * 0
     cid0 = (cell[:, 0] * ry + cell[:, 1]) * rz + cell[:, 2]
+    # the walk carries the winner's (t, tri, u, v) through the loop — the
+    # in-loop _mt_pre already computes them exactly, so no post-walk
+    # resolve GATHER is needed at all (a ~262k-lane row gather costs
+    # ~2.8 ms on this chip — probes/probe_gather_tpu.py — per wave)
     state = {
         "cell": cell,
         "t_next": t_next,
@@ -116,7 +143,9 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         "active": act0,
         "best_t": (BIG + orig[:, 0] * 0.0 if t_max is None
                    else t_max + orig[:, 0] * 0.0),
-        "best_slot": zero_i - 1,
+        "best_tri": zero_i - 1,
+        "best_u": orig[:, 0] * 0.0,
+        "best_v": orig[:, 0] * 0.0,
         "steps": zero_i,
         "orig": orig,
         "dir": dir,
@@ -133,7 +162,7 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         state["count"] = zero_i
         state["spill"] = zero_i
 
-    def finish(s, act, count, offset_next, best_t, best_slot, take):
+    def finish(s, act, count, offset_next, best_t, best_tri, take):
         """Shared tail: per-cell termination test + DDA advance. Returns
         (cell2, t_next2, adv, cid_new, active2, cell_done)."""
         c, tn = s["cell"], s["t_next"]
@@ -141,7 +170,7 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         t_exit = jnp.min(tn, axis=1)
         # settled: nothing in a later cell (entry >= t_exit) can beat the
         # best; with a bound, later cells are irrelevant past it
-        settled = (best_slot >= 0) & (best_t <= t_exit)
+        settled = (best_tri >= 0) & (best_t <= t_exit)
         if t_max is not None:
             settled = settled | (t_exit >= s["t_bound"])
         # step the min-t axis (where-chains; no per-lane gathers, no
@@ -169,15 +198,27 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
             active2 = active2 & ~take
         return cell2, t_next2, adv, cid_new, active2, cell_done
 
-    def take_best(s, t_m, bslot):
-        k_last = t_m.shape[1] - 1 - jnp.argmin(t_m[:, ::-1], axis=1)
+    def take_best(s, t_m, tid, u_m, v_m):
+        """Fold this block's best (t, tri, u, v) into the carried winner.
+        The winning column is selected with a static where-chain (last
+        min, matching the old slot rule) — no per-lane gather."""
+        kk = t_m.shape[1]
+        k_last = kk - 1 - jnp.argmin(t_m[:, ::-1], axis=1)
         bt = jnp.min(t_m, axis=1)
         take = (bt < BIG) & (bt <= s["best_t"])
         if t_max is not None:
             take = take & (bt < s["t_bound"])
+        sel_tri, sel_u, sel_v = tid[:, 0], u_m[:, 0], v_m[:, 0]
+        for j in range(1, kk):
+            at = k_last == j
+            sel_tri = jnp.where(at, tid[:, j], sel_tri)
+            sel_u = jnp.where(at, u_m[:, j], sel_u)
+            sel_v = jnp.where(at, v_m[:, j], sel_v)
         best_t = jnp.where(take, bt, s["best_t"])
-        best_slot = jnp.where(take, bslot(k_last), s["best_slot"])
-        return take, best_t, best_slot
+        best_tri = jnp.where(take, sel_tri, s["best_tri"])
+        best_u = jnp.where(take, sel_u, s["best_u"])
+        best_v = jnp.where(take, sel_v, s["best_v"])
+        return take, best_t, best_tri, best_u, best_v
 
     def body_split(s):
         act = s["active"]
@@ -195,19 +236,19 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         in_cell = (s["offset"][:, None] + jnp.arange(QBLOCK)[None, :]
                    ) < count[:, None]
         valid = in_cell & (tid >= 0) & act[:, None]
-        ok, t, _, _ = _mt_pre(qr[..., 0:3], qr[..., 3:6], qr[..., 6:9],
+        ok, t, u, v = _mt_pre(qr[..., 0:3], qr[..., 3:6], qr[..., 6:9],
                               o[:, None, :], d[:, None, :])
         t_m = jnp.where(ok & valid, t, BIG)
-        take, best_t, best_slot = take_best(
-            s, t_m, lambda k: (qidx * QBLOCK + k).astype(jnp.int32))
+        take, best_t, best_tri, best_u, best_v = take_best(
+            s, t_m, tid, u, v)
 
         offset_next = s["offset"] + QBLOCK
         cell2, t_next2, adv, _, active2, cell_done = finish(
-            s, act, count, offset_next, best_t, best_slot, take)
+            s, act, count, offset_next, best_t, best_tri, take)
         offset2 = jnp.where(act & ~cell_done, offset_next, 0)
         return {**s, "cell": cell2, "t_next": t_next2, "offset": offset2,
                 "active": active2, "best_t": best_t,
-                "best_slot": best_slot,
+                "best_tri": best_tri, "best_u": best_u, "best_v": best_v,
                 "steps": s["steps"] + act.astype(jnp.int32)}
 
     def body_inline(s):
@@ -233,19 +274,16 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         pos = s["offset"][:, None] + j
         valid = ((pos < count[:, None]) & (tid >= 0) & act[:, None]
                  & (~at_cell[:, None] | (j < 7)))
-        ok, t, _, _ = _mt_pre(blk[..., 0:3], blk[..., 3:6], blk[..., 6:9],
+        ok, t, u, v = _mt_pre(blk[..., 0:3], blk[..., 3:6], blk[..., 6:9],
                               o[:, None, :], d[:, None, :])
         t_m = jnp.where(ok & valid, t, BIG)
-        # winning sub-slot within the TABLE row: inline slot j holds the
-        # row's record j+1
-        take, best_t, best_slot = take_best(
-            s, t_m, lambda k: (ridx * 8 + jnp.where(at_cell, k + 1, k)
-                               ).astype(jnp.int32))
+        take, best_t, best_tri, best_u, best_v = take_best(
+            s, t_m, tid, u, v)
 
         consumed = jnp.where(at_cell, 7, 8)
         offset_next = s["offset"] + consumed
         cell2, t_next2, adv, cid_new, active2, cell_done = finish(
-            s, act, count, offset_next, best_t, best_slot, take)
+            s, act, count, offset_next, best_t, best_tri, take)
         # next row: this cell's next spill row, or the next cell's row
         row_stay = spill + (offset_next - 7) // 8
         row2 = jnp.where(adv, cid_new, jnp.where(act, row_stay, s["row"]))
@@ -253,7 +291,7 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         return {**s, "cell": cell2, "t_next": t_next2, "offset": offset2,
                 "row": row2, "count": count, "spill": spill,
                 "active": active2, "best_t": best_t,
-                "best_slot": best_slot,
+                "best_tri": best_tri, "best_u": best_u, "best_v": best_v,
                 "steps": s["steps"] + act.astype(jnp.int32)}
 
     body = body_inline if inline else body_split
@@ -273,7 +311,9 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         # the lanes are active, fold finished results out, quarter the
         # wavefront; stragglers stop costing full-width iterations
         results_t = jnp.full((n,), BIG)
-        results_slot = jnp.full((n,), -1, jnp.int32)
+        results_tri = jnp.full((n,), -1, jnp.int32)
+        results_u = jnp.zeros((n,))
+        results_v = jnp.zeros((n,))
         results_steps = jnp.zeros((n,), jnp.int32)
         state["ridx"] = jnp.arange(n, dtype=jnp.int32)
         it = jnp.int32(0)
@@ -307,8 +347,10 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
         while size >= min_size:
             state, it = run_loop(state, it)
             results_t = results_t.at[state["ridx"]].set(state["best_t"])
-            results_slot = results_slot.at[state["ridx"]].set(
-                state["best_slot"])
+            results_tri = results_tri.at[state["ridx"]].set(
+                state["best_tri"])
+            results_u = results_u.at[state["ridx"]].set(state["best_u"])
+            results_v = results_v.at[state["ridx"]].set(state["best_v"])
             results_steps = results_steps.at[state["ridx"]].set(
                 state["steps"])
             if size <= min_size:
@@ -327,36 +369,22 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
             return body(s), it + 1
         state, _ = jax.lax.while_loop(cond, bd, (state, it))
         results_t = results_t.at[state["ridx"]].set(state["best_t"])
-        results_slot = results_slot.at[state["ridx"]].set(
-            state["best_slot"])
+        results_tri = results_tri.at[state["ridx"]].set(state["best_tri"])
+        results_u = results_u.at[state["ridx"]].set(state["best_u"])
+        results_v = results_v.at[state["ridx"]].set(state["best_v"])
         results_steps = results_steps.at[state["ridx"]].set(state["steps"])
-        out = {"best_t": results_t, "best_slot": results_slot,
+        out = {"best_t": results_t, "best_tri": results_tri,
+               "best_u": results_u, "best_v": results_v,
                "steps": results_steps}
 
-    if inline:
-        rec = _resolve_table(table, out["best_slot"], orig, dir)
-    else:
-        rec = resolve_slot(quads, out["best_slot"], orig, dir)
-    rec["steps"] = out["steps"]
-    return rec
-
-
-def _resolve_table(table, best_slot, orig, dir):
-    """resolve_slot for the inline layout: slots index the unified
-    [R, 128] table as row*8 + record (8 16-lane records per row)."""
-    hit = best_slot >= 0
-    slot_safe = jnp.clip(best_slot, 0, table.shape[0] * 8 - 1)
-    rsel = table[slot_safe // 8].reshape(-1, 8, 16)
-    lane = slot_safe % 8
-    sel = rsel[:, 0, :]
-    for j in range(1, 8):
-        sel = jnp.where((lane == j)[:, None], rsel[:, j, :], sel)
-    ok, t, u, v = _mt_pre(sel[:, 0:3], sel[:, 3:6], sel[:, 6:9], orig, dir)
-    tri = jnp.where(hit, sel[:, 9].astype(jnp.int32), -1)
+    # the carried winner IS the record — no resolve gather (the in-loop
+    # _mt_pre already produced the exact f32 t/u/v for the winning tri)
+    hit = out["best_tri"] >= 0
     return {
         "hit": hit,
-        "t": jnp.where(hit, t, BIG),
-        "tri": tri.astype(jnp.int32),
-        "u": jnp.where(hit, u, 0.0),
-        "v": jnp.where(hit, v, 0.0),
+        "t": jnp.where(hit, out["best_t"], BIG),
+        "tri": jnp.where(hit, out["best_tri"], -1),
+        "u": jnp.where(hit, out["best_u"], 0.0),
+        "v": jnp.where(hit, out["best_v"], 0.0),
+        "steps": out["steps"],
     }

@@ -102,6 +102,7 @@ class MortonWindows:
     tris128: jnp.ndarray
     win_bnd: jnp.ndarray
     so_base: jnp.ndarray = None
+    resolve_rows: jnp.ndarray = None  # [S, 32] fused resolve+shade rows
     win_rows: int = struct.field(pytree_node=False, default=16)
 
     @property
@@ -153,6 +154,45 @@ def attach_so(mwin: MortonWindows) -> MortonWindows:
     from clpathtracer_tpu.ops.packet import so_affine_tables
     return mwin.replace(
         so_base=jax.jit(so_affine_tables)(mwin.quads))
+
+
+def build_resolve_rows(tris128, shade_rows):
+    """Fused resolve+shade rows: [ceil(S/4), 128] f32 where S is the
+    16-lane record count of tris128 (= the kernels' winner-slot space);
+    slot s lives in the 32-lane segment (s % 4) of row s // 4. Segment
+    lanes 0:10 mirror the geometry record (v0, e1, e2, tri_id); lanes
+    10:25 are the triangle's baked shade row (n0, n1, n2, albedo,
+    emission — scene.bake_shading's layout, render/shading.py).
+
+    Why: winner resolution (quads[slot]) and shading (shade_rows[tri])
+    were TWO ~262k-lane latency-bound gathers per wave. A row gather
+    costs the same at 64 and 128 lanes but MORE below that (narrow rows
+    lane-pad in the tiled layout — probes/probe_gather_tpu.py; a first
+    cut of this table at 32-lane rows measured 7 ms SLOWER than the two
+    gathers it replaced, probes/probe_fused_ab.py), so the table packs
+    FOUR slots per 128-lane row and the reader picks the segment with a
+    static 4-way select — one optimally-wide gather carrying both
+    records. Pad-slot shade lanes are zeroed (tri_id < 0)."""
+    rec = tris128.reshape(-1, 16)
+    tid = rec[:, 9].astype(jnp.int32)
+    safe = jnp.clip(tid, 0, shade_rows.shape[0] - 1)
+    sh = jnp.where((tid >= 0)[:, None], shade_rows[safe][:, :15], 0.0)
+    pad = jnp.zeros((rec.shape[0], 7), rec.dtype)
+    r32 = jnp.concatenate([rec[:, :10], sh, pad], axis=1)
+    spad = -r32.shape[0] % 4
+    if spad:
+        r32 = jnp.concatenate(
+            [r32, jnp.zeros((spad, 32), r32.dtype)], axis=0)
+    return r32.reshape(-1, 128)
+
+
+def attach_resolve(mwin: MortonWindows, shade_rows) -> MortonWindows:
+    """Attach fused resolve rows (device-side, jitted). shade_rows:
+    the scene's baked [T, 16] shade table (Scene.bake_shading)."""
+    if shade_rows is None:
+        return mwin
+    return mwin.replace(resolve_rows=jax.jit(build_resolve_rows)(
+        mwin.tris128, shade_rows))
 
 
 # ---------------------------------------------------------------------------
@@ -488,21 +528,55 @@ def _resolve_winners(mwin, best_slot, orig, dir, tile_stats):
     """Re-resolve the kernel's winner slots to the traverse record: the
     winner quad's exact f32 t/u/v via one general MT per ray
     (ops/traverse_fast.py::_mt_pre) — the kernels carry only (t, slot).
-    best_slot must be in the caller's ray order (unblockify first)."""
+    best_slot must be in the caller's ray order (unblockify first).
+
+    With fused resolve rows attached (attach_resolve) the record also
+    carries pre-resolved shade attributes (snormal/salbedo/semission —
+    the integrator's _surface skips its own shade_rows gather), and the
+    whole resolution costs ONE 32-lane row gather instead of the
+    quads + shade_rows pair (~2x on the latency-bound gather cost,
+    probes/probe_gather_tpu.py)."""
+    from clpathtracer_tpu.core import vecmath as vm
     from clpathtracer_tpu.ops.traverse_fast import _mt_pre
     n = orig.shape[0]
     hit = best_slot >= 0
-    tris16 = mwin.tris128.reshape(-1, 16)
-    slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
-    quads = mwin.quads
-    qsel = quads[slot_safe // 4].reshape(-1, 4, 16)
-    lanes = slot_safe % 4
-    sel = qsel[:, 0, :]
-    for j in range(1, 4):
-        sel = jnp.where((lanes == j)[:, None], qsel[:, j, :], sel)
+    if mwin.resolve_rows is not None:
+        nslots = mwin.resolve_rows.shape[0] * 4
+        slot_safe = jnp.clip(best_slot, 0, nslots - 1)
+        r128 = mwin.resolve_rows[slot_safe // 4]       # ONE [n,128] gather
+        seg = slot_safe % 4
+        rows = r128[:, 0:32]
+        for j in range(1, 4):
+            rows = jnp.where((seg == j)[:, None],
+                             r128[:, 32 * j:32 * (j + 1)], rows)
+        sel = rows[:, :10]
+        extra = {}
+    else:
+        tris16 = mwin.tris128.reshape(-1, 16)
+        slot_safe = jnp.clip(best_slot, 0, tris16.shape[0] - 1)
+        quads = mwin.quads
+        qsel = quads[slot_safe // 4].reshape(-1, 4, 16)
+        lanes = slot_safe % 4
+        sel = qsel[:, 0, :]
+        for j in range(1, 4):
+            sel = jnp.where((lanes == j)[:, None], qsel[:, j, :], sel)
+        rows = None
+        extra = {}
     v0s, e1s, e2s = sel[:, 0:3], sel[:, 3:6], sel[:, 6:9]
     ok, t, u, v = _mt_pre(v0s, e1s, e2s, orig, dir)
     tri = jnp.where(hit, sel[:, 9].astype(jnp.int32), -1)
+    if rows is not None:
+        # shade attrs from the same row — arithmetic matches
+        # render/shading.py::resolve_tri_hits' baked path exactly so the
+        # fused route is bit-identical to the two-gather route
+        w = jnp.stack([1.0 - u - v, u, v], axis=-1)
+        nrm = (w[:, 0:1] * rows[:, 10:13] + w[:, 1:2] * rows[:, 13:16]
+               + w[:, 2:3] * rows[:, 16:19])
+        extra = {
+            "snormal": vm.normalize(nrm, eps=1e-30),
+            "salbedo": rows[:, 19:22],
+            "semission": rows[:, 22:25],
+        }
     return {
         "hit": hit,
         "t": jnp.where(hit, t, BIG),
@@ -511,6 +585,7 @@ def _resolve_winners(mwin, best_slot, orig, dir, tile_stats):
         "v": jnp.where(hit, v, 0.0),
         "steps": jnp.zeros((n,), jnp.int32),
         "tile_stats": tile_stats,
+        **extra,
     }
 
 

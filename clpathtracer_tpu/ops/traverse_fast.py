@@ -349,6 +349,23 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         out = {"best_t": results_t, "best_slot": results_slot,
                "steps": results_steps}
 
+    if any_hit:
+        # occlusion query: callers consume `hit` only, so skip the
+        # resolve_slot row gather (~2.8 ms per 262k-lane wave on this
+        # chip, probes/probe_gather_tpu.py). t is the walk's carried
+        # best_t (the accepted hit's exact _mt_pre t); the tri id would
+        # need the gather, so hits report the sentinel 0 — any_hit's
+        # contract already says t/tri describe *a* hit, not the nearest.
+        hit = out["best_slot"] >= 0
+        n_l = out["best_slot"].shape[0]
+        return {
+            "hit": hit,
+            "t": jnp.where(hit, out["best_t"], BIG),
+            "tri": jnp.where(hit, 0, -1).astype(jnp.int32),
+            "u": jnp.zeros((n_l,)),
+            "v": jnp.zeros((n_l,)),
+            "steps": out["steps"],
+        }
     rec = resolve_slot(quads, out["best_slot"], orig, dir, tcount)
     rec["steps"] = out["steps"]
     return rec

@@ -265,6 +265,15 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                            max_iters=opts.max_iters)
         out = {"hit": rec["hit"], "t": rec["t"], "tri": rec["tri"],
                "u": rec["u"], "v": rec["v"]}
+        # fused resolve rows (ops/plist.py::attach_resolve): the plist
+        # engines pre-resolved the shade attributes from the same row
+        # gather — pass them through so _surface skips its own
+        # shade_rows gather. Not used in differentiable mode (baked
+        # rows would detach material/normal gradients).
+        if not opts.differentiable:
+            for k in ("snormal", "salbedo", "semission"):
+                if k in rec:
+                    out[k] = rec[k]
     elif scene.num_tris > 0:
         rec = nearest_hit_bruteforce(scene, orig, dir)
         out = {"hit": rec["hit"], "t": rec["t"],
@@ -303,7 +312,13 @@ def _surface(scene, rec, orig, dir, opts=None):
     """Merge triangle/sphere attribute resolution for a hit record."""
     n = orig.shape[0]
     point = orig + rec["t"][:, None] * dir
-    if scene.num_tris == 0:
+    if "snormal" in rec:
+        # fused resolve rows already carried the shade attributes out of
+        # the winner-resolution gather (ops/plist.py::_resolve_winners);
+        # intersect_scene only forwards them in non-differentiable mode
+        tri_at = {"normal": rec["snormal"], "albedo": rec["salbedo"],
+                  "emission": rec["semission"]}
+    elif scene.num_tris == 0:
         # sphere-only / empty scene: no triangle rows to gather
         z = jnp.zeros((n, 3))
         tri_at = {"normal": z, "albedo": z, "emission": z}

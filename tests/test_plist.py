@@ -289,3 +289,70 @@ def test_plist4_empty_gates():
     orig, dirs = generate_rays(cam_matrix(cam, 64), 64, 64)
     rec = pls.traverse_plist4(mwin, orig, dirs, (64, 64))
     assert not np.asarray(rec["hit"]).any()
+
+
+def test_plist_fused_resolve_parity():
+    """Fused resolve rows (attach_resolve): the traverse record must be
+    BIT-identical to the unfused quads-gather route, and the pre-resolved
+    shade attributes must match the integrator's resolve_tri_hits baked
+    path exactly on hit lanes (same arithmetic, one gather instead of
+    two)."""
+    from clpathtracer_tpu.render.shading import resolve_tri_hits
+    from clpathtracer_tpu.scene.procedural import terrain_mesh
+
+    scene = terrain_mesh(30_000, seed=0, extent=10.0).bake_shading()
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    cam = Camera.create(position=[0.0, 14.0, 0.0],
+                        forward=[0.0, -1.0, 0.01])
+    orig, dirs = generate_rays(cam_matrix(cam, 64), 64, 64)
+
+    mwin = pls.build_morton_windows(tv, win_rows=8)
+    mfused = pls.attach_resolve(mwin, scene.shade_rows)
+    assert mfused.resolve_rows is not None
+    assert mfused.resolve_rows.shape[1] == 128  # 4 slots/row
+
+    a = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    b = pls.traverse_plist(mfused, orig, dirs, (64, 64))
+    for k in ("hit", "t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    for k in ("snormal", "salbedo", "semission"):
+        assert k in b and k not in a
+
+    at = resolve_tri_hits(scene, b["tri"], b["u"], b["v"])
+    hit = np.asarray(b["hit"])
+    np.testing.assert_array_equal(np.asarray(b["snormal"])[hit],
+                                  np.asarray(at["normal"])[hit])
+    np.testing.assert_array_equal(np.asarray(b["salbedo"])[hit],
+                                  np.asarray(at["albedo"])[hit])
+    np.testing.assert_array_equal(np.asarray(b["semission"])[hit],
+                                  np.asarray(at["emission"])[hit])
+
+
+def test_fused_resolve_image_parity():
+    """End to end through render_image: a tree whose Morton windows carry
+    fused resolve rows renders the bit-identical normal-mode image to the
+    unfused route (intersect_scene forwards the attrs, _surface skips its
+    shade gather)."""
+    from clpathtracer_tpu.accel.sah import (attach_morton_windows,
+                                            build_kd_tree)
+    from clpathtracer_tpu.core.camera import Camera
+    from clpathtracer_tpu.render.integrator import (RenderOptions,
+                                                    render_image)
+    from clpathtracer_tpu.scene.procedural import terrain_mesh
+
+    scene = terrain_mesh(30_000, seed=0, extent=10.0).bake_shading()
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
+    cam = Camera.create(position=[0.0, 14.0, 0.0],
+                        forward=[0.0, -1.0, 0.01])
+    opts = RenderOptions(width=64, height=64, mode="normal",
+                         intersector="packet")
+
+    t_plain = attach_morton_windows(tree, tv, win_rows=8)
+    t_fused = attach_morton_windows(tree, tv, win_rows=8,
+                                    shade_rows=scene.shade_rows)
+    img_a = np.asarray(render_image(scene, cam, opts, tree=t_plain))
+    img_b = np.asarray(render_image(scene, cam, opts, tree=t_fused))
+    np.testing.assert_array_equal(img_a, img_b)
