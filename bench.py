@@ -57,6 +57,13 @@ SCENE_TUNING = {
     # the stream-engine fallback.
     "terrain": {"tile": 2048, "leaf": 3072, "depth": 11,
                 "CLPT_STRIPS": "1", "CLPT_PLIST": "1", "plist_rows": 8},
+    # soup: single-phase. The two-phase straggler engine (CLPT_PLIST_KCAP
+    # + attached grid, ops/plist.py::_plist_two_phase) is a MEASURED
+    # NEGATIVE despite the fog's 3.62x per-lane/per-gate need ratio:
+    # kcap 8/12/16/24/32 -> 105/94/81/74/74 ms vs 34.7 single-phase
+    # (probes/probe_two_phase.py) — the per-ray DDA costs 0.36 us/lane
+    # where the dense engine amortizes to 0.13, so any straggler set big
+    # enough to matter is cheaper to finish densely. Kept off.
     "soup": {"tile": 512, "leaf": 512, "depth": 14,
              "CLPT_STRIPS": "0", "CLPT_FRUSTUM": "0",
              "CLPT_PLIST": "1", "plist_rows": 8},
@@ -127,15 +134,15 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
         t0 = time.time()
         tree = build_kd_tree(tv, max_depth=max_depth, leaf_size=leaf_size,
                              tri_block=4)
-        if mode == "path":
-            # incoherent path-mode waves (bounce nearest-hit + NEE shadow
-            # occlusion) want a second accelerator, auto-picked like
+        if mode == "path" or tuning.get("grid"):
+            # second accelerator for per-ray queries, auto-picked like
             # cli/main.py: the uniform-grid DDA on fog-like scenes
-            # (measured 7.6x bounce / 3.3x shadow — probes/probe_grid.py)
-            # and the walk-tuned shadow kd-tree on surface meshes
-            # (measured 3.9x on NEE occlusion walks), so env-driven
-            # non-soup path+NEE configs don't silently fall back to the
-            # packet-tuned fat-leaf tree
+            # (path-mode bounce 7.6x / shadow 3.3x — probes/probe_grid.py
+            # — and the plist two-phase straggler finish in normal mode,
+            # ops/plist.py::_plist_two_phase) and the walk-tuned shadow
+            # kd-tree on surface meshes (3.9x on NEE occlusion walks),
+            # so env-driven non-soup path+NEE configs don't silently
+            # fall back to the packet-tuned fat-leaf tree
             from clpathtracer_tpu.accel.grid import fog_likeness
             from clpathtracer_tpu.accel.sah import (attach_grid,
                                                     attach_shadow_tree)
@@ -144,7 +151,7 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
                 tree = attach_grid(tree, tv)
                 log(f"# grid: {time.time()-ts:.1f}s "
                     f"stats={tree.grid.stats()}")
-            elif nee:
+            elif mode == "path" and nee:
                 tree = attach_shadow_tree(tree, tv)
                 log(f"# shadow tree: {time.time()-ts:.1f}s")
     log(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}")

@@ -102,7 +102,8 @@ class MortonWindows:
     tris128: jnp.ndarray
     win_bnd: jnp.ndarray
     so_base: jnp.ndarray = None
-    resolve_rows: jnp.ndarray = None  # [S, 32] fused resolve+shade rows
+    resolve_rows: jnp.ndarray = None  # fused resolve+shade rows (packed)
+    slot_of_tri: jnp.ndarray = None   # [T] i32 tri id -> record slot
     win_rows: int = struct.field(pytree_node=False, default=16)
 
     @property
@@ -145,8 +146,16 @@ def build_morton_windows(tri_verts: np.ndarray,
     bnd[:, 0:3] = vmin.reshape(w, span, 3).min(axis=1)
     bnd[:, 3:6] = vmax.reshape(w, span, 3).max(axis=1)
     assert rows16.shape[0] < (1 << 24), "tri slots overflow f32-exact ids"
+    # tri id -> record slot (inverse of the Morton perm): lets a per-ray
+    # engine's winners (original tri ids, e.g. the grid DDA straggler
+    # phase) merge into the slot-indexed resolve path
+    sot = np.full((n,), -1, np.int32)
+    sids = rows16[:, 9].astype(np.int64)
+    valid = sids >= 0
+    sot[sids[valid]] = np.nonzero(valid)[0].astype(np.int32)
     return MortonWindows(tris128=jnp.asarray(rows16.reshape(-1, 128)),
-                         win_bnd=jnp.asarray(bnd), win_rows=win_rows)
+                         win_bnd=jnp.asarray(bnd),
+                         slot_of_tri=jnp.asarray(sot), win_rows=win_rows)
 
 
 def attach_so(mwin: MortonWindows) -> MortonWindows:
@@ -475,12 +484,16 @@ def plist_supported(mwin, n_rays: int, image_shape) -> bool:
 
 
 def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
-                   interpret: bool = None, supers: bool = None):
+                   interpret: bool = None, supers: bool = None,
+                   grid=None):
     """Trace unjittered shared-origin primary rays. Same record contract
     as traverse_packet. Requires grid_dirs-quality rays (the prepass
     frustum hulls assume it). supers=True uses the two-level super-list
     variant (default: CLPT_PLIST_SUPER env, on when the window count is
-    SUPER-granular)."""
+    SUPER-granular). grid: optional UniformGrid — enables the two-phase
+    straggler engine (CLPT_PLIST_KCAP > 0): phase 1 caps each gate's
+    sorted stream, phase 2 finishes unsettled lanes on the per-ray grid
+    DDA (_plist_two_phase)."""
     from clpathtracer_tpu.ops.packet import _blockify, _unblockify
     n = orig.shape[0]
     h, w = image_shape
@@ -507,10 +520,18 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
                                            mwin.win_rows)
         tris_w = rows128.reshape(-1, mwin.win_rows, 128)
         t0 = jnp.full((1, n), BIG, jnp.float32)
-        out_t, out_s, tile_stats = _plist_super_call(
-            key, sid, bits, tris_w, orig_b.T.astype(jnp.float32),
-            dir_b.T, t0, interpret=interpret, so=so,
-            win_rows=mwin.win_rows)
+        kcap = int(_os.environ.get("CLPT_PLIST_KCAP", "0"))
+        total_entries = key.shape[1] * LIST_CHUNK
+        if (0 < kcap < total_entries and grid is not None
+                and mwin.slot_of_tri is not None):
+            out_t, out_s, tile_stats = _plist_two_phase(
+                mwin, grid, key, sid, bits, tris_w, orig, orig_b, dir_b,
+                t0, kcap, interpret=interpret, so=so)
+        else:
+            out_t, out_s, tile_stats = _plist_super_call(
+                key, sid, bits, tris_w, orig_b.T.astype(jnp.float32),
+                dir_b.T, t0, interpret=interpret, so=so,
+                win_rows=mwin.win_rows)
     else:
         row0, ten = _gate_lists(mwin.win_bnd, dir_b, orig[0],
                                 mwin.win_rows)
@@ -522,6 +543,71 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
     best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, GH, GW)
     return _resolve_winners(mwin, best_slot, orig, dir,
                             tile_stats[::8, :5])
+
+
+def _plist_two_phase(mwin, grid, key, sid, bits, tris_w, orig, orig_b,
+                     dir_b, t0, kcap, *, interpret, so):
+    """Two-phase straggler engine: per-gate break -> per-RAY finish.
+
+    The super-list kernel BREAKs per gate — one deep or missing lane
+    forces all 512 lanes through the gate's full sorted list. Measured
+    on the 1M scenes (probes/probe_phase_potential.py): the per-LANE
+    need is 3.62x smaller than the per-gate cost on the soup (p50 6 /
+    p90 15 supers vs ~30 streamed), 1.23x on the terrain. So:
+
+      phase 1: stream at most `kcap` sorted entries per gate (kernel
+        kcap arg). A lane is SETTLED when its best t is at or inside
+        the first unstreamed entry's conservative t_en — no remaining
+        super can beat it (sorted keys lower-bound every later super).
+      phase 2: finish the unsettled lanes on the per-ray grid DDA
+        (ops/grid_walk.py), compacted to the front (stable sort keeps
+        pixel order for gather locality) with per-lane t_max = their
+        phase-1 best (hits at/beyond it cannot win the merge). Only a
+        per-RAY engine pays per-lane need: re-bundling stragglers into
+        fresh 512-lane packets was MEASURED DEAD (probe_two_phase.py
+        first cut: kcap=12 -> 82 ms vs 34.8 single-phase — struggler
+        bundles never break early and interval hulls cull far worse
+        than pixel frustums).
+
+    Grid winners carry original tri ids; mwin.slot_of_tri converts them
+    into the slot-indexed resolve path, so the merged output is one
+    (t, slot) pair per lane. Reference behavior matched: the PER-RAY
+    early-exit economy of /root/reference/src/kernel.cl:381-383, which
+    the per-gate break only approximates."""
+    from clpathtracer_tpu.ops.grid_walk import traverse_grid
+    n = dir_b.shape[0]
+    wr = mwin.win_rows
+    out_t, out_s, ts1 = _plist_super_call(
+        key, sid, bits, tris_w, orig_b.T.astype(jnp.float32), dir_b.T,
+        t0, interpret=interpret, so=so, win_rows=wr, kcap=kcap)
+    # sorted key entry e of gate g lives at [g, e//1024, e%8,
+    # (e%1024)//8]; pad/culled entries carry +inf, so every lane of an
+    # exhausted gate settles (BIG*(1+1e-4) stays finite, and x <= inf).
+    key_k = key[:, kcap // LIST_CHUNK, kcap % 8,
+                (kcap % LIST_CHUNK) // 8]                 # [G]
+    bt1 = out_t[0]
+    # 1e-4 slack: bt is the kernel's SO-arithmetic t; the exact winner
+    # may sit a few ulps above it and a remaining super could straddle
+    # the gap
+    settled = bt1 * (1.0 + 1e-4) <= jnp.repeat(key_k, GATE)
+    perm = jnp.argsort(settled)               # stable: unsettled first
+    act2 = ~settled[perm]
+    o = jnp.asarray(orig[0], jnp.float32)
+    o2 = jnp.broadcast_to(o[None, :], (n, 3))
+    rec2 = traverse_grid(grid, o2, dir_b[perm],
+                         t_max=bt1[perm] * (1.0 + 1e-4), active=act2)
+    slot2 = jnp.where(
+        rec2["hit"],
+        mwin.slot_of_tri[jnp.clip(rec2["tri"], 0,
+                                  mwin.slot_of_tri.shape[0] - 1)],
+        -1).astype(jnp.float32)
+    inv = jnp.argsort(perm)
+    t2 = rec2["t"][inv]
+    s2 = slot2[inv]
+    take2 = (s2 >= 0.0) & (t2 < bt1)
+    return (jnp.where(take2, t2, bt1)[None],
+            jnp.where(take2, s2, out_s[0])[None],
+            ts1)
 
 
 def _resolve_winners(mwin, best_slot, orig, dir, tile_stats):
@@ -664,7 +750,8 @@ _gate_lists_super = jax.jit(gate_lists_super,
 def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
                         d_ref, t0_ref, t_ref, slot_ref, stats_ref,
                         key_smem, sid_smem, bit_smem, list_sem, tri_buf,
-                        tri_sem, acc_t, acc_s, *, so, win_rows, nchunks):
+                        tri_sem, acc_t, acc_s, *, so, win_rows, nchunks,
+                        kcap=0):
     g = pl.program_id(0)
     rays = _ray_rows(o_ref, d_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -717,6 +804,10 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
 
     mt = _mt_chunk_math_so if so else _mt_chunk_math
     w_total = nchunks * LIST_CHUNK
+    # kcap: phase-1 stream budget of the two-phase engine — consume at
+    # most kcap sorted entries per gate; the host finishes unsettled
+    # lanes in compacted phase-2 bundles (traverse_plist)
+    jcap = w_total if kcap <= 0 else min(kcap, w_total)
     iota_wr = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
 
     def body(state):
@@ -730,7 +821,7 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
         key1, sid1, bit1 = ent(j1)  # j1 == w_total reads entry 0 of
         # the resident chunk: stale, but nxt is then False and the loop
         # exits without touching them
-        nxt = (j1 < w_total) & (key1 <= tup)
+        nxt = (j1 < jcap) & (key1 <= tup)
 
         @pl.when(nxt)
         def _():
@@ -789,15 +880,16 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "so", "win_rows"))
+                   static_argnames=("interpret", "so", "win_rows",
+                                    "kcap"))
 def _plist_super_call(key, sid, bits, tris_w, orig_t, dir_t, t0,
-                      interpret=False, so=True, win_rows=16):
+                      interpret=False, so=True, win_rows=16, kcap=0):
     n = orig_t.shape[1]
     grid = n // GATE
     nchunks = key.shape[1]
     return pl.pallas_call(
         functools.partial(_kernel_plist_super, so=so, win_rows=win_rows,
-                          nchunks=nchunks),
+                          nchunks=nchunks, kcap=kcap),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # key lists (HBM)

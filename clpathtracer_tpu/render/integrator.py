@@ -189,7 +189,8 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                 # tree carries Morton windows (attach_morton_windows) —
                 # prepass culls/sorts on the VPU, the kernel is a pure
                 # sorted stream at the dense-math ceiling
-                rec = traverse_plist(tree.mwin, orig, dir, shape_full)
+                rec = traverse_plist(tree.mwin, orig, dir, shape_full,
+                                     grid=getattr(tree, "grid", None))
             elif (opts.intersector == "packet"
                     and (coherent or not opts.sort_bounces)
                     and packet_supported(tree, orig.shape[0],

@@ -24,6 +24,7 @@ import numpy as np
 
 SCENES = os.environ.get("PROBE_SCENES", "terrain,soup").split(",")
 WR = int(os.environ.get("CLPT_WIN_ROWS", "8"))
+TRIS = int(os.environ.get("PROBE_TRIS", "1000000"))
 
 
 def log(m):
@@ -46,11 +47,11 @@ def main():
     for kind in SCENES:
         with jax.default_device(cpu):
             if kind == "terrain":
-                scene = terrain_mesh(1_000_000, seed=0, extent=10.0)
+                scene = terrain_mesh(TRIS, seed=0, extent=10.0)
                 cam = Camera.create(position=[0.0, 14.0, 0.0],
                                     forward=[0.0, -1.0, 0.01])
             else:
-                scene = random_tri_soup(1_000_000, seed=0, extent=10.0,
+                scene = random_tri_soup(TRIS, seed=0, extent=10.0,
                                         tri_size=0.01)
                 cam = Camera.create(position=[0.0, 0.0, -25.0],
                                     forward=[0.0, 0.0, 1.0])

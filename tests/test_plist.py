@@ -356,3 +356,34 @@ def test_fused_resolve_image_parity():
     img_a = np.asarray(render_image(scene, cam, opts, tree=t_plain))
     img_b = np.asarray(render_image(scene, cam, opts, tree=t_fused))
     np.testing.assert_array_equal(img_a, img_b)
+
+
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+@pytest.mark.parametrize("kcap", [1, 3, 24])
+def test_plist_two_phase_parity(kind, kcap, monkeypatch):
+    """Two-phase straggler engine (CLPT_PLIST_KCAP + attached grid):
+    phase-1 truncation + per-ray grid finish must reproduce the
+    single-phase result — identical hits, identical t (winners may
+    differ only at exact-t ties, like every engine pair)."""
+    from clpathtracer_tpu.accel.grid import build_grid
+    tv, orig, dirs = _scene(kind)
+    mwin = pls.attach_so(pls.build_morton_windows(tv, win_rows=8))
+    grid = build_grid(tv, density=1.0)
+    ref = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=True)
+    monkeypatch.setenv("CLPT_PLIST_KCAP", str(kcap))
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=True,
+                             grid=grid)
+    # engagement canary: a tiny phase-1 budget must stream fewer
+    # windows than the single-phase run (stats count phase 1 only)
+    if kcap <= 3:
+        assert (np.asarray(rec["tile_stats"])[:, 1].sum()
+                < np.asarray(ref["tile_stats"])[:, 1].sum())
+    np.testing.assert_array_equal(np.asarray(rec["hit"]),
+                                  np.asarray(ref["hit"]))
+    both = np.asarray(rec["hit"]) & np.asarray(ref["hit"])
+    np.testing.assert_allclose(np.asarray(rec["t"])[both],
+                               np.asarray(ref["t"])[both],
+                               rtol=1e-5, atol=1e-6)
+    tri_eq = (np.asarray(rec["tri"])[both]
+              == np.asarray(ref["tri"])[both]).mean()
+    assert tri_eq > 0.95, tri_eq
