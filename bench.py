@@ -173,14 +173,6 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
 
     scene = jax.device_put(scene, dev)
     tree = jax.device_put(tree, dev)
-    if intersector == "packet" and tree.quads is not None:
-        # affine shared-origin tables: computed once on-device, turns the
-        # packet engines' per-frame SO row preparation into one fused
-        # elementwise combine (accel/sah.py::attach_so_tables)
-        from clpathtracer_tpu.accel.sah import attach_so_tables
-        t0 = time.time()
-        tree = attach_so_tables(tree)
-        log(f"# so tables: {time.time()-t0:.1f}s")
     # plist engine (ops/plist.py): walk-free sorted-window streaming.
     # Per-scene choice like CLPT_STRIPS (the integrator auto-routes
     # primary frames when Morton windows are attached); CLPT_PLIST=0/1
@@ -188,6 +180,18 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
     plist_flag = _USER_ENV.get("CLPT_PLIST",
                                tuning.get("CLPT_PLIST", "0"))
     use_plist = plist_flag == "1" and intersector == "packet"
+    if intersector == "packet" and tree.quads is not None and not use_plist:
+        # affine shared-origin tables for the STREAM engine: computed
+        # once on-device, turns the per-frame SO row preparation into
+        # one fused elementwise combine (accel/sah.py::attach_so_tables).
+        # Skipped when plist is engaged — the plist engine bakes its own
+        # SO tables on the Morton windows, and carrying both is 2x4
+        # quad-bytes of dead HBM (the difference between fitting and
+        # OOMing a 10M-tri scene with fused resolve rows attached).
+        from clpathtracer_tpu.accel.sah import attach_so_tables
+        t0 = time.time()
+        tree = attach_so_tables(tree)
+        log(f"# so tables: {time.time()-t0:.1f}s")
     if use_plist:
         from clpathtracer_tpu.accel.sah import attach_morton_windows
         plist_rows = int(_USER_ENV.get(
