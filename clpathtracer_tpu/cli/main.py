@@ -45,10 +45,13 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--nee", action="store_true",
                         help="path mode: next-event estimation (direct"
                              " light sampling)")
-        sp.add_argument("--intersector", choices=("wavefront", "packet"),
-                        default="wavefront",
+        sp.add_argument("--intersector",
+                        choices=("auto", "wavefront", "packet"),
+                        default="auto",
                         help="packet = Pallas packet tracer (fastest on "
-                             "TPU for coherent rays)")
+                             "TPU for coherent rays); auto = packet on "
+                             "TPU, wavefront elsewhere (Pallas interpret "
+                             "mode on CPU is slower than the XLA walk)")
         sp.add_argument("--packet-tile", type=int, default=1024,
                         help="rays per packet (256 for huge scenes)")
         sp.add_argument("--no-tree", action="store_true",
@@ -116,6 +119,20 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _resolved_intersector(args) -> str:
+    """'auto' picks the fastest engine for the hardware: the Pallas
+    packet tracer on a real TPU, the XLA gather-packed wavefront
+    elsewhere (Pallas interpret mode on CPU loses to the XLA walk)."""
+    chosen = getattr(args, "intersector", "auto")
+    if chosen != "auto":
+        return chosen
+    if getattr(args, "cpu", False):
+        return "wavefront"
+    import jax
+    return ("packet" if jax.devices()[0].platform == "tpu"
+            else "wavefront")
+
+
 def _load(args):
     from clpathtracer_tpu.scene.cache import load_models
     t0 = time.time()
@@ -132,9 +149,28 @@ def _load(args):
             sphere_radius=jnp.asarray(sp[:, 3]),
             sphere_albedo=jnp.full((len(sp), 3), 0.75, jnp.float32),
             sphere_emission=jnp.zeros((len(sp), 3), jnp.float32))
+    tv = None
+    if tree is not None and scene.num_tris > 0:
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    if (tv is not None and _resolved_intersector(args) == "packet"
+            and getattr(tree, "quads", None) is not None):
+        # the flagship primary-ray engine: global-Morton windows for the
+        # walk-free plist super-list stream (ops/plist.py), with affine
+        # shared-origin tables and fused resolve+shade rows baked — the
+        # integrator auto-routes full coherent frames through it. The
+        # reference's analogous step is its one-time kd upload
+        # (src/CLState.c:124-202); here the one-time cost buys the
+        # measured-fastest engine (README perf table).
+        from clpathtracer_tpu.accel.sah import attach_morton_windows
+        ts = time.time()
+        tree = attach_morton_windows(tree, tv, win_rows=8, with_so=True,
+                                     shade_rows=scene.shade_rows)
+        print(f"# morton windows: {time.time()-ts:.2f}s "
+              f"({tree.mwin.num_windows} windows)", file=sys.stderr)
     if (getattr(args, "mode", None) == "path" and getattr(args, "nee",
                                                           False)
-            and tree is not None and scene.num_tris > 0):
+            and tv is not None):
         # per-ray path-mode waves (bounce nearest-hit, NEE shadow
         # occlusion) want a second accelerator: a uniform grid when the
         # scene is fog-like (measured 7.6x/3.3x on the 1M fog waves —
@@ -144,8 +180,6 @@ def _load(args):
         from clpathtracer_tpu.accel.grid import fog_likeness
         from clpathtracer_tpu.accel.sah import attach_grid, \
             attach_shadow_tree
-        v0, v1, v2 = scene.tri_verts()
-        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
         if fog_likeness(tv) > 0.5:
             tree = attach_grid(tree, tv)
         else:
@@ -164,7 +198,7 @@ def _opts(args, differentiable=False):
         bounces=args.bounces, spp=args.spp, use_tree=not args.no_tree,
         tri_block=args.tri_block, background=args.background,
         nee=getattr(args, "nee", False),
-        intersector=getattr(args, "intersector", "wavefront"),
+        intersector=_resolved_intersector(args),
         packet_tile=getattr(args, "packet_tile", 1024),
         differentiable=differentiable)
 

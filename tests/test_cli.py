@@ -219,3 +219,41 @@ class TestViewer:
         a = open(base, "rb").read()
         b = open(out, "rb").read()
         assert a != b  # the sphere occludes part of the cube
+
+
+def test_render_packet_attaches_flagship_engine(cube_obj, tmp_path):
+    """--intersector packet routes through the flagship plist engine:
+    _load attaches Morton windows (+ SO + fused resolve rows) and the
+    image matches the wavefront render of the same scene."""
+    out_p = str(tmp_path / "p.png")
+    out_w = str(tmp_path / "w.png")
+    common = ["render", cube_obj, "--width", "32", "--height", "32",
+              "--position", "0.5", "0.5", "-1.5",
+              "--forward", "0", "0", "1", "--no-cache"]
+    main(common + ["--intersector", "packet", "--out", out_p])
+    main(common + ["--intersector", "wavefront", "--out", out_w])
+    a = _decode_png_rgb(out_p).astype(np.int32)
+    b = _decode_png_rgb(out_w).astype(np.int32)
+    # engine-parity budget: the SO-affine plist may flip rare
+    # edge-grazing winners (ops/packet.py::so_affine_tables conditioning
+    # note); interiors must match exactly
+    frac_diff = (np.abs(a - b) > 0).any(axis=-1).mean()
+    assert frac_diff < 0.02, frac_diff
+
+
+def _decode_png_rgb(path):
+    raw = open(path, "rb").read()
+    pos, w, h, data = 8, None, None, b""
+    while pos < len(raw):
+        ln = struct.unpack(">I", raw[pos:pos + 4])[0]
+        typ = raw[pos + 4:pos + 8]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", raw[pos + 8:pos + 16])
+        elif typ == b"IDAT":
+            data += raw[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    rows = zlib.decompress(data)
+    stride = w * 3 + 1
+    img = np.frombuffer(rows, np.uint8).reshape(h, stride)
+    assert (img[:, 0] == 0).all(), "test expects filter-0 scanlines"
+    return img[:, 1:].reshape(h, w, 3)
