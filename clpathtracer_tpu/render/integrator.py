@@ -93,6 +93,10 @@ class RenderOptions:
     #   participates in the jit cache key, so flipping the env var
     #   between same-shape calls can never silently reuse a stale cached
     #   program, and an explicit False opts out per-render.
+    bounce_walk: bool = None   # route incoherent bounce waves through
+    #   the walk-tuned shadow tree (tree.shadow) on SURFACE scenes when
+    #   one is attached. None resolves from CLPT_BOUNCE_WALK at
+    #   CONSTRUCTION time (default on), like bounce_grid above.
     nee_light_stride: int = 1  # NEE: one light sample shared by each
     #   run of this many consecutive rays (1 = independent per-lane
     #   sampling, the reference estimator). Strides of a plist-bundle
@@ -107,6 +111,10 @@ class RenderOptions:
             object.__setattr__(
                 self, "bounce_grid",
                 os.environ.get("CLPT_BOUNCE_GRID", "1") == "1")
+        if self.bounce_walk is None:
+            object.__setattr__(
+                self, "bounce_walk",
+                os.environ.get("CLPT_BOUNCE_WALK", "1") == "1")
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +234,24 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                                     max_iters=opts.max_iters,
                                     compact=opts.compact,
                                     active=active)
+            elif (not coherent and getattr(tree, "shadow", None) is not None
+                    and opts.bounce_walk):
+                # incoherent bounce wave on a SURFACE scene with the
+                # walk-tuned small-leaf tree attached
+                # (accel/sah.py::attach_shadow_tree, path+NEE auto-pick):
+                # hemisphere-scattered rays mostly escape to the sky, so
+                # bundle hulls cull nothing while the per-ray rope walk
+                # exits a miss in a few hops. Measured on the 1M-terrain
+                # bounce wave (probes/probe_surface_bounce.py, chip):
+                # walk 814 ms vs bundle plist 912 / kd-walk packet ~2.4x
+                # worse, identical t sums; Morton-sorting the walk first
+                # LOSES (825 ms — per-step gathers, not coherence).
+                sq = (tree.shadow.quads
+                      if getattr(tree.shadow, "quads", None) is not None
+                      else quads)
+                rec = traverse_fast(tree.shadow, sq, orig, dir,
+                                    max_iters=opts.max_iters,
+                                    compact=opts.compact, active=active)
             elif (opts.intersector == "packet" and opts.sort_bounces
                   and (packet_supported(tree, orig.shape[0],
                                         opts.packet_tile)

@@ -377,7 +377,11 @@ class TestBaselineConfig1:
 def test_shadow_tree_image_parity():
     """A walk-tuned shadow tree (accel/sah.py::attach_shadow_tree) must
     not change the path+NEE image at all — the any_hit occlusion boolean
-    is exact regardless of tree shape."""
+    is exact regardless of tree shape. With the bounce-walk reroute
+    disabled the images are bit-equal; with it on (the default — bounce
+    nearest-hits ride the same walk, probes/probe_surface_bounce.py)
+    they may differ only by exact-t tie winners, so hit structure and
+    radiance stay close."""
     from clpathtracer_tpu.accel.sah import attach_shadow_tree
     from clpathtracer_tpu.core.camera import Camera
     from clpathtracer_tpu.scene.procedural import random_tri_soup
@@ -390,7 +394,7 @@ def test_shadow_tree_image_parity():
     tree = build_kd_tree(tv, tri_block=4, leaf_size=64)
     cam = Camera.create(position=[0.0, 0.0, -1.5], forward=[0, 0, 1.0])
     opts = RenderOptions(width=32, height=32, mode="path", bounces=2,
-                         nee=True, spp=1)
+                         nee=True, spp=1, bounce_walk=False)
     key = jax.random.PRNGKey(7)
     base = np.asarray(render_image(scene, cam, opts, tree=tree, key=key))
     st = attach_shadow_tree(tree, tv, leaf_size=8, max_depth=18)
@@ -398,6 +402,14 @@ def test_shadow_tree_image_parity():
     with_shadow = np.asarray(
         render_image(scene, cam, opts, tree=st, key=key))
     np.testing.assert_array_equal(base, with_shadow)
+
+    opts_walk = RenderOptions(width=32, height=32, mode="path", bounces=2,
+                              nee=True, spp=1, bounce_walk=True)
+    walked = np.asarray(
+        render_image(scene, cam, opts_walk, tree=st, key=key))
+    diff = np.abs(walked - base)
+    assert (diff > 1e-4).mean() < 0.02, (diff > 1e-4).mean()
+    np.testing.assert_allclose(walked.mean(), base.mean(), rtol=0.02)
 
 
 def test_grid_image_parity(monkeypatch):
