@@ -151,7 +151,9 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
                 tree = attach_grid(tree, tv)
                 log(f"# grid: {time.time()-ts:.1f}s "
                     f"stats={tree.grid.stats()}")
-            elif mode == "path" and nee:
+            elif mode == "path":
+                # serves BOTH the NEE occlusion walk and the bounce-walk
+                # nearest-hit route (render/integrator.py bounce_walk)
                 tree = attach_shadow_tree(tree, tv)
                 log(f"# shadow tree: {time.time()-ts:.1f}s")
     log(f"# kd build: {time.time()-t0:.1f}s  stats={tree.stats()}")

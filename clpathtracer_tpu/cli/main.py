@@ -168,15 +168,14 @@ def _load(args):
                                      shade_rows=scene.shade_rows)
         print(f"# morton windows: {time.time()-ts:.2f}s "
               f"({tree.mwin.num_windows} windows)", file=sys.stderr)
-    if (getattr(args, "mode", None) == "path" and getattr(args, "nee",
-                                                          False)
-            and tv is not None):
+    if getattr(args, "mode", None) == "path" and tv is not None:
         # per-ray path-mode waves (bounce nearest-hit, NEE shadow
         # occlusion) want a second accelerator: a uniform grid when the
         # scene is fog-like (measured 7.6x/3.3x on the 1M fog waves —
         # probes/probe_grid.py), a walk-tuned kd tree for surface meshes
-        # (3.9x — accel/sah.py::attach_shadow_tree). Auto-picked by
-        # centroid-occupancy (accel/grid.py::fog_likeness).
+        # (3.9x on NEE occlusion, 1.6x on the whole path frame via the
+        # bounce-walk route — probes/probe_surface_bounce.py).
+        # Auto-picked by centroid-occupancy (accel/grid.py::fog_likeness).
         from clpathtracer_tpu.accel.grid import fog_likeness
         from clpathtracer_tpu.accel.sah import attach_grid, \
             attach_shadow_tree
