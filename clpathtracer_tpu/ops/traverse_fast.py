@@ -33,6 +33,8 @@ a 16M-node tree is ~40x larger than the 1M-tri bench scene needs.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,6 +143,25 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
     """
     assert not any_hit or t_max is not None, "any_hit needs t_max"
     n = orig.shape[0]
+    # wave chunking, exactly as in ops/grid_walk.py: the walk's two
+    # per-step row gathers are latency-bound and SUPERLINEAR in wave
+    # width (half-width gathers are 2.4x cheaper each —
+    # probes/probe_gather_tpu.py e), so big waves run as sequential
+    # 64k-lane chunks, each with its own finer wind-down. 0 disables;
+    # waves not divisible by the chunk stay full-width.
+    chunk = int(os.environ.get("CLPT_WALK_CHUNK", "65536"))
+    if chunk > 0 and n > chunk and n % chunk == 0:
+        recs = []
+        for i in range(0, n, chunk):
+            sl = slice(i, i + chunk)
+            recs.append(traverse_fast(
+                tree, quads, orig[sl], dir[sl], max_iters=max_iters,
+                compact=compact,
+                t_max=None if t_max is None else t_max[sl],
+                active=None if active is None else active[sl],
+                any_hit=any_hit))
+        return {k: jnp.concatenate([r[k] for r in recs])
+                for k in recs[0]}
     table = tree.node_table
     tri_slots = tree.tri_indices
     tcount = tri_slots.shape[0]
