@@ -90,6 +90,11 @@ class FlatKdTree:
     #   grid_walk.py) needs no root descent and no node-row gather, so
     #   for uniformly dense scenes it beats the kd rope walk on per-ray
     #   queries; _occluded prefers it over `shadow` when present.
+    walk128: jnp.ndarray = None  # optional [N + S, 128] f32 fused walk
+    #   rows (ops/traverse_fast.py::build_walk_table): node meta + first
+    #   leaf quad row per row, 8-tri spill rows — one gather per walk
+    #   step instead of two. Baked from build-time quads; traverse_fast
+    #   engages it only when called with tree.quads itself.
     shadow: "object" = None  # optional second FlatKdTree tuned for the
     #   per-ray occlusion walk (attach_shadow_tree). The packet/plist
     #   optimum is very fat leaves, but the t_max rope walk tests 4 tris
@@ -723,7 +728,28 @@ def attach_shadow_tree(tree: FlatKdTree, tri_verts: np.ndarray,
     sub = build_kd_tree(np.asarray(tri_verts, np.float32),
                         max_depth=max_depth, leaf_size=leaf_size,
                         tri_block=4)
+    # NOT baked: the fused one-gather walk table (attach_walk_table) is
+    # a MEASURED NEGATIVE on this walk — see its docstring
     return tree.replace(shadow=sub)
+
+
+def attach_walk_table(tree: FlatKdTree) -> FlatKdTree:
+    """Attach fused one-gather walk rows (ops/traverse_fast.py::
+    build_walk_table). MEASURED NEGATIVE, kept tested so it stays dead:
+    same-session A/B on the 1M-terrain bounce wave (chip,
+    probes/probe_surface_bounce.py PROBE_AB128=1) — fused 790 ms vs the
+    two-gather walk's 614. Fusing halves the gathers per leaf step, but
+    the unified table is ~10x the node table's bytes and gather cost
+    grows with table size (probes/probe_gather_tpu.py f: a 16x smaller
+    table gathers ~21% faster), so every DESCENT step pays more than
+    the leaf fusion saves. The grid's inline layout won the same trade
+    only because a grid has no descent steps at all."""
+    from clpathtracer_tpu.ops.traverse_fast import build_walk_table
+    if tree.node_table is None or tree.quads is None:
+        return tree
+    return tree.replace(walk128=jnp.asarray(
+        build_walk_table(np.asarray(tree.node_table),
+                         np.asarray(tree.quads))))
 
 
 def attach_grid(tree: FlatKdTree, tri_verts: np.ndarray, res=None,

@@ -70,6 +70,68 @@ def pack_node_table(arrays: dict) -> np.ndarray:
     return t
 
 
+def build_walk_table(node_table, quads) -> np.ndarray:
+    """Fused walk rows: [N + S, 128] f32 — ONE gather per walk step.
+
+    Row gathers cost the same at any width <= 128 lanes
+    (probes/probe_gather_tpu.py), yet the rope walk paid TWO per
+    iteration: a 24-wide node row plus a 64-wide quad row. This table
+    folds them: row i < N is node i's 24 meta lanes (lane 18 repurposed
+    as the node's first SPILL row id) plus, for leaves, the leaf's FIRST
+    quad row in lanes 64:128 — so a descent step or a <=4-tri leaf costs
+    one gather. Leaves with more triangles continue into contiguous
+    SPILL rows (two quad rows = 8 triangle records each), the same
+    packing that bought the grid walk ~20% (accel/grid.py inline
+    layout). Quad slot ids are preserved exactly (slot = leaf_qstart*4
+    + offset + lane), so resolve_slot and all tie rules are unchanged.
+
+    Baked from the BUILD-time quads: traverse_fast only engages it when
+    the caller passes tree.quads itself (the differentiable path
+    re-packs quads from live vertices and must keep the two-gather
+    walk)."""
+    tb = np.asarray(node_table, np.float32)
+    qd = np.asarray(quads, np.float32)
+    n = tb.shape[0]
+    flags = tb[:, 7].astype(np.int64)
+    is_leaf = flags >= 4
+    qstart = tb[:, 10].astype(np.int64)
+    count = tb[:, 11].astype(np.int64)
+    qrows = np.where(is_leaf, -(-count // QBLOCK), 0)   # quad rows used
+    extra = np.maximum(qrows - 1, 0)                    # beyond the first
+    srows = -(-extra // 2)                              # spill rows
+    spill0 = n + _excl_cumsum_i64(srows)
+    total = n + int(srows.sum())
+    assert total < (1 << 24), f"{total} walk rows overflow f32-exact ids"
+    out = np.zeros((total, 128), np.float32)
+    # pad triangle ids first (records r at lane 16r+9): split rows' quad
+    # half and odd spill halves must read as dead slots; the meta write
+    # below re-covers record 0's lane 9 (child_hi) on node rows
+    out[:, 9::16] = -1.0
+    out[:n, :24] = tb
+    out[:n, 18] = spill0.astype(np.float32)
+    has_q = is_leaf & (count > 0)
+    out[np.nonzero(has_q)[0], 64:128] = qd[
+        np.clip(qstart[has_q], 0, qd.shape[0] - 1)]
+    li = np.nonzero(extra > 0)[0]
+    if li.size:
+        reps = extra[li]
+        lid = np.repeat(li, reps)
+        k = (np.arange(int(reps.sum()), dtype=np.int64)
+             - np.repeat(_excl_cumsum_i64(reps), reps))
+        src = np.clip(qstart[lid] + 1 + k, 0, qd.shape[0] - 1)
+        dest = spill0[lid] + k // 2
+        half = (k % 2).astype(np.int64)
+        ov = out.reshape(total, 2, 64)
+        ov[dest, half] = qd[src]
+    return out
+
+
+def _excl_cumsum_i64(a):
+    out = np.zeros(len(a), np.int64)
+    np.cumsum(a[:-1], out=out[1:])
+    return out
+
+
 def pack_quads(tri_slots: jnp.ndarray, v0, v1, v2) -> jnp.ndarray:
     """Build the [Q, 64] quad rows on device from scene vertices.
 
@@ -202,6 +264,136 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         # t_max shape-errors after the first halving)
         state["t_bound"] = t_max + orig[:, 0] * 0.0
 
+    # fused one-gather walk (build_walk_table): engaged only when the
+    # caller passes the tree's own baked quads — the table bakes them,
+    # and e.g. the differentiable path re-packs quads from live verts
+    use128 = (getattr(tree, "walk128", None) is not None
+              and quads is tree.quads)
+    if use128:
+        wt = tree.walk128
+        n_nodes = table.shape[0]
+        nrows128 = wt.shape[0]
+        state.update({
+            "row": jnp.maximum(node0, 0),
+            "qstart": zero_i,
+            "count": zero_i,
+            "rope": zero_i - 1,
+            "hop_t": orig[:, 0] * 0.0,
+            "ent_t": orig[:, 0] * 0.0,
+        })
+
+    def body128(s):
+        act = s["active"]
+        o, d, inv, sg = s["orig"], s["dir"], s["invdir"], s["sign"]
+        row = wt[jnp.clip(s["row"], 0, nrows128 - 1)]  # the ONE gather
+        at_node = s["row"] < n_nodes
+        flags = row[:, 7].astype(jnp.int32)
+        axis = flags & 3
+        node_leaf = at_node & (flags >= 4)
+        leafctx = node_leaf | ~at_node        # spill rows are leaf lists
+        at_split = act & at_node & ~(flags >= 4)
+
+        # leaf meta: captured at the leaf's node row, carried through
+        # its spill rows
+        count = jnp.where(at_node, row[:, 11],
+                          s["count"].astype(row.dtype)).astype(jnp.int32)
+        qstart = jnp.where(at_node, row[:, 10],
+                           s["qstart"].astype(row.dtype)).astype(jnp.int32)
+        spill0 = row[:, 18].astype(jnp.int32)
+
+        # --- split descent (same arithmetic as the two-gather body) ---
+        pp = s["p"]
+        pax = jnp.where(axis == 0, pp[:, 0],
+                        jnp.where(axis == 1, pp[:, 1], pp[:, 2]))
+        go_hi = pax > row[:, 6]
+        child = jnp.where(go_hi, row[:, 9], row[:, 8]).astype(jnp.int32)
+
+        # --- hop precompute at node rows: exit-face slab + rope select
+        # from THIS row's AABB, carried so the hop after the last spill
+        # row needs no re-gather
+        lo3, hi3 = row[:, 0:3], row[:, 3:6]
+        sgf = sg.astype(lo3.dtype)
+        near_b = lo3 + sgf * (hi3 - lo3)
+        far_b = hi3 - sgf * (hi3 - lo3)
+        t_near = (near_b - o) * inv
+        t_far = (far_b - o) * inv
+        tmin = t_near[:, 0]
+        tmax = t_far[:, 0]
+        far_face = 1 - sg[:, 0]
+        tmin = jnp.maximum(tmin, t_near[:, 1])
+        tk = t_far[:, 1] < tmax
+        far_face = jnp.where(tk, 3 - sg[:, 1], far_face)
+        tmax = jnp.where(tk, t_far[:, 1], tmax)
+        tmin = jnp.maximum(tmin, t_near[:, 2])
+        tk = t_far[:, 2] < tmax
+        far_face = jnp.where(tk, 5 - sg[:, 2], far_face)
+        tmax = jnp.where(tk, t_far[:, 2], tmax)
+        rope_f = row[:, 12]
+        for f in range(1, 6):
+            rope_f = jnp.where(far_face == f, row[:, 12 + f], rope_f)
+        ent_t = jnp.where(at_node, tmin, s["ent_t"])
+        hop_t = jnp.where(at_node, tmax, s["hop_t"])
+        rope = jnp.where(at_node, rope_f.astype(jnp.int32), s["rope"])
+
+        # --- dense tests: 8 records; node rows hold the leaf's first
+        # quad row in records 4..7 (records 0..3 re-tested but gated by
+        # the j < 4 position mask), spill rows hold 8 records
+        r8 = row.reshape(-1, 8, 16)
+        blk = jnp.where(at_node[:, None, None],
+                        jnp.concatenate([r8[:, 4:8], r8[:, 4:8]], axis=1),
+                        r8)
+        tid = blk[..., 9].astype(jnp.int32)
+        j = jnp.arange(8)[None, :]
+        pos = s["offset"][:, None] + j
+        valid = ((pos < count[:, None]) & (tid >= 0)
+                 & (act & leafctx)[:, None]
+                 & (~at_node[:, None] | (j < 4)))
+        ok, t, _, _ = _mt_pre(blk[..., 0:3], blk[..., 3:6], blk[..., 6:9],
+                              o[:, None, :], d[:, None, :])
+        t_m = jnp.where(ok & valid, t, BIG)
+        # same global tie rule as the two-gather body: last argmin in
+        # the block, `<=` against the carried best → globally-last min
+        k = 7 - jnp.argmin(t_m[:, ::-1], axis=1)
+        bt = jnp.min(t_m, axis=1)
+        bslot = qstart * QBLOCK + s["offset"] + k
+        has = bt < BIG
+        take = has & (bt <= s["best_t"])
+        if t_max is not None:
+            take = take & (bt < s["t_bound"])
+        best_t = jnp.where(take, bt, s["best_t"])
+        best_slot = jnp.where(take, bslot.astype(jnp.int32),
+                              s["best_slot"])
+
+        # --- advance ---
+        consumed = jnp.where(at_node, QBLOCK, 8)
+        offset_next = s["offset"] + consumed
+        leaf_done = act & leafctx & (offset_next >= count)
+        if t_max is None:
+            did_hit = best_slot >= 0
+            early_exit = did_hit & (ent_t + EXIT_EPS > best_t)
+        else:
+            early_exit = ent_t + EXIT_EPS > best_t
+        new_node = jnp.where(early_exit, -1, rope)
+        p_hop = o + hop_t[:, None] * d
+        stay = act & leafctx & ~leaf_done
+
+        row_next = jnp.where(
+            at_split, child,
+            jnp.where(leaf_done, new_node,
+                      jnp.where(stay,
+                                jnp.where(at_node, spill0, s["row"] + 1),
+                                s["row"])))
+        p = jnp.where(leaf_done[:, None], p_hop, pp)
+        offset = jnp.where(stay, offset_next, 0)
+        active = act & jnp.where(leaf_done, new_node >= 0, True)
+        if any_hit:
+            active = active & ~take
+        return {**s, "row": row_next, "p": p, "active": active,
+                "best_t": best_t, "best_slot": best_slot,
+                "offset": offset, "count": count, "qstart": qstart,
+                "rope": rope, "hop_t": hop_t, "ent_t": ent_t,
+                "steps": s["steps"] + act.astype(jnp.int32)}
+
     def body(s):
         node, act = s["node"], s["active"]
         o, d, inv, sg = s["orig"], s["dir"], s["invdir"], s["sign"]
@@ -305,6 +497,9 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
         return {**s, "node": node, "p": p, "active": active,
                 "best_t": best_t, "best_slot": best_slot, "offset": offset,
                 "steps": s["steps"] + act.astype(jnp.int32)}
+
+    if use128:
+        body = body128
 
     def run_loop(s, limit, it0):
         def cond(c):

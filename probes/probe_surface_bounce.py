@@ -140,5 +140,85 @@ def main():
                d_b, alive)
 
 
+def ab_walk128():
+    """Same-session A/B: leaf-16 walk with vs without the fused
+    one-gather walk table (build_walk_table) on the terrain bounce
+    wave. Run: PROBE_AB128=1 python probes/probe_surface_bounce.py"""
+    import jax
+    import jax.numpy as jnp
+    from clpathtracer_tpu.accel.sah import build_kd_tree
+    from clpathtracer_tpu.core.camera import Camera, cam_matrix, \
+        generate_rays
+    from clpathtracer_tpu.ops.traverse_fast import (build_walk_table,
+                                                    traverse_fast)
+    from clpathtracer_tpu.scene.procedural import terrain_mesh
+    import time
+
+    res, reps = 512, 4
+    dev = jax.devices()[0]
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        scene = terrain_mesh(1_000_000, seed=0, extent=10.0)
+        cam = Camera.create(position=[0.0, 14.0, 0.0],
+                            forward=[0.0, -1.0, 0.01])
+        v0, v1, v2 = scene.tri_verts()
+        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+        orig, dirs = generate_rays(cam_matrix(cam, res), res, res)
+        wtree = build_kd_tree(tv, max_depth=26, leaf_size=16, tri_block=4)
+        w128 = build_walk_table(np.asarray(wtree.node_table),
+                                np.asarray(wtree.quads))
+    wtree = jax.device_put(wtree, dev)
+    wt = wtree.replace(walk128=jax.device_put(jnp.asarray(w128), dev))
+    orig = jax.device_put(orig, dev)
+    dirs = jax.device_put(dirs, dev)
+    rng = np.random.default_rng(0)
+    bd = rng.normal(size=(res * res, 3)).astype(np.float32)
+    bd[:, 1] = np.abs(bd[:, 1])  # upward hemisphere off the terrain
+    bd /= np.linalg.norm(bd, axis=1, keepdims=True)
+    d_b = jax.device_put(jnp.asarray(bd), dev)
+    act = jax.device_put(jnp.asarray(
+        rng.uniform(size=(res * res,)) < 0.9), dev)
+    # origins just above the terrain surface: reuse primary hits
+    from clpathtracer_tpu.ops.traverse_fast import traverse_fast as tf
+
+    @jax.jit
+    def hits(tree, orig, dirs):
+        rec = tf(tree, tree.quads, orig, dirs)
+        t = jnp.where(rec["hit"], rec["t"], 0.0)
+        return orig + t[:, None] * dirs + 1e-3 * jnp.array([0, 1, 0.0])
+    o_b = jax.block_until_ready(hits(wtree, orig, dirs))
+
+    def mk(tree):
+        def f(n, tree, o, d, act):
+            def body(i, c):
+                rec = tf(tree, tree.quads, o + c * 1e-38, d, active=act)
+                return jnp.sum(jnp.where(rec["hit"], rec["t"], 0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return jax.jit(f)
+
+    def timeit(name, f, tree):
+        t0 = time.time()
+        chk = float(f(1, tree, o_b, d_b, act))
+        comp = time.time() - t0
+        t0 = time.time()
+        _ = float(f(1, tree, o_b, d_b, act))
+        t1 = time.time() - t0
+        t0 = time.time()
+        chk2 = float(f(1 + reps, tree, o_b, d_b, act))
+        tk = time.time() - t0
+        log(f"{name}: compile {comp:5.1f}s  wave {(tk-t1)/reps*1e3:7.2f}"
+            f" ms  chk={chk2:.6g}")
+
+    fa = mk(wtree)
+    fb = mk(wt)
+    timeit("A two-gather walk", fa, wtree)
+    timeit("B fused walk128  ", fb, wt)
+    timeit("A two-gather walk", fa, wtree)
+    timeit("B fused walk128  ", fb, wt)
+
+
+if os.environ.get("PROBE_AB128") == "1":
+    main = ab_walk128  # noqa: F811
+
 if __name__ == "__main__":
     main()

@@ -152,3 +152,53 @@ def test_any_hit_occlusion_matches_nearest(compact):
     assert (np.asarray(anyh["tri"])[h] >= 0).all()
     # any_hit must do no MORE work than the nearest walk
     assert np.asarray(anyh["steps"]).sum() <= np.asarray(near["steps"]).sum()
+
+
+@pytest.mark.parametrize("compact", [False, True])
+@pytest.mark.parametrize("make", [
+    lambda: cornell_box(light=False),
+    lambda: icosphere(2),
+    lambda: random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05),
+    lambda: random_tri_soup(20000, seed=3, extent=2.0, tri_size=0.03),
+])
+def test_walk_table_exact_parity(make, compact):
+    """The fused one-gather walk table (build_walk_table) is the same
+    traversal with a different memory layout: nearest-hit records must
+    be BIT-identical (same nodes visited, same tested set, same global
+    last-min tie rule, same slot ids), and any_hit occlusion booleans
+    exact (t/tri there describe *a* hit and may legally differ — the
+    8-record blocks change which hit lands first)."""
+    from clpathtracer_tpu.ops.traverse_fast import build_walk_table
+
+    scene, tree, orig, dir, _ = _fixture(make())
+    wt = tree.replace(walk128=jnp.asarray(build_walk_table(
+        np.asarray(tree.node_table), np.asarray(tree.quads))))
+    assert wt.quads is tree.quads
+
+    a = traverse_fast(tree, tree.quads, orig, dir, compact=compact)
+    b = traverse_fast(wt, wt.quads, orig, dir, compact=compact)
+    for key in ("hit", "t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(a[key]),
+                                      np.asarray(b[key]), err_msg=key)
+    # the fused layout takes fewer iterations, never more
+    assert np.asarray(b["steps"]).sum() <= np.asarray(a["steps"]).sum()
+
+    tmax = np.asarray(a["t"]).copy()
+    tmax[~np.asarray(a["hit"])] = 3.0
+    tmax = jnp.asarray(tmax * 1.01)
+    at = traverse_fast(tree, tree.quads, orig, dir, compact=compact,
+                       t_max=tmax, any_hit=True)
+    bt = traverse_fast(wt, wt.quads, orig, dir, compact=compact,
+                       t_max=tmax, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(at["hit"]),
+                                  np.asarray(bt["hit"]))
+
+    # nearest with a bound + dead lanes
+    act = jnp.asarray(np.arange(orig.shape[0]) % 3 != 0)
+    an = traverse_fast(tree, tree.quads, orig, dir, compact=compact,
+                       t_max=tmax, active=act)
+    bn = traverse_fast(wt, wt.quads, orig, dir, compact=compact,
+                       t_max=tmax, active=act)
+    for key in ("hit", "t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(an[key]),
+                                      np.asarray(bn[key]), err_msg=key)
