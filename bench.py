@@ -134,15 +134,14 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
         t0 = time.time()
         tree = build_kd_tree(tv, max_depth=max_depth, leaf_size=leaf_size,
                              tri_block=4)
-        if mode == "path" or tuning.get("grid"):
-            # second accelerator for per-ray queries, auto-picked like
-            # cli/main.py: the uniform-grid DDA on fog-like scenes
-            # (path-mode bounce 7.6x / shadow 3.3x — probes/probe_grid.py
-            # — and the plist two-phase straggler finish in normal mode,
-            # ops/plist.py::_plist_two_phase) and the walk-tuned shadow
-            # kd-tree on surface meshes (3.9x on NEE occlusion walks),
-            # so env-driven non-soup path+NEE configs don't silently
-            # fall back to the packet-tuned fat-leaf tree
+        if mode == "path":
+            # second accelerator for per-ray path-mode waves, auto-picked
+            # like cli/main.py: the uniform-grid DDA on fog-like scenes
+            # (bounce 7.6x / shadow 3.3x — probes/probe_grid.py) and the
+            # walk-tuned shadow kd-tree on surface meshes (3.9x on NEE
+            # occlusion walks, 1.6x on the whole frame via the
+            # bounce-walk route), so env-driven non-soup path configs
+            # don't silently fall back to the packet-tuned fat-leaf tree
             from clpathtracer_tpu.accel.grid import fog_likeness
             from clpathtracer_tpu.accel.sah import (attach_grid,
                                                     attach_shadow_tree)

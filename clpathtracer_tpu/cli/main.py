@@ -149,12 +149,28 @@ def _load(args):
             sphere_radius=jnp.asarray(sp[:, 3]),
             sphere_albedo=jnp.full((len(sp), 3), 0.75, jnp.float32),
             sphere_emission=jnp.zeros((len(sp), 3), jnp.float32))
+    # tv is materialized lazily: each tri_verts() fetch is an eager
+    # device round-trip on the remote-TPU image (seconds at 10M tris),
+    # so only the branches that consume it pay for it
     tv = None
-    if tree is not None and scene.num_tris > 0:
-        v0, v1, v2 = scene.tri_verts()
-        tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
-    if (tv is not None and _resolved_intersector(args) == "packet"
-            and getattr(tree, "quads", None) is not None):
+
+    def _tv():
+        nonlocal tv
+        if tv is None and tree is not None and scene.num_tris > 0:
+            v0, v1, v2 = scene.tri_verts()
+            tv = np.stack([np.asarray(v0), np.asarray(v1),
+                           np.asarray(v2)], 1)
+        return tv
+
+    from clpathtracer_tpu.ops.plist import GH, GW
+    if (tree is not None and scene.num_tris > 0
+            and _resolved_intersector(args) == "packet"
+            and getattr(tree, "quads", None) is not None
+            # the plist engine only engages on conforming frame shapes
+            # (ops/plist.py::plist_supported) — don't pay the Morton/
+            # SO/resolve bakes (~7x quad bytes) for one it never takes
+            and getattr(args, "width", 0) % GW == 0
+            and getattr(args, "height", 0) % GH == 0):
         # the flagship primary-ray engine: global-Morton windows for the
         # walk-free plist super-list stream (ops/plist.py), with affine
         # shared-origin tables and fused resolve+shade rows baked — the
@@ -164,11 +180,13 @@ def _load(args):
         # measured-fastest engine (README perf table).
         from clpathtracer_tpu.accel.sah import attach_morton_windows
         ts = time.time()
-        tree = attach_morton_windows(tree, tv, win_rows=8, with_so=True,
+        tree = attach_morton_windows(tree, _tv(), win_rows=8,
+                                     with_so=True,
                                      shade_rows=scene.shade_rows)
         print(f"# morton windows: {time.time()-ts:.2f}s "
               f"({tree.mwin.num_windows} windows)", file=sys.stderr)
-    if getattr(args, "mode", None) == "path" and tv is not None:
+    if (getattr(args, "mode", None) == "path" and tree is not None
+            and scene.num_tris > 0):
         # per-ray path-mode waves (bounce nearest-hit, NEE shadow
         # occlusion) want a second accelerator: a uniform grid when the
         # scene is fog-like (measured 7.6x/3.3x on the 1M fog waves —
@@ -179,10 +197,10 @@ def _load(args):
         from clpathtracer_tpu.accel.grid import fog_likeness
         from clpathtracer_tpu.accel.sah import attach_grid, \
             attach_shadow_tree
-        if fog_likeness(tv) > 0.5:
-            tree = attach_grid(tree, tv)
+        if fog_likeness(_tv()) > 0.5:
+            tree = attach_grid(tree, _tv())
         else:
-            tree = attach_shadow_tree(tree, tv)
+            tree = attach_shadow_tree(tree, _tv())
     # the reference prints parse/build wall time (src/model.c:136-143)
     print(f"# loaded {scene.num_tris} tris, {scene.num_spheres} spheres "
           f"in {time.time()-t0:.2f}s ({len(skipped)} skipped)",

@@ -51,29 +51,16 @@ def traverse_grid(grid, orig, dir, max_iters: int = 16384,
     """
     assert not any_hit or t_max is not None, "any_hit needs t_max"
     n = orig.shape[0]
-    # wave chunking: a 262k-lane row gather runs at ~45 GB/s effective,
-    # but HALF-width gathers are 2.4x cheaper each (2 x 1.22 ms vs
-    # 2.95 ms — probes/probe_gather_tpu.py e), so splitting the wave
-    # into sequential chunks cuts the walk's gather bill (each chunk
-    # also gets its own finer wind-down). Chip sweep on the 262k-lane
-    # 1M-fog waves (probes/probe_grid.py, CLPT_GRID_CHUNK env):
-    # 0/131072/65536/32768 -> bounce 114.9/101.4/95.5/106.7 ms, shadow
-    # 129/111.7/103.9/113.6 ms — 64k is the measured optimum (32k pays
-    # more wind-down rounds than its narrower gathers save). 0 disables;
-    # waves not divisible by the chunk stay full-width.
-    chunk = int(os.environ.get("CLPT_GRID_CHUNK", "65536"))
-    if chunk > 0 and n > chunk and n % chunk == 0:
-        recs = []
-        for i in range(0, n, chunk):
-            sl = slice(i, i + chunk)
-            recs.append(traverse_grid(
-                grid, orig[sl], dir[sl], max_iters=max_iters,
-                compact=compact,
-                t_max=None if t_max is None else t_max[sl],
-                active=None if active is None else active[sl],
-                any_hit=any_hit))
-        return {k: jnp.concatenate([r[k] for r in recs])
-                for k in recs[0]}
+    # wave chunking (ops/traverse_fast.py::chunk_wave — shared helper,
+    # measured sweep in its docstring): 64k lanes is the optimum
+    from clpathtracer_tpu.ops.traverse_fast import chunk_wave
+    chunked = chunk_wave(
+        lambda o, d, tm, act: traverse_grid(
+            grid, o, d, max_iters=max_iters, compact=compact,
+            t_max=tm, active=act, any_hit=any_hit),
+        "CLPT_GRID_CHUNK", orig, dir, t_max, active)
+    if chunked is not None:
+        return chunked
     inline = getattr(grid, "table", None) is not None
     if inline:
         table = grid.table

@@ -46,6 +46,38 @@ EXIT_EPS = 0.001  # reference early-exit slack (src/kernel.cl:381)
 QBLOCK = 4        # triangles per quad row; leaf lists padded to this
 
 
+def chunk_wave(trace_fn, env_name, orig, dir, t_max, active):
+    """Split a big wave into sequential chunks and concat the records.
+
+    Latency-bound row gathers are SUPERLINEAR in wave width (half-width
+    gathers are 2.4x cheaper each — probes/probe_gather_tpu.py e), so
+    the per-ray walks run 262k-lane waves as sequential 64k chunks,
+    each with its own finer wind-down. Chip sweeps: grid walk
+    0/128k/64k/32k -> bounce 114.9/101.4/95.5/106.7 ms; kd walk on the
+    terrain path frame 742.6/703.6/—/713.1 ms (probes/probe_grid.py,
+    bench). Shared by traverse_fast and ops/grid_walk.py.
+
+    Returns None when chunking doesn't apply (knob 0, small wave, or n
+    not divisible — those stay full-width). The env knob is read at
+    trace time: flipping it between same-shape jitted calls reuses the
+    cached program (results are bit-identical either way; sweep it
+    across processes or fresh jit wrappers, like every probe does).
+    Scalar t_max is broadcast before slicing."""
+    n = orig.shape[0]
+    chunk = int(os.environ.get(env_name, "65536"))
+    if not (chunk > 0 and n > chunk and n % chunk == 0):
+        return None
+    tm = (None if t_max is None
+          else jnp.broadcast_to(jnp.asarray(t_max), (n,)))
+    recs = []
+    for i in range(0, n, chunk):
+        sl = slice(i, i + chunk)
+        recs.append(trace_fn(orig[sl], dir[sl],
+                             None if tm is None else tm[sl],
+                             None if active is None else active[sl]))
+    return {k: jnp.concatenate([r[k] for r in recs]) for k in recs[0]}
+
+
 def pack_node_table(arrays: dict) -> np.ndarray:
     """Build the [M, 24] node table from the builder's SoA dict (host-side
     numpy, called once by build_kd_tree; stored on FlatKdTree.node_table).
@@ -205,25 +237,13 @@ def traverse_fast(tree, quads: jnp.ndarray, orig, dir,
     """
     assert not any_hit or t_max is not None, "any_hit needs t_max"
     n = orig.shape[0]
-    # wave chunking, exactly as in ops/grid_walk.py: the walk's two
-    # per-step row gathers are latency-bound and SUPERLINEAR in wave
-    # width (half-width gathers are 2.4x cheaper each —
-    # probes/probe_gather_tpu.py e), so big waves run as sequential
-    # 64k-lane chunks, each with its own finer wind-down. 0 disables;
-    # waves not divisible by the chunk stay full-width.
-    chunk = int(os.environ.get("CLPT_WALK_CHUNK", "65536"))
-    if chunk > 0 and n > chunk and n % chunk == 0:
-        recs = []
-        for i in range(0, n, chunk):
-            sl = slice(i, i + chunk)
-            recs.append(traverse_fast(
-                tree, quads, orig[sl], dir[sl], max_iters=max_iters,
-                compact=compact,
-                t_max=None if t_max is None else t_max[sl],
-                active=None if active is None else active[sl],
-                any_hit=any_hit))
-        return {k: jnp.concatenate([r[k] for r in recs])
-                for k in recs[0]}
+    chunked = chunk_wave(
+        lambda o, d, tm, act: traverse_fast(
+            tree, quads, o, d, max_iters=max_iters, compact=compact,
+            t_max=tm, active=act, any_hit=any_hit),
+        "CLPT_WALK_CHUNK", orig, dir, t_max, active)
+    if chunked is not None:
+        return chunked
     table = tree.node_table
     tri_slots = tree.tri_indices
     tcount = tri_slots.shape[0]

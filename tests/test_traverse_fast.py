@@ -202,3 +202,54 @@ def test_walk_table_exact_parity(make, compact):
     for key in ("hit", "t", "tri", "u", "v"):
         np.testing.assert_array_equal(np.asarray(an[key]),
                                       np.asarray(bn[key]), err_msg=key)
+
+
+@pytest.mark.parametrize("env,chunk", [("CLPT_WALK_CHUNK", "1024")])
+def test_wave_chunking_parity(monkeypatch, env, chunk):
+    """chunk_wave (the default-on 64k chunking of big waves) must be
+    bit-identical to the full-width walk, including per-chunk t_max /
+    active slicing, SCALAR t_max broadcasting, and any_hit. Production
+    waves are 262k lanes; tests force a small chunk on a 4096-lane
+    wave so the path stays covered."""
+    from clpathtracer_tpu.ops.grid_walk import traverse_grid
+    from clpathtracer_tpu.accel.grid import build_grid
+
+    scene = random_tri_soup(3000, seed=1, extent=2.0, tri_size=0.05)
+    scene, tree, orig, dir, _ = _fixture(scene, w=64, h=64)
+    act = jnp.asarray(np.arange(orig.shape[0]) % 5 != 0)
+    tmax_v = jnp.full((orig.shape[0],), 2.5)
+
+    def run():
+        out = {}
+        out["plain"] = traverse_fast(tree, tree.quads, orig, dir)
+        out["bound"] = traverse_fast(tree, tree.quads, orig, dir,
+                                     t_max=tmax_v, active=act)
+        out["scalar"] = traverse_fast(tree, tree.quads, orig, dir,
+                                      t_max=jnp.float32(2.5))
+        out["anyhit"] = traverse_fast(tree, tree.quads, orig, dir,
+                                      t_max=tmax_v, any_hit=True)
+        return out
+
+    monkeypatch.setenv(env, "0")
+    full = run()
+    monkeypatch.setenv(env, chunk)
+    ch = run()
+    for name in ("plain", "bound", "scalar"):
+        for key in ("hit", "t", "tri", "u", "v"):
+            np.testing.assert_array_equal(
+                np.asarray(full[name][key]), np.asarray(ch[name][key]),
+                err_msg=f"{name}/{key}")
+    np.testing.assert_array_equal(np.asarray(full["anyhit"]["hit"]),
+                                  np.asarray(ch["anyhit"]["hit"]))
+
+    # grid walk shares the helper: same checks on the DDA
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    g = build_grid(tv, density=1.0)
+    monkeypatch.setenv("CLPT_GRID_CHUNK", "0")
+    a = traverse_grid(g, orig, dir, t_max=jnp.float32(2.5))
+    monkeypatch.setenv("CLPT_GRID_CHUNK", chunk)
+    b = traverse_grid(g, orig, dir, t_max=jnp.float32(2.5))
+    for key in ("hit", "t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(a[key]),
+                                      np.asarray(b[key]), err_msg=key)
