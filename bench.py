@@ -55,8 +55,13 @@ SCENE_TUNING = {
     # engine's 17.9, soup 34.8 vs 44. The kd-tree knobs below still
     # shape the tree used by bounce/shadow wavefronts (path mode) and
     # the stream-engine fallback.
+    # plist_rows: the median-split partition (round 4c) shifted the
+    # terrain optimum from 64-tri back to 128-tri windows (chip sweep
+    # probes/probe_plist.py: wr16/8/4 -> 12.3/13.9/17.0 ms — tighter
+    # hulls cut the per-window fixed-cost pressure); soup stays wr8
+    # (25.0 vs 27.9 ms).
     "terrain": {"tile": 2048, "leaf": 3072, "depth": 11,
-                "CLPT_STRIPS": "1", "CLPT_PLIST": "1", "plist_rows": 8},
+                "CLPT_STRIPS": "1", "CLPT_PLIST": "1", "plist_rows": 16},
     # soup: single-phase. The two-phase straggler engine (CLPT_PLIST_KCAP
     # + attached grid, ops/plist.py::_plist_two_phase) is a MEASURED
     # NEGATIVE despite the fog's 3.62x per-lane/per-gate need ratio:

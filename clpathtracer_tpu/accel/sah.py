@@ -679,7 +679,8 @@ def attach_so_tables(tree: FlatKdTree) -> FlatKdTree:
 def attach_morton_windows(tree: FlatKdTree, tri_verts: np.ndarray,
                           win_rows: int = None,
                           with_so: bool = False,
-                          shade_rows=None) -> FlatKdTree:
+                          shade_rows=None,
+                          order: str = None) -> FlatKdTree:
     """Attach the plist engine's global-Morton window structure
     (ops/plist.py). Host-side numpy build like the kd build itself;
     with_so additionally bakes the affine shared-origin tables ON the
@@ -692,7 +693,7 @@ def attach_morton_windows(tree: FlatKdTree, tri_verts: np.ndarray,
     from clpathtracer_tpu.ops.plist import (attach_resolve, attach_so,
                                             build_morton_windows)
     mwin = build_morton_windows(np.asarray(tri_verts, np.float32),
-                                win_rows=win_rows)
+                                win_rows=win_rows, order=order)
     if with_so or shade_rows is not None:
         import jax
         dev = None

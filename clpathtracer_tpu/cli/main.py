@@ -178,9 +178,16 @@ def _load(args):
         # reference's analogous step is its one-time kd upload
         # (src/CLState.c:124-202); here the one-time cost buys the
         # measured-fastest engine (README perf table).
+        from clpathtracer_tpu.accel.grid import fog_likeness
         from clpathtracer_tpu.accel.sah import attach_morton_windows
         ts = time.time()
-        tree = attach_morton_windows(tree, _tv(), win_rows=8,
+        # window size: surface meshes want 128-tri windows, fog-like
+        # scenes 64 (chip sweeps under the median-split partition,
+        # probes/probe_plist.py round 4c: terrain 12.3 vs 13.9 ms,
+        # soup 25.0 vs 27.9) — same occupancy heuristic as the
+        # path-mode accelerator pick below
+        wr = 8 if fog_likeness(_tv()) > 0.5 else 16
+        tree = attach_morton_windows(tree, _tv(), win_rows=wr,
                                      with_so=True,
                                      shade_rows=scene.shade_rows)
         print(f"# morton windows: {time.time()-ts:.2f}s "

@@ -115,19 +115,64 @@ class MortonWindows:
         return self.tris128.reshape(-1, 64)
 
 
+def median_order(tri_verts: np.ndarray, span: int) -> np.ndarray:
+    """Equal-count recursive median split of triangle centroids: split
+    the widest-extent axis at the multiple-of-`span` index nearest the
+    median, recurse, emit depth-first left-to-right.
+
+    Every split lands on a multiple of `span`, so every window except
+    possibly the global tail holds `span` triangles from one convex
+    cell — the same zero-padding fixed-size windows as a Morton cut,
+    but the cut can never straddle a space-filling-curve jump. Measured
+    geometric surviving (gate, window) pairs vs the Morton cut
+    (probes/probe_partition.py, 512², bench cameras): terrain 1M
+    0.61x / supers 0.43x, soup 1M 0.66x / 0.75x. Depth-first emission
+    also nests consecutive windows (tight SUPER hulls). O(N log N)
+    via argpartition per level."""
+    c = tri_verts.mean(axis=1).astype(np.float32)
+    n = c.shape[0]
+    out = np.empty(n, np.int64)
+    pos = 0
+    stack = [np.arange(n, dtype=np.int64)]
+    while stack:
+        seg = stack.pop()
+        m = seg.shape[0]
+        if m <= span:
+            out[pos:pos + m] = seg
+            pos += m
+            continue
+        cc = c[seg]
+        ax = int(np.argmax(cc.max(axis=0) - cc.min(axis=0)))
+        nwin = (m + span - 1) // span
+        half = int(np.clip(round(m / 2 / span), 1, nwin - 1)) * span
+        part = np.argpartition(cc[:, ax], half)
+        stack.append(seg[part[half:]])   # right half (emitted second)
+        stack.append(seg[part[:half]])
+    assert pos == n
+    return out
+
+
 def build_morton_windows(tri_verts: np.ndarray,
-                         win_rows: int = None) -> MortonWindows:
-    """Host-side build: Morton-sort triangles, pack quad rows, window
-    AABBs. O(T log T) numpy; no kd-tree, no duplication."""
+                         win_rows: int = None,
+                         order: str = None) -> MortonWindows:
+    """Host-side build: order triangles (equal-count median split by
+    default; order="morton" for the round-3 global z-curve cut), pack
+    quad rows, window AABBs. O(T log T) numpy; no kd-tree, no
+    duplication. CLPT_WIN_ORDER overrides `order` for A/B probes."""
     from clpathtracer_tpu.accel.sah import _morton10, pack_quads_host
     if win_rows is None:
         win_rows = WIN_ROWS
+    if order is None:
+        order = _os.environ.get("CLPT_WIN_ORDER", "median")
     tv = np.asarray(tri_verts, np.float32)
-    c = tv.mean(axis=1)
-    lo, hi = c.min(axis=0), c.max(axis=0)
-    q = np.clip((c - lo) / np.maximum(hi - lo, 1e-30) * 1023.0,
-                0.0, 1023.0).astype(np.uint32)
-    perm = np.argsort(_morton10(q), kind="stable").astype(np.int64)
+    if order == "median":
+        perm = median_order(tv, win_rows * 8)
+    else:
+        c = tv.mean(axis=1)
+        lo, hi = c.min(axis=0), c.max(axis=0)
+        q = np.clip((c - lo) / np.maximum(hi - lo, 1e-30) * 1023.0,
+                    0.0, 1023.0).astype(np.uint32)
+        perm = np.argsort(_morton10(q), kind="stable").astype(np.int64)
     t = tv[perm]
     n = t.shape[0]
     span = win_rows * 8

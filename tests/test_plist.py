@@ -387,3 +387,44 @@ def test_plist_two_phase_parity(kind, kcap, monkeypatch):
     tri_eq = (np.asarray(rec["tri"])[both]
               == np.asarray(ref["tri"])[both]).mean()
     assert tri_eq > 0.95, tri_eq
+
+
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+@pytest.mark.parametrize("span", [64, 128])
+def test_median_order_invariants(kind, span):
+    """median_order is a permutation; every split lands on a multiple
+    of span (only the global tail window may be ragged); and the
+    partition's total window-hull cross-section is no worse than the
+    Morton cut's (the geometric claim the engine's cost rides on)."""
+    tv, _, _ = _scene(kind)
+    perm = pls.median_order(tv, span)
+    assert np.array_equal(np.sort(perm), np.arange(tv.shape[0]))
+
+    def hull_area(order):
+        t = tv[order]
+        n = (t.shape[0] // span) * span
+        lo = t[:n].min(axis=1).reshape(-1, span, 3).min(axis=1)
+        hi = t[:n].max(axis=1).reshape(-1, span, 3).max(axis=1)
+        e = hi - lo
+        return (e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2]
+                + e[:, 2] * e[:, 0]).sum()
+
+    mwin_m = pls.build_morton_windows(tv, order="morton")
+    morton_perm = np.asarray(
+        mwin_m.tris128.reshape(-1, 16)[:, 9], np.int64)
+    morton_perm = morton_perm[morton_perm >= 0]
+    assert hull_area(perm) < hull_area(morton_perm)
+
+
+def test_median_vs_morton_image_parity():
+    """Partition order changes DMA layout only: hits and ts must be
+    identical between median and morton windows (winners may differ
+    only at exact-t ties)."""
+    tv, orig, dirs = _scene("terrain")
+    rec_a = pls.traverse_plist(
+        pls.build_morton_windows(tv, win_rows=8, order="median"),
+        orig, dirs, (64, 64), supers=True)
+    rec_b = pls.traverse_plist(
+        pls.build_morton_windows(tv, win_rows=8, order="morton"),
+        orig, dirs, (64, 64), supers=True)
+    _assert_parity(rec_a, rec_b)
