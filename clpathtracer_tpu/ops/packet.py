@@ -391,7 +391,7 @@ def so_affine_tables(quads: jnp.ndarray) -> jnp.ndarray:
 
 def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
                       best_s, act_row=None, row_ids=None, merge=True,
-                      acc=None):
+                      acc=None, d0cull=False):
     """Dense shared-origin signed-volume test of the CHUNK_ROWS*8 tris in
     tri_buf[buf_slot] (rows from so_rows) — the SO twin of _mt_chunk_math.
     Ray origins are ignored (folded into the baked rows); only directions
@@ -433,7 +433,12 @@ def _mt_chunk_math_so(tri_buf, buf_slot, rays, tile, chunk_row0, best_t,
         # inf/nan tt but ok is false there, and where() never leaks the
         # unselected branch.
         ok = ((jnp.maximum(jnp.maximum(s1, s2), s3) <= 0.0)
-              & (dsum < 0.0) & (col(9) < 0.0))
+              & (dsum < 0.0))
+        if not d0cull:
+            # d0cull: the caller zeroed every d0 >= 0 row at combine
+            # time (zero rows give s = dsum = 0, rejected by the strict
+            # dsum < 0), so the per-pair broadcast AND here is dead ops
+            ok = ok & (col(9) < 0.0)
         tt = col(9) / dsum
         if act_row is not None:
             ok = ok & (act_row > 0.0)  # dead lanes never take hits

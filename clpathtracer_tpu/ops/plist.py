@@ -254,14 +254,28 @@ def attach_resolve(mwin: MortonWindows, shade_rows) -> MortonWindows:
 # ---------------------------------------------------------------------------
 
 
-def _win_keys(win_bnd, d, o, bh, bw):
+def _win_keys(win_bnd, d, o, bh, bw, dilate_px: float = 0.0):
     """Per-(packet, window) sorted-stream keys: conservative entry
     distance where the packet must test the window, +inf where it is
     culled. d: [N, L, 3] directions of N packets of L rays each (an
     bh x bw pixel block); the cull math is the slab-interval + exact
     corner-frustum pair from ops/packet.py::_strip_masks, conservative
     (a window is kept on any uncertainty), so a kernel consuming the
-    non-inf entries equals an unculled dense sweep. Returns [N, W]."""
+    non-inf entries equals an unculled dense sweep. Returns [N, W].
+
+    dilate_px > 0: the directions carry per-pixel subpixel JITTER of up
+    to that many pixels around the pixel-grid hull (spp > 1 sampling).
+    A pinhole frustum plane through the origin meets the image plane in
+    a LINE, so "every jittered sample stays inside the plane" reduces
+    to 2-D: jittered sample positions lie within the corner-lane
+    position hull dilated by dilate_px pixels. The plane test relaxes
+    by sin(dilate_px x per-gate pixel angle), with the pixel angle
+    measured from this gate's own corner directions — no camera
+    plumbing. Slab intervals already use the actual (jittered) lane
+    directions and need no dilation. Soundness: a window is culled only
+    when its most-inside AABB corner x* has n.(x*-o) > margin * slack
+    >= sin(delta) * |x*-o|, i.e. the whole box sits more than the
+    dilation angle outside the plane."""
     n_pk, n_lanes, _ = d.shape
     o = jnp.asarray(o, jnp.float32).reshape(3)
     lo = [win_bnd[:, j] for j in range(3)]
@@ -283,6 +297,16 @@ def _win_keys(win_bnd, d, o, bh, bw):
         t_ex = jnp.minimum(t_ex, jnp.where(uniform, far_max, INV_BIG))
     keep = (t_en <= t_ex) & (t_ex > 0.0)
 
+    margin = jnp.float32(1e-5)
+    if dilate_px:
+        def sin_between(a, b):  # dirs are normalized (|cross| = sin)
+            cr = jnp.cross(a, b)
+            return jnp.sqrt(jnp.sum(cr * cr, axis=-1))
+        c0, c1, c2 = d[:, 0], d[:, bw - 1], d[:, (bh - 1) * bw]
+        px_ang = jnp.maximum(sin_between(c0, c1) / max(bw - 1, 1),
+                             sin_between(c0, c2) / max(bh - 1, 1))
+        margin = margin + float(dilate_px) * px_ang[:, None]  # [N, 1]
+
     fr = _frustum_rows(d.reshape(-1, 3), o, n_lanes, bh, bw)  # [N, 16]
     for p in range(4):
         n = [fr[:, 3 * p + j:3 * p + j + 1] for j in range(3)]
@@ -293,7 +317,7 @@ def _win_keys(win_bnd, d, o, bh, bw):
                            hi[ax][None, :]) - o[ax]
             sup = sup + n[ax] * cc
             slack = slack + jnp.abs(cc)
-        keep = keep & (sup <= 1e-5 * slack)
+        keep = keep & (sup <= margin * slack)
 
     return jnp.where(keep, jnp.maximum(t_en, 0.0), jnp.float32(jnp.inf))
 
@@ -335,7 +359,8 @@ def _bundle_keys(win_bnd, orig_b, dir_b):
     return jnp.where(keep, jnp.maximum(t_en, 0.0), jnp.float32(jnp.inf))
 
 
-def gate_lists(win_bnd, dir_g, origin, win_rows: int):
+def gate_lists(win_bnd, dir_g, origin, win_rows: int,
+               dilate_px: float = 0.0):
     """For every packet (gate), the windows it must test, sorted
     front-to-back. Returns (row0 [G, C, 8, 128] f32, ten [G, C, 8, 128]
     f32): entry j of gate g lives at [g, j // 1024, j % 8, (j % 1024)
@@ -344,7 +369,8 @@ def gate_lists(win_bnd, dir_g, origin, win_rows: int):
     triangle row as an exact f32 integer."""
     G = dir_g.shape[0] // GATE
     d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
-    key = _win_keys(win_bnd, d, origin, GH, GW)             # [G, W]
+    key = _win_keys(win_bnd, d, origin, GH, GW,
+                    dilate_px=dilate_px)                    # [G, W]
     inf = jnp.float32(jnp.inf)
     w = key.shape[1]
     wpad = -w % LIST_CHUNK
@@ -365,7 +391,8 @@ def gate_lists(win_bnd, dir_g, origin, win_rows: int):
     return pack(row0), pack(ten)
 
 
-_gate_lists = jax.jit(gate_lists, static_argnames=("win_rows",))
+_gate_lists = jax.jit(gate_lists,
+                      static_argnames=("win_rows", "dilate_px"))
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +402,8 @@ _gate_lists = jax.jit(gate_lists, static_argnames=("win_rows",))
 
 def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
                   slot_ref, stats_ref, ids_smem, ten_smem, list_sem,
-                  tri_buf, tri_sem, *, so, win_rows, nchunks):
+                  tri_buf, tri_sem, *, so, win_rows, nchunks,
+                  d0cull=False):
     g = pl.program_id(0)
     rays = _ray_rows(o_ref, d_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -421,7 +449,8 @@ def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
     # here because plist row ids are globally unique)
     t_acc0 = jnp.full((win_rows, GATE), BIG, jnp.float32)
     s_acc0 = jnp.full((win_rows, GATE), -1.0, jnp.float32)
-    mt = _mt_chunk_math_so if so else _mt_chunk_math
+    mt = (functools.partial(_mt_chunk_math_so, d0cull=d0cull) if so
+          else _mt_chunk_math)
     w_total = nchunks * LIST_CHUNK
 
     def body(state):
@@ -472,15 +501,16 @@ def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "so", "win_rows"))
+                   static_argnames=("interpret", "so", "win_rows",
+                                    "d0cull"))
 def _plist_call(row0, ten, tris128, orig_t, dir_t, interpret=False,
-                so=True, win_rows=16):
+                so=True, win_rows=16, d0cull=False):
     n = orig_t.shape[1]
     grid = n // GATE
     nchunks = row0.shape[1]
     return pl.pallas_call(
         functools.partial(_kernel_plist, so=so, win_rows=win_rows,
-                          nchunks=nchunks),
+                          nchunks=nchunks, d0cull=d0cull),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # row0 lists (HBM)
@@ -530,15 +560,19 @@ def plist_supported(mwin, n_rays: int, image_shape) -> bool:
 
 def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
                    interpret: bool = None, supers: bool = None,
-                   grid=None):
-    """Trace unjittered shared-origin primary rays. Same record contract
-    as traverse_packet. Requires grid_dirs-quality rays (the prepass
-    frustum hulls assume it). supers=True uses the two-level super-list
-    variant (default: CLPT_PLIST_SUPER env, on when the window count is
-    SUPER-granular). grid: optional UniformGrid — enables the two-phase
-    straggler engine (CLPT_PLIST_KCAP > 0): phase 1 caps each gate's
-    sorted stream, phase 2 finishes unsettled lanes on the per-ray grid
-    DDA (_plist_two_phase)."""
+                   grid=None, d0cull: bool = None,
+                   dilate_px: float = 0.0, resolve_chunk: int = None):
+    """Trace shared-origin primary rays. Same record contract as
+    traverse_packet. Requires grid_dirs-quality rays (the prepass
+    frustum hulls assume it) — OR jittered pixel samples with
+    dilate_px set to a bound on the subpixel offset plus slack (the
+    frustum hulls dilate by that many pixels; see _win_keys). supers=
+    True uses the two-level super-list variant (default: CLPT_PLIST_
+    SUPER env, on when the window count is SUPER-granular). grid:
+    optional UniformGrid — enables the two-phase straggler engine
+    (CLPT_PLIST_KCAP > 0): phase 1 caps each gate's sorted stream,
+    phase 2 finishes unsettled lanes on the per-ray grid DDA
+    (_plist_two_phase)."""
     from clpathtracer_tpu.ops.packet import _blockify, _unblockify
     n = orig.shape[0]
     h, w = image_shape
@@ -553,16 +587,35 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
     dir_b = _blockify(dir, h, w, GH, GW).astype(jnp.float32)
 
     so = mwin.so_base is not None and _os.environ.get("CLPT_SO", "1") != "0"
+    if d0cull is None:
+        # MEASURED NEGATIVE, off by default (probes/probe_d0cull.py,
+        # chip, same-session interleaved A/B): terrain 1M wr16
+        # 12.2-12.9 ms base vs 13.3-14.4 ms d0cull — removing the
+        # per-pair d0 AND made the kernel ~10% slower (the op was
+        # hidden under the issue pipeline; the combine-time zeroing
+        # select was not). Kept with bit-parity tests so it stays dead.
+        d0cull = _os.environ.get("CLPT_SO_D0CULL", "0") != "0"
+    d0cull = bool(so and d0cull)
     if so:
         o = orig[0]
         rows128 = (mwin.so_base[0] + o[0] * mwin.so_base[1]
                    + o[1] * mwin.so_base[2] + o[2] * mwin.so_base[3])
+        if d0cull:
+            # zero every d0 >= 0 record (backfacing-from-origin or pad:
+            # those can never pass the kernel's d0 < 0 winner condition)
+            # so the kernel drops its per-pair d0 test — zero rows give
+            # s = dsum = 0 and die on the strict dsum < 0. One fused
+            # select in the per-frame combine; bit-identical winners.
+            r = rows128.reshape(-1, 8, 16)
+            rows128 = jnp.where(r[:, :, 9:10] < 0.0, r, 0.0) \
+                .reshape(-1, 128)
     else:
         rows128 = mwin.tris128
 
     if supers:
         key, sid, bits = _gate_lists_super(mwin.win_bnd, dir_b, orig[0],
-                                           mwin.win_rows)
+                                           mwin.win_rows,
+                                           dilate_px=float(dilate_px))
         tris_w = rows128.reshape(-1, mwin.win_rows, 128)
         t0 = jnp.full((1, n), BIG, jnp.float32)
         kcap = int(_os.environ.get("CLPT_PLIST_KCAP", "0"))
@@ -571,27 +624,30 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
                 and mwin.slot_of_tri is not None):
             out_t, out_s, tile_stats = _plist_two_phase(
                 mwin, grid, key, sid, bits, tris_w, orig, orig_b, dir_b,
-                t0, kcap, interpret=interpret, so=so)
+                t0, kcap, interpret=interpret, so=so, d0cull=d0cull)
         else:
             out_t, out_s, tile_stats = _plist_super_call(
                 key, sid, bits, tris_w, orig_b.T.astype(jnp.float32),
                 dir_b.T, t0, interpret=interpret, so=so,
-                win_rows=mwin.win_rows)
+                win_rows=mwin.win_rows, d0cull=d0cull)
     else:
         row0, ten = _gate_lists(mwin.win_bnd, dir_b, orig[0],
-                                mwin.win_rows)
+                                mwin.win_rows,
+                                dilate_px=float(dilate_px))
         out_t, out_s, tile_stats = _plist_call(
             row0, ten, rows128, orig_b.T.astype(jnp.float32), dir_b.T,
-            interpret=interpret, so=so, win_rows=mwin.win_rows)
+            interpret=interpret, so=so, win_rows=mwin.win_rows,
+            d0cull=d0cull)
 
     best_t = _unblockify(out_t[0], h, w, GH, GW)
     best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, GH, GW)
     return _resolve_winners(mwin, best_slot, orig, dir,
-                            tile_stats[::8, :5])
+                            tile_stats[::8, :5],
+                            resolve_chunk=resolve_chunk)
 
 
 def _plist_two_phase(mwin, grid, key, sid, bits, tris_w, orig, orig_b,
-                     dir_b, t0, kcap, *, interpret, so):
+                     dir_b, t0, kcap, *, interpret, so, d0cull=False):
     """Two-phase straggler engine: per-gate break -> per-RAY finish.
 
     The super-list kernel BREAKs per gate — one deep or missing lane
@@ -624,7 +680,8 @@ def _plist_two_phase(mwin, grid, key, sid, bits, tris_w, orig, orig_b,
     wr = mwin.win_rows
     out_t, out_s, ts1 = _plist_super_call(
         key, sid, bits, tris_w, orig_b.T.astype(jnp.float32), dir_b.T,
-        t0, interpret=interpret, so=so, win_rows=wr, kcap=kcap)
+        t0, interpret=interpret, so=so, win_rows=wr, kcap=kcap,
+        d0cull=d0cull)
     # sorted key entry e of gate g lives at [g, e//1024, e%8,
     # (e%1024)//8]; pad/culled entries carry +inf, so every lane of an
     # exhausted gate settles (BIG*(1+1e-4) stays finite, and x <= inf).
@@ -655,7 +712,8 @@ def _plist_two_phase(mwin, grid, key, sid, bits, tris_w, orig, orig_b,
             ts1)
 
 
-def _resolve_winners(mwin, best_slot, orig, dir, tile_stats):
+def _resolve_winners(mwin, best_slot, orig, dir, tile_stats,
+                     resolve_chunk: int = None):
     """Re-resolve the kernel's winner slots to the traverse record: the
     winner quad's exact f32 t/u/v via one general MT per ray
     (ops/traverse_fast.py::_mt_pre) — the kernels carry only (t, slot).
@@ -667,9 +725,33 @@ def _resolve_winners(mwin, best_slot, orig, dir, tile_stats):
     whole resolution costs ONE 32-lane row gather instead of the
     quads + shade_rows pair (~2x on the latency-bound gather cost,
     probes/probe_gather_tpu.py)."""
+    n = orig.shape[0]
+    # the resolve gather is latency-bound and SUPERLINEAR in wave width
+    # (probes/probe_gather_tpu.py: half-width costs 2.4x less — the same
+    # model the grid walk exploits via CLPT_GRID_CHUNK); chunk the whole
+    # resolve body (gather + MT re-resolve + shade math) when enabled
+    chunk = (int(_os.environ.get("CLPT_RESOLVE_CHUNK", "0"))
+             if resolve_chunk is None else resolve_chunk)
+    if 0 < chunk < n and n % chunk == 0:
+        def one(args):
+            slots, og, dg = args
+            return _resolve_winners_body(mwin, slots, og, dg)
+        parts = jax.lax.map(one, (best_slot.reshape(-1, chunk),
+                                  orig.reshape(-1, chunk, 3),
+                                  dir.reshape(-1, chunk, 3)))
+        out = {k: v.reshape((n,) + v.shape[2:]) for k, v in parts.items()}
+        out["steps"] = jnp.zeros((n,), jnp.int32)
+        out["tile_stats"] = tile_stats
+        return out
+    out = _resolve_winners_body(mwin, best_slot, orig, dir)
+    out["steps"] = jnp.zeros((n,), jnp.int32)
+    out["tile_stats"] = tile_stats
+    return out
+
+
+def _resolve_winners_body(mwin, best_slot, orig, dir):
     from clpathtracer_tpu.core import vecmath as vm
     from clpathtracer_tpu.ops.traverse_fast import _mt_pre
-    n = orig.shape[0]
     hit = best_slot >= 0
     if mwin.resolve_rows is not None:
         nslots = mwin.resolve_rows.shape[0] * 4
@@ -714,8 +796,6 @@ def _resolve_winners(mwin, best_slot, orig, dir, tile_stats):
         "tri": tri,
         "u": jnp.where(hit, u, 0.0),
         "v": jnp.where(hit, v, 0.0),
-        "steps": jnp.zeros((n,), jnp.int32),
-        "tile_stats": tile_stats,
         **extra,
     }
 
@@ -737,7 +817,8 @@ def _resolve_winners(mwin, best_slot, orig, dir, tile_stats):
 # ---------------------------------------------------------------------------
 
 
-def gate_lists_super(win_bnd, dir_g, origin, win_rows: int):
+def gate_lists_super(win_bnd, dir_g, origin, win_rows: int,
+                     dilate_px: float = 0.0):
     """Two-level lists: per-window keys (_win_keys) reduced to supers of
     SUPER windows. Returns (key, sid, bits), each [G, C, 8, 128] f32 with
     entry j of gate g at [g, j // 1024, j % 8, (j % 1024) // 8]:
@@ -747,7 +828,8 @@ def gate_lists_super(win_bnd, dir_g, origin, win_rows: int):
     SUPER <= 16 < 2^24)."""
     G = dir_g.shape[0] // GATE
     d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
-    key_w = _win_keys(win_bnd, d, origin, GH, GW)           # [G, W]
+    key_w = _win_keys(win_bnd, d, origin, GH, GW,
+                      dilate_px=dilate_px)                  # [G, W]
     return _super_pack(key_w)
 
 
@@ -789,14 +871,14 @@ def _super_pack(key_w):
 
 
 _gate_lists_super = jax.jit(gate_lists_super,
-                            static_argnames=("win_rows",))
+                            static_argnames=("win_rows", "dilate_px"))
 
 
 def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
                         d_ref, t0_ref, t_ref, slot_ref, stats_ref,
                         key_smem, sid_smem, bit_smem, list_sem, tri_buf,
                         tri_sem, acc_t, acc_s, *, so, win_rows, nchunks,
-                        kcap=0):
+                        kcap=0, d0cull=False):
     g = pl.program_id(0)
     rays = _ray_rows(o_ref, d_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -847,7 +929,8 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
     def _():
         start_tri(sid0, 0)
 
-    mt = _mt_chunk_math_so if so else _mt_chunk_math
+    mt = (functools.partial(_mt_chunk_math_so, d0cull=d0cull) if so
+          else _mt_chunk_math)
     w_total = nchunks * LIST_CHUNK
     # kcap: phase-1 stream budget of the two-phase engine — consume at
     # most kcap sorted entries per gate; the host finishes unsettled
@@ -926,15 +1009,16 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "so", "win_rows",
-                                    "kcap"))
+                                    "kcap", "d0cull"))
 def _plist_super_call(key, sid, bits, tris_w, orig_t, dir_t, t0,
-                      interpret=False, so=True, win_rows=16, kcap=0):
+                      interpret=False, so=True, win_rows=16, kcap=0,
+                      d0cull=False):
     n = orig_t.shape[1]
     grid = n // GATE
     nchunks = key.shape[1]
     return pl.pallas_call(
         functools.partial(_kernel_plist_super, so=so, win_rows=win_rows,
-                          nchunks=nchunks, kcap=kcap),
+                          nchunks=nchunks, kcap=kcap, d0cull=d0cull),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # key lists (HBM)

@@ -125,7 +125,8 @@ class RenderOptions:
 def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                     coherent: bool = True, active=None,
                     shared_origin: bool = False,
-                    grid_dirs: bool = False):
+                    grid_dirs: bool = False,
+                    jitter_px: float = 0.0):
     """Nearest hit against triangles (+ spheres). Returns dict with
     hit [N] bool, t [N], tri [N] (-1 if none), u/v [N], sphere [N] (-1 if
     the nearest hit is not a sphere).
@@ -189,16 +190,21 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                           if orig.shape[0] == opts.width * opts.height
                           else None)
             if (opts.intersector == "packet" and coherent
-                    and shared_origin and grid_dirs and active is None
+                    and shared_origin
+                    and (grid_dirs or jitter_px > 0.0) and active is None
                     and plist_supported(getattr(tree, "mwin", None),
                                         orig.shape[0], shape_full)):
                 # walk-free prepass-list engine (ops/plist.py): preferred
-                # for unjittered shared-origin primary frames when the
-                # tree carries Morton windows (attach_morton_windows) —
-                # prepass culls/sorts on the VPU, the kernel is a pure
-                # sorted stream at the dense-math ceiling
+                # for shared-origin primary frames when the tree carries
+                # Morton windows (attach_morton_windows) — prepass
+                # culls/sorts on the VPU, the kernel is a pure sorted
+                # stream at the dense-math ceiling. Jittered spp samples
+                # (jitter_px > 0) ride it too, with the frustum hulls
+                # conservatively dilated by that many pixels.
                 rec = traverse_plist(tree.mwin, orig, dir, shape_full,
-                                     grid=getattr(tree, "grid", None))
+                                     grid=getattr(tree, "grid", None),
+                                     dilate_px=(0.0 if grid_dirs
+                                                else jitter_px))
             elif (opts.intersector == "packet"
                     and (coherent or not opts.sort_bounces)
                     and packet_supported(tree, orig.shape[0],
@@ -565,7 +571,8 @@ def _sample_light(scene, key, n, stride: int = 1):
 
 
 def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
-               shared_origin: bool = False, grid_dirs: bool = False):
+               shared_origin: bool = False, grid_dirs: bool = False,
+               jitter_px: float = 0.0):
     """Lambertian path tracing with emissive surfaces.
 
     radiance += throughput · emission at each hit; throughput ·= albedo;
@@ -584,7 +591,8 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
         rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0),
                               active=None if b == 0 else alive,
                               shared_origin=shared_origin and b == 0,
-                              grid_dirs=grid_dirs and b == 0)
+                              grid_dirs=grid_dirs and b == 0,
+                              jitter_px=jitter_px if b == 0 else 0.0)
         point, normal, albedo, emission = _surface(scene, rec, o, d, opts)
         # one-sided emitters: the surface emits from its front face only,
         # matching NEE's cos_l > 0 gate below so nee=True and nee=False
@@ -657,11 +665,15 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
 
 
 def render_rays(scene, tree, orig, dir, opts: RenderOptions, key=None,
-                shared_origin: bool = False, grid_dirs: bool = False):
+                shared_origin: bool = False, grid_dirs: bool = False,
+                jitter_px: float = 0.0):
     # grid_dirs: the rays are the UNJITTERED pixel-grid primaries of
     # (opts.height, opts.width) — enables the corner-hull frustum/strip
     # culls in the packet engine, which per-pixel jitter would break
     # (ADVICE r2); shared_origin alone only enables the SO row math.
+    # jitter_px: the rays are pixel-grid primaries with up to that many
+    # pixels of subpixel jitter (spp sampling) — the plist engine still
+    # applies, with its frustum hulls conservatively dilated.
     if opts.mode == "normal":
         return shade_normal(scene, tree, orig, dir, opts,
                             shared_origin=shared_origin,
@@ -675,7 +687,7 @@ def render_rays(scene, tree, orig, dir, opts: RenderOptions, key=None,
             key = jax.random.PRNGKey(0)
         return shade_path(scene, tree, orig, dir, opts, key,
                           shared_origin=shared_origin,
-                          grid_dirs=grid_dirs)
+                          grid_dirs=grid_dirs, jitter_px=jitter_px)
     raise ValueError(f"unknown mode {opts.mode!r}")
 
 
@@ -696,9 +708,13 @@ def render_image(scene, camera, opts: RenderOptions, tree=None, key=None):
             o, d = generate_rays_jittered(cam_inv, opts.width, opts.height,
                                           jitter)
             # jittered per-pixel samples: NOT grid_dirs (corner-hull
-            # culls would drop edge samples outside the corners' hull)
+            # culls would drop edge samples outside the corners' hull),
+            # but the plist engine still applies with its hulls dilated
+            # by 3 px: jitter is < 1 px, the corner-lane position hull
+            # under-covers the block by < 1 px per side, and 1 px of
+            # slack on top (ops/plist.py::_win_keys dilate_px)
             return render_rays(scene, tree, o[0], d[0], opts, ks,
-                               shared_origin=True)
+                               shared_origin=True, jitter_px=3.0)
 
         img = jax.lax.map(one_sample, keys).mean(axis=0)
     else:

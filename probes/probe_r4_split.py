@@ -20,6 +20,7 @@ import numpy as np
 
 WR = int(os.environ.get("CLPT_WIN_ROWS", "8"))
 SCENE = os.environ.get("PROBE_SCENE", "terrain")
+NTRIS = int(os.environ.get("PROBE_TRIS", 1_000_000))
 
 
 def log(m):
@@ -41,11 +42,11 @@ def main():
     log(f"# device {dev} wr={WR} scene={SCENE}")
     with jax.default_device(cpu):
         if SCENE == "terrain":
-            scene = terrain_mesh(1_000_000, seed=0, extent=10.0)
+            scene = terrain_mesh(NTRIS, seed=0, extent=10.0)
             cam = Camera.create(position=[0.0, 14.0, 0.0],
                                 forward=[0.0, -1.0, 0.01])
         else:
-            scene = random_tri_soup(1_000_000, seed=0, extent=10.0,
+            scene = random_tri_soup(NTRIS, seed=0, extent=10.0,
                                     tri_size=0.01)
             cam = Camera.create(position=[0.0, 0.0, -25.0],
                                 forward=[0.0, 0.0, 1.0])

@@ -112,6 +112,87 @@ def test_plist_so_affine_parity(kind):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+@pytest.mark.parametrize("supers", [False, True])
+def test_plist_d0cull_bit_parity(kind, supers):
+    """d0cull (zero every d0 >= 0 SO record at combine time, drop the
+    kernel's per-pair d0 test) must be BIT-identical to the guarded
+    path: a d0 >= 0 record can never pass the kernel's d0 < 0 winner
+    condition, so zeroing it (s = dsum = 0, rejected by the strict
+    dsum < 0) changes nothing."""
+    tv, orig, dirs = _scene(kind)
+    mwin = pls.attach_so(pls.build_morton_windows(tv))
+    a = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=supers,
+                           d0cull=False)
+    b = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=supers,
+                           d0cull=True)
+    for k in ("hit", "t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_plist_resolve_chunk_parity():
+    """Chunked winner resolve (the half-width gather economics of
+    probes/probe_gather_tpu.py) is a pure re-batching: identical winner
+    slots (the kernel side is untouched), and re-resolved float fields
+    equal to within 1-2 ulp (XLA forms FMAs differently inside a
+    lax.map body, so bitwise equality across program shapes is not
+    guaranteed — measured <= 1 ulp on 28% of lanes)."""
+    tv, orig, dirs = _scene("terrain")
+    from clpathtracer_tpu.scene.procedural import terrain_mesh
+    scene = terrain_mesh(30_000, seed=0, extent=10.0).bake_shading()
+    mwin = pls.attach_so(pls.build_morton_windows(tv))
+    mwin = pls.attach_resolve(mwin, scene.shade_rows)
+    a = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    b = pls.traverse_plist(mwin, orig, dirs, (64, 64),
+                           resolve_chunk=1024)
+    for k in ("hit", "tri"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    for k in ("t", "u", "v", "snormal", "salbedo", "semission"):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+def test_plist_jitter_dilated_hulls(kind):
+    """Jittered spp samples ride the plist engine when the frustum
+    hulls are dilated by the jitter bound (ops/plist.py::_win_keys
+    dilate_px): parity vs the per-ray wavefront across several jitter
+    keys. Without dilation the corner-hull cull DROPS edge samples —
+    asserted too, so this test fails loudly if the dilation ever stops
+    being exercised."""
+    from clpathtracer_tpu.core.camera import generate_rays_jittered
+    tv, _, _ = _scene(kind)
+    if kind == "terrain":
+        cam = Camera.create(position=[0.0, 14.0, 0.0],
+                            forward=[0.0, -1.0, 0.01])
+    else:
+        cam = Camera.create(position=[0.0, 0.0, -25.0],
+                            forward=[0.0, 0.0, 1.0])
+    mwin = pls.attach_so(pls.build_morton_windows(tv))
+    tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
+    ci = cam_matrix(cam, 64)
+    dropped_any = False
+    for seed in range(3):
+        jitter = jax.random.uniform(jax.random.PRNGKey(seed),
+                                    (1, 64 * 64, 2))
+        o, d = generate_rays_jittered(ci, 64, 64, jitter)
+        orig, dirs = o[0], d[0]
+        rec = pls.traverse_plist(mwin, orig, dirs, (64, 64),
+                                 dilate_px=3.0)
+        ref = traverse_fast(tree, tree.quads, orig, dirs)
+        _assert_parity(rec, ref)
+        # undilated: the corner-hull cull is UNSOUND for jittered rays
+        rec0 = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+        dropped_any |= bool(
+            (np.asarray(rec0["hit"]) != np.asarray(ref["hit"])).any())
+    # negative control on the surface scene only: the fog's windows
+    # overlap nearly every frustum, so its undilated cull rarely fires
+    # at all (the same reason bench tunes the soup with CLPT_FRUSTUM=0)
+    if kind == "terrain":
+        assert dropped_any, ("undilated hulls dropped nothing — "
+                             "dilation is not being exercised")
+
+
 @pytest.mark.parametrize("supers", [False, True])
 def test_plist_sorted_break_is_conservative(supers):
     """The early break must never drop a real hit: compare against the
