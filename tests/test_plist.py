@@ -133,10 +133,19 @@ def test_plist_d0cull_bit_parity(kind, supers):
 def test_plist_resolve_chunk_parity():
     """Chunked winner resolve (the half-width gather economics of
     probes/probe_gather_tpu.py) is a pure re-batching: identical winner
-    slots (the kernel side is untouched), and re-resolved float fields
-    equal to within 1-2 ulp (XLA forms FMAs differently inside a
-    lax.map body, so bitwise equality across program shapes is not
-    guaranteed — measured <= 1 ulp on 28% of lanes)."""
+    slots and hit flags (the kernel side is untouched), bit-identical
+    shade-row gathers, and re-resolved floats equal up to XLA
+    reassociation (FMAs form differently inside a lax.map body).
+
+    The float comparison is conditioning-aware (probes/
+    probe_resolve_drift.py): t agrees to <1e-6 rel everywhere, but u/v
+    near barycentric edges amplify a 1-ulp reassociation by the dot-
+    product cancellation in the MT numerators — the right per-lane
+    bound is eps * sum|summands| / |det| (measured: every lane within
+    1.0x that bound; a flat rtol=2e-6 fails 157/4096 lanes at up to
+    6.9e-3 rel where u ~ 1e-3). Both paths sit equally close to an f64
+    oracle, so neither is "wrong" — the bound below is the honest
+    contract."""
     tv, orig, dirs = _scene("terrain")
     from clpathtracer_tpu.scene.procedural import terrain_mesh
     scene = terrain_mesh(30_000, seed=0, extent=10.0).bake_shading()
@@ -147,9 +156,39 @@ def test_plist_resolve_chunk_parity():
                            resolve_chunk=1024)
     for k in ("hit", "tri"):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
-    for k in ("t", "u", "v", "snormal", "salbedo", "semission"):
-        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
-                                   rtol=2e-6, atol=2e-6)
+    # gather-only fields must be bit-identical across program shapes
+    for k in ("salbedo", "semission"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                               rtol=2e-6, atol=2e-6)
+    # interpolated normals: smooth field, 1-ulp agreement measured
+    np.testing.assert_allclose(np.asarray(a["snormal"]),
+                               np.asarray(b["snormal"]), atol=1e-6)
+    # u/v: per-lane conditioning-amplified ulp bound (f64 MT solve)
+    hit = np.asarray(a["hit"])
+    tri = np.asarray(a["tri"])
+    idx = np.clip(tri, 0, tv.shape[0] - 1)
+    tv64 = tv.astype(np.float64)
+    o64 = np.asarray(orig, np.float64)
+    d64 = np.asarray(dirs, np.float64)
+    v0 = tv64[idx, 0]
+    e1 = tv64[idx, 1] - v0
+    e2 = tv64[idx, 2] - v0
+    p = np.cross(d64, e2)
+    det = np.abs((e1 * p).sum(-1)) + 1e-300
+    tvec = o64 - v0
+    q = np.cross(tvec, e1)
+    amp_u = np.abs(tvec * p).sum(-1) / det
+    amp_v = np.abs(d64 * q).sum(-1) / det
+    eps32 = 1.1920929e-07
+    for k, amp in (("u", amp_u), ("v", amp_v)):
+        dv = np.abs(np.asarray(a[k], np.float64)
+                    - np.asarray(b[k], np.float64))
+        bound = 8.0 * eps32 * np.maximum(amp, 1.0)
+        viol = hit & (dv > bound)
+        assert not viol.any(), (
+            f"{k}: {viol.sum()} lanes exceed the conditioning bound; "
+            f"max ratio {(dv[hit] / bound[hit]).max():.3g}")
 
 
 @pytest.mark.parametrize("kind", ["terrain", "soup"])
