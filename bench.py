@@ -76,8 +76,9 @@ SCENE_TUNING = {
 
 
 def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
-              reps=None):
-    scene_tris = int(os.environ.get("BENCH_TRIS", 1_000_000))
+              reps=None, ntris=None):
+    scene_tris = (int(os.environ.get("BENCH_TRIS", 1_000_000))
+                  if ntris is None else ntris)
     width = int(os.environ.get("BENCH_W", 512))
     height = int(os.environ.get("BENCH_H", 512))
     if reps is None:
@@ -397,9 +398,38 @@ def main():
             log(f"# path-mode bench failed: {e}")
             detail["path_mode"] = {"error": str(e)}
 
+    # large-scene leg (VERDICT r4 #3): 10M-tri terrain through the same
+    # pipeline — the reference handles any device-resident mesh
+    # uniformly (/root/reference/src/CLState.c:124-202), so the bench
+    # must carry a current large-mesh number, not a stale README row.
+    # Kill switch BENCH_10M=0; failures never sink the headline.
+    if (mode == "normal" and not forced and scene_tris == 1_000_000
+            and os.environ.get("BENCH_10M", "1") != "0"):
+        log("# === large-scene leg (terrain, 10M tris) ===")
+        try:
+            v, d = run_scene("terrain", jax, jnp, reps=5,
+                             ntris=10_000_000)
+            detail["terrain_10m"] = {"rays_per_s": v, **d}
+        except Exception as e:
+            log(f"# 10M leg failed: {e}")
+            detail["terrain_10m"] = {"error": str(e)}
+
     target = 2e8  # BASELINE.json north-star rays/s/chip
     label = ("primary rays/s/chip" if mode == "normal"
              else f"{bounces}-bounce paths/s/chip")
+    # standing round gates, machine-visible across rounds (VERDICT r4
+    # #8): terrain 3e7, soup 1e7, path 1e6 paths/s, 10M-tri 5e6
+    gates = {}
+    if mode == "normal" and not forced:
+        gates["terrain_3e7"] = bool(rays_per_s >= 3e7)
+        soup = detail.get("adversarial_soup", {})
+        gates["soup_1e7"] = bool(soup.get("rays_per_s", 0) >= 1e7)
+        pm = detail.get("path_mode", {})
+        gates["path_1e6"] = bool(pm.get("paths_per_s", 0) >= 1e6)
+        tm = detail.get("terrain_10m", {})
+        gates["tris10m_5e6"] = bool(tm.get("rays_per_s", 0) >= 5e6)
+        detail["gates"] = gates
+        log(f"# gates: {gates}")
     print(json.dumps({
         "metric": f"{label}, {scene_tris} tris ({head_kind}), "
                   f"kd {intersector}, mode={mode}",

@@ -360,16 +360,17 @@ def _bundle_keys(win_bnd, orig_b, dir_b):
 
 
 def gate_lists(win_bnd, dir_g, origin, win_rows: int,
-               dilate_px: float = 0.0):
+               dilate_px: float = 0.0, gh: int = None):
     """For every packet (gate), the windows it must test, sorted
     front-to-back. Returns (row0 [G, C, 8, 128] f32, ten [G, C, 8, 128]
     f32): entry j of gate g lives at [g, j // 1024, j % 8, (j % 1024)
     // 8]; culled/pad entries carry t_en = +inf (the tail the kernel's
     sorted BREAK never reaches). row0 is the window's first [*, 128]
     triangle row as an exact f32 integer."""
+    gh = GH if gh is None else gh
     G = dir_g.shape[0] // GATE
     d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
-    key = _win_keys(win_bnd, d, origin, GH, GW,
+    key = _win_keys(win_bnd, d, origin, gh, GATE // gh,
                     dilate_px=dilate_px)                    # [G, W]
     inf = jnp.float32(jnp.inf)
     w = key.shape[1]
@@ -392,7 +393,7 @@ def gate_lists(win_bnd, dir_g, origin, win_rows: int,
 
 
 _gate_lists = jax.jit(gate_lists,
-                      static_argnames=("win_rows", "dilate_px"))
+                      static_argnames=("win_rows", "dilate_px", "gh"))
 
 
 # ---------------------------------------------------------------------------
@@ -403,7 +404,8 @@ _gate_lists = jax.jit(gate_lists,
 def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
                   slot_ref, stats_ref, ids_smem, ten_smem, list_sem,
                   tri_buf, tri_sem, *, so, win_rows, nchunks,
-                  d0cull=False):
+                  d0cull=False, tup_every=None):
+    tup_every = TUP_EVERY if tup_every is None else tup_every
     g = pl.program_id(0)
     rays = _ray_rows(o_ref, d_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -478,7 +480,7 @@ def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
                     act_row=None, merge=False, acc=(ta, sa))
         ns = ns + 1
         tup = jax.lax.cond(
-            ns % TUP_EVERY == 0,
+            ns % tup_every == 0,
             lambda: jnp.max(jnp.min(ta, axis=0)), lambda: tup)
         return j1, 1 - par, j1 // LIST_CHUNK, row0_1, nxt, tup, ta, sa, ns
 
@@ -502,15 +504,16 @@ def _kernel_plist(row0_ref, ten_ref, tris_ref, o_ref, d_ref, t_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "so", "win_rows",
-                                    "d0cull"))
+                                    "d0cull", "tup_every"))
 def _plist_call(row0, ten, tris128, orig_t, dir_t, interpret=False,
-                so=True, win_rows=16, d0cull=False):
+                so=True, win_rows=16, d0cull=False, tup_every=None):
     n = orig_t.shape[1]
     grid = n // GATE
     nchunks = row0.shape[1]
     return pl.pallas_call(
         functools.partial(_kernel_plist, so=so, win_rows=win_rows,
-                          nchunks=nchunks, d0cull=d0cull),
+                          nchunks=nchunks, d0cull=d0cull,
+                          tup_every=tup_every),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # row0 lists (HBM)
@@ -561,7 +564,9 @@ def plist_supported(mwin, n_rays: int, image_shape) -> bool:
 def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
                    interpret: bool = None, supers: bool = None,
                    grid=None, d0cull: bool = None,
-                   dilate_px: float = 0.0, resolve_chunk: int = None):
+                   dilate_px: float = 0.0, resolve_chunk: int = None,
+                   gate_h: int = None, tup_every: int = None,
+                   nobits: bool = None):
     """Trace shared-origin primary rays. Same record contract as
     traverse_packet. Requires grid_dirs-quality rays (the prepass
     frustum hulls assume it) — OR jittered pixel samples with
@@ -576,15 +581,23 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
     from clpathtracer_tpu.ops.packet import _blockify, _unblockify
     n = orig.shape[0]
     h, w = image_shape
-    assert n == h * w and h % GH == 0 and w % GW == 0
+    gh = GH if gate_h is None else int(gate_h)
+    gw = GATE // gh
+    assert GATE % gh == 0 and n == h * w and h % gh == 0 and w % gw == 0
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if supers is None:
         supers = _os.environ.get("CLPT_PLIST_SUPER", "1") != "0"
     supers = supers and mwin.num_windows % SUPER == 0
+    # kernel knobs resolved at call time (jit cache keys on them as
+    # static args — the round-3 advisor's stale-cache pattern)
+    if tup_every is None:
+        tup_every = TUP_EVERY
+    if nobits is None:
+        nobits = _os.environ.get("CLPT_SUPER_NOBITS") == "1"
 
-    orig_b = _blockify(orig, h, w, GH, GW)
-    dir_b = _blockify(dir, h, w, GH, GW).astype(jnp.float32)
+    orig_b = _blockify(orig, h, w, gh, gw)
+    dir_b = _blockify(dir, h, w, gh, gw).astype(jnp.float32)
 
     so = mwin.so_base is not None and _os.environ.get("CLPT_SO", "1") != "0"
     if d0cull is None:
@@ -615,7 +628,8 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
     if supers:
         key, sid, bits = _gate_lists_super(mwin.win_bnd, dir_b, orig[0],
                                            mwin.win_rows,
-                                           dilate_px=float(dilate_px))
+                                           dilate_px=float(dilate_px),
+                                           gh=gh)
         tris_w = rows128.reshape(-1, mwin.win_rows, 128)
         t0 = jnp.full((1, n), BIG, jnp.float32)
         kcap = int(_os.environ.get("CLPT_PLIST_KCAP", "0"))
@@ -629,18 +643,19 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
             out_t, out_s, tile_stats = _plist_super_call(
                 key, sid, bits, tris_w, orig_b.T.astype(jnp.float32),
                 dir_b.T, t0, interpret=interpret, so=so,
-                win_rows=mwin.win_rows, d0cull=d0cull)
+                win_rows=mwin.win_rows, d0cull=d0cull,
+                tup_every=tup_every, nobits=nobits)
     else:
         row0, ten = _gate_lists(mwin.win_bnd, dir_b, orig[0],
                                 mwin.win_rows,
-                                dilate_px=float(dilate_px))
+                                dilate_px=float(dilate_px), gh=gh)
         out_t, out_s, tile_stats = _plist_call(
             row0, ten, rows128, orig_b.T.astype(jnp.float32), dir_b.T,
             interpret=interpret, so=so, win_rows=mwin.win_rows,
-            d0cull=d0cull)
+            d0cull=d0cull, tup_every=tup_every)
 
-    best_t = _unblockify(out_t[0], h, w, GH, GW)
-    best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, GH, GW)
+    best_t = _unblockify(out_t[0], h, w, gh, gw)
+    best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, gh, gw)
     return _resolve_winners(mwin, best_slot, orig, dir,
                             tile_stats[::8, :5],
                             resolve_chunk=resolve_chunk)
@@ -818,7 +833,7 @@ def _resolve_winners_body(mwin, best_slot, orig, dir):
 
 
 def gate_lists_super(win_bnd, dir_g, origin, win_rows: int,
-                     dilate_px: float = 0.0):
+                     dilate_px: float = 0.0, gh: int = None):
     """Two-level lists: per-window keys (_win_keys) reduced to supers of
     SUPER windows. Returns (key, sid, bits), each [G, C, 8, 128] f32 with
     entry j of gate g at [g, j // 1024, j % 8, (j % 1024) // 8]:
@@ -826,9 +841,10 @@ def gate_lists_super(win_bnd, dir_g, origin, win_rows: int,
     (+inf when the gate needs nothing in the super — the sorted tail),
     sid = super id (exact f32 int), bits = SUPER need bits (f32-exact:
     SUPER <= 16 < 2^24)."""
+    gh = GH if gh is None else gh
     G = dir_g.shape[0] // GATE
     d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
-    key_w = _win_keys(win_bnd, d, origin, GH, GW,
+    key_w = _win_keys(win_bnd, d, origin, gh, GATE // gh,
                       dilate_px=dilate_px)                  # [G, W]
     return _super_pack(key_w)
 
@@ -871,14 +887,17 @@ def _super_pack(key_w):
 
 
 _gate_lists_super = jax.jit(gate_lists_super,
-                            static_argnames=("win_rows", "dilate_px"))
+                            static_argnames=("win_rows", "dilate_px",
+                                             "gh"))
 
 
 def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
                         d_ref, t0_ref, t_ref, slot_ref, stats_ref,
                         key_smem, sid_smem, bit_smem, list_sem, tri_buf,
                         tri_sem, acc_t, acc_s, *, so, win_rows, nchunks,
-                        kcap=0, d0cull=False):
+                        kcap=0, d0cull=False, tup_every=None,
+                        nobits=None):
+    tup_every = TUP_EVERY if tup_every is None else tup_every
     g = pl.program_id(0)
     rays = _ray_rows(o_ref, d_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -960,7 +979,8 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
         # the cull is conservative, un-needed windows can only miss) —
         # measures the scalar-branch cost against the extra dense math.
         wait_tri(sid_j, par)
-        nobits = _os.environ.get("CLPT_SUPER_NOBITS") == "1"
+        nb = (_os.environ.get("CLPT_SUPER_NOBITS") == "1"
+              if nobits is None else nobits)
         for k in range(SUPER):
             def consume(k=k):
                 rid = ((sid_j * SUPER + k) * wr + iota_wr) \
@@ -970,7 +990,7 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
                             merge=False, acc=(acc_t[...], acc_s[...]))
                 acc_t[...] = ta
                 acc_s[...] = sa
-            if nobits:
+            if nb:
                 consume()
             else:
                 pl.when(((bit_j >> k) & 1) == 1)(consume)
@@ -980,7 +1000,7 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
             nw_j = nw_j + ((bit_j >> k) & 1)
         nw = nw + nw_j
         tup = jax.lax.cond(
-            ns % TUP_EVERY == 0,
+            ns % tup_every == 0,
             lambda: jnp.max(jnp.minimum(jnp.min(acc_t[...], axis=0),
                                         t0[0])), lambda: tup)
         return j1, 1 - par, sid1, bit1, nxt, tup, ns, nw
@@ -1009,16 +1029,18 @@ def _kernel_plist_super(key_ref, sid_ref, bit_ref, tris_ref, o_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "so", "win_rows",
-                                    "kcap", "d0cull"))
+                                    "kcap", "d0cull", "tup_every",
+                                    "nobits"))
 def _plist_super_call(key, sid, bits, tris_w, orig_t, dir_t, t0,
                       interpret=False, so=True, win_rows=16, kcap=0,
-                      d0cull=False):
+                      d0cull=False, tup_every=None, nobits=None):
     n = orig_t.shape[1]
     grid = n // GATE
     nchunks = key.shape[1]
     return pl.pallas_call(
         functools.partial(_kernel_plist_super, so=so, win_rows=win_rows,
-                          nchunks=nchunks, kcap=kcap, d0cull=d0cull),
+                          nchunks=nchunks, kcap=kcap, d0cull=d0cull,
+                          tup_every=tup_every, nobits=nobits),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # key lists (HBM)

@@ -97,6 +97,14 @@ class RenderOptions:
     #   the walk-tuned shadow tree (tree.shadow) on SURFACE scenes when
     #   one is attached. None resolves from CLPT_BOUNCE_WALK at
     #   CONSTRUCTION time (default on), like bounce_grid above.
+    edge_aware: bool = False   # silhouette-reparameterized gradients:
+    #   blend a one-pixel band at visibility edges toward the
+    #   continuation ray's shading (normal mode) / radiance (path mode)
+    #   so jax.grad carries the boundary term a detached-topology
+    #   renderer loses (diff/edges.py rationale; north star:
+    #   "reparameterized/edge-aware pixel gradients"). Costs one extra
+    #   traversal + shading pass. Forward image changes only inside the
+    #   band. Ignored in mirror mode.
     nee_light_stride: int = 1  # NEE: one light sample shared by each
     #   run of this many consecutive rays (1 = independent per-lane
     #   sampling, the reference estimator). Strides of a plist-bundle
@@ -378,11 +386,21 @@ def _surface(scene, rec, orig, dir, opts=None):
 
 
 def shade_normal(scene, tree, orig, dir, opts: RenderOptions,
-                 shared_origin: bool = False, grid_dirs: bool = False):
-    """Reference-parity: hit → (normal+1)/2, miss → white."""
-    rec = intersect_scene(scene, tree, orig, dir, opts,
-                          shared_origin=shared_origin,
-                          grid_dirs=grid_dirs)
+                 shared_origin: bool = False, grid_dirs: bool = False,
+                 first_rec=None, first_coherent: bool = True,
+                 first_active=None):
+    """Reference-parity: hit → (normal+1)/2, miss → white.
+
+    first_rec: precomputed intersection record for these rays (the
+    edge-aware pass traces once and shades twice); first_coherent/
+    first_active configure the trace when first_rec is None."""
+    rec = first_rec
+    if rec is None:
+        rec = intersect_scene(scene, tree, orig, dir, opts,
+                              coherent=first_coherent,
+                              active=first_active,
+                              shared_origin=shared_origin,
+                              grid_dirs=grid_dirs)
     _, normal, _, _ = _surface(scene, rec, orig, dir, opts)
     bg = jnp.full_like(normal, opts.background)
     return jnp.where(rec["hit"][:, None], normal_color(normal), bg)
@@ -572,7 +590,8 @@ def _sample_light(scene, key, n, stride: int = 1):
 
 def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
                shared_origin: bool = False, grid_dirs: bool = False,
-               jitter_px: float = 0.0):
+               jitter_px: float = 0.0, first_rec=None,
+               first_coherent: bool = True, first_active=None):
     """Lambertian path tracing with emissive surfaces.
 
     radiance += throughput · emission at each hit; throughput ·= albedo;
@@ -585,14 +604,20 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
     n = orig.shape[0]
     radiance = jnp.zeros((n, 3))
     throughput = jnp.ones((n, 3))
-    alive = jnp.ones((n,), bool)
+    alive = (jnp.ones((n,), bool) if first_active is None
+             else jnp.asarray(first_active))
     o, d = orig, dir
     for b in range(opts.bounces):
-        rec = intersect_scene(scene, tree, o, d, opts, coherent=(b == 0),
-                              active=None if b == 0 else alive,
-                              shared_origin=shared_origin and b == 0,
-                              grid_dirs=grid_dirs and b == 0,
-                              jitter_px=jitter_px if b == 0 else 0.0)
+        if b == 0 and first_rec is not None:
+            rec = first_rec
+        else:
+            rec = intersect_scene(
+                scene, tree, o, d, opts,
+                coherent=(b == 0 and first_coherent),
+                active=(first_active if b == 0 else alive),
+                shared_origin=shared_origin and b == 0,
+                grid_dirs=grid_dirs and b == 0,
+                jitter_px=jitter_px if b == 0 else 0.0)
         point, normal, albedo, emission = _surface(scene, rec, o, d, opts)
         # one-sided emitters: the surface emits from its front face only,
         # matching NEE's cos_l > 0 gate below so nee=True and nee=False
@@ -660,6 +685,79 @@ def shade_path(scene, tree, orig, dir, opts: RenderOptions, key,
 
 
 # ---------------------------------------------------------------------------
+# edge-aware (silhouette-reparameterized) shading
+# ---------------------------------------------------------------------------
+
+
+def _edge_band(m, rows, cols):
+    """Per-pixel blend band: max |4-neighbour difference| of m, floored
+    so flat regions don't blow the ratio up. NOT detached: the band
+    itself moves with the scene and a finite-difference probe of the
+    smoothed render sees that motion (diff/edges.py measurement — a
+    detached band disagrees with FD in sign AND magnitude)."""
+    mi = m.reshape(rows, cols)
+    diffs = [jnp.abs(mi - jnp.roll(mi, s, axis=a))
+             for a in (0, 1) for s in (1, -1)]
+    g = jnp.maximum(jnp.maximum(diffs[0], diffs[1]),
+                    jnp.maximum(diffs[2], diffs[3]))
+    return jnp.maximum(g, 1e-4).reshape(-1)
+
+
+def shade_edgeaware(scene, tree, orig, dir, opts: RenderOptions, key,
+                    shared_origin: bool = False, grid_dirs: bool = False,
+                    jitter_px: float = 0.0):
+    """Silhouette-reparameterized shading (normal and path modes).
+
+    The hit's min-barycentric m is a differentiable distance to the
+    winning triangle's boundary that vanishes exactly on silhouettes; a
+    pixel inside the one-pixel band blends its shading toward the
+    CONTINUATION ray's (the surface the silhouette occludes, or the
+    background) with weight alpha = clip(m/|∇m|, 0, 1). Gradients flow
+    through m: moving a vertex moves alpha, which transfers radiance
+    across the edge — the boundary term a detached-topology renderer
+    loses (full rationale: diff/edges.py). Costs one extra traversal +
+    shading pass; the forward image changes only inside the band.
+
+    Works on any wavefront whose lane count is a multiple of the image
+    width (full frames, or row-sharded blocks under shard_map — the
+    band then wraps at block edges, a one-row approximation)."""
+    n = orig.shape[0]
+    cols = opts.width if n % opts.width == 0 else n
+    rec1 = intersect_scene(scene, tree, orig, dir, opts,
+                           shared_origin=shared_origin,
+                           grid_dirs=grid_dirs, jitter_px=jitter_px)
+    u, v = rec1["u"], rec1["v"]
+    m = jnp.where(rec1["tri"] >= 0,
+                  jnp.minimum(jnp.minimum(u, v), 1.0 - u - v), 1.0)
+    alpha = jnp.clip(m / _edge_band(m, n // cols, cols), 0.0, 1.0)
+
+    # continuation ray: what the silhouette occludes. Topology and the
+    # step are detached; its shading is differentiable on its own.
+    sg = jax.lax.stop_gradient
+    t_det = sg(rec1["t"])
+    step = jnp.where(rec1["hit"], t_det * 1e-3 + opts.bounce_eps, 0.0)
+    o2 = orig + (t_det + step)[:, None] * dir
+
+    if opts.mode == "path":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        # same key for both passes: common random numbers keep the
+        # blend's variance at the (c1 - c2) difference, not their sum
+        c1 = shade_path(scene, tree, orig, dir, opts, key,
+                        shared_origin=shared_origin, grid_dirs=grid_dirs,
+                        jitter_px=jitter_px, first_rec=rec1)
+        c2 = shade_path(scene, tree, o2, dir, opts, key,
+                        first_coherent=False, first_active=rec1["hit"])
+    else:
+        c1 = shade_normal(scene, tree, orig, dir, opts, first_rec=rec1)
+        c2 = shade_normal(scene, tree, o2, dir, opts,
+                          first_coherent=False, first_active=rec1["hit"])
+    return jnp.where(rec1["hit"][:, None],
+                     alpha[:, None] * c1 + (1.0 - alpha[:, None]) * c2,
+                     c1)
+
+
+# ---------------------------------------------------------------------------
 # top level
 # ---------------------------------------------------------------------------
 
@@ -674,6 +772,10 @@ def render_rays(scene, tree, orig, dir, opts: RenderOptions, key=None,
     # jitter_px: the rays are pixel-grid primaries with up to that many
     # pixels of subpixel jitter (spp sampling) — the plist engine still
     # applies, with its frustum hulls conservatively dilated.
+    if opts.edge_aware and opts.mode in ("normal", "path"):
+        return shade_edgeaware(scene, tree, orig, dir, opts, key,
+                               shared_origin=shared_origin,
+                               grid_dirs=grid_dirs, jitter_px=jitter_px)
     if opts.mode == "normal":
         return shade_normal(scene, tree, orig, dir, opts,
                             shared_origin=shared_origin,

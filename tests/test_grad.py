@@ -239,7 +239,15 @@ class TestSilhouetteGrad:
         from clpathtracer_tpu.diff.edges import render_edgeaware
         opts = RenderOptions(width=32, height=32, mode="normal",
                              use_tree=False, background=1.0)
-        cam = Camera.create(position=[0.0, 0.0, -1.0],
+        # generic camera position: a perfectly centered camera on this
+        # axis-aligned fixture sends pixel-center rays EXACTLY through
+        # the occluder's edge (m = 0 -> alpha = 0 -> the pixel shows the
+        # continuation), and that continuation then threads the backdrop
+        # quad's shared-diagonal seam, where fp watertightness pinholes
+        # open or close with XLA's fusion choices — a measure-zero ray
+        # set no real scene hits, but one that flips this test's FD by
+        # whole pixels
+        cam = Camera.create(position=[0.011, 0.007, -1.0],
                             forward=[0.0, 0.0, 1.0])
 
         def loss_fn(dz):
@@ -276,16 +284,115 @@ class TestSilhouetteGrad:
         from clpathtracer_tpu.diff.edges import render_edgeaware
         opts = RenderOptions(width=32, height=32, mode="normal",
                              use_tree=False, background=1.0)
-        cam = Camera.create(position=[0.0, 0.0, -1.0],
+        cam = Camera.create(position=[0.011, 0.007, -1.0],
                             forward=[0.0, 0.0, 1.0])
         scene = self._scene(0.0)
         a = np.asarray(render_edgeaware(scene, cam, opts))
         b = np.asarray(render_image(scene, cam, opts))
-        # interior of the occluder (away from its edges): identical
-        np.testing.assert_allclose(a[14:18, 14:18], b[14:18, 14:18],
-                                   atol=1e-6)
+        # the blend may only touch pixels whose hit sits near a triangle
+        # boundary (occluder silhouette, or either quad's interior
+        # diagonal seam — both fixtures' diagonals cross this view):
+        # everywhere the min-barycentric is comfortably above the band,
+        # alpha saturates and the images are IDENTICAL
+        from clpathtracer_tpu.core.camera import cam_matrix, generate_rays
+        from clpathtracer_tpu.render.integrator import intersect_scene
+        orig, dirs = generate_rays(cam_matrix(cam, 32), 32, 32)
+        rec = intersect_scene(scene, None, orig, dirs, opts)
+        u, v = np.asarray(rec["u"]), np.asarray(rec["v"])
+        m = np.where(np.asarray(rec["tri"]) >= 0,
+                     np.minimum(np.minimum(u, v), 1.0 - u - v), 1.0)
+        far = (m > 0.2).reshape(32, 32)
+        np.testing.assert_allclose(a[far], b[far], atol=1e-6)
+        # non-vacuity: the mask covers a meaningful share of the image
+        # (m is in barycentric units, so the backdrop's huge triangles
+        # keep wide screen bands below 0.2) and the blend fired somewhere
+        assert far.mean() > 0.25
+        assert (np.abs(a - b) > 1e-6).any()
         # and the images agree everywhere within the band's reach
         assert (np.abs(a - b) > 1e-6).mean() < 0.30
+
+    def test_path_mode_edge_grad_matches_fd(self):
+        """RenderOptions.edge_aware in PATH mode: the blend uses the
+        continuation ray's full radiance, and jax.grad of the public
+        render_image matches FD on the occluder-depth loss (normals-as-
+        albedo contrast; 0 bounces of randomness — bounces=1 makes the
+        path integrator deterministic, isolating the silhouette term)."""
+        import dataclasses
+        opts = dataclasses.replace(
+            RenderOptions(width=32, height=32, mode="path", bounces=1,
+                          use_tree=False, background=1.0),
+            differentiable=True, edge_aware=True)
+        cam = Camera.create(position=[0.011, 0.007, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+        key = jax.random.PRNGKey(3)
+
+        def loss_fn(dz):
+            scene = self._scene(dz)
+            # albedo contrast across the silhouette (path mode shades
+            # albedo*bg radiance at bounce-1 terminations)
+            scene = scene.replace(albedo=jnp.asarray(
+                [[0.9, 0.1, 0.1]] * 2 + [[0.1, 0.1, 0.9]] * 2,
+                jnp.float32))
+            img = render_image(scene, cam, opts, key=key)
+            return jnp.mean(img[8:24, 12:28, :])
+
+        g = float(jax.grad(loss_fn)(jnp.float32(0.0)))
+        eps = 1e-2
+        fd = (float(loss_fn(jnp.float32(eps)))
+              - float(loss_fn(jnp.float32(-eps)))) / (2 * eps)
+        assert np.isfinite(g) and abs(fd) > 1e-4, (g, fd)
+        assert abs(g - fd) <= 0.15 * abs(fd), (g, fd)
+
+    def test_train_step_carries_silhouette_gradient(self):
+        """make_train_step with RenderOptions.edge_aware: the vertex
+        gradient the public training API computes must carry the
+        silhouette term — (a) one step's update moves the occluder's
+        z coordinates measurably, (b) repeated small steps strictly
+        decrease the loss, and (c) the same step WITHOUT edge_aware
+        moves them ~100x less (interior-only gradients are ~zero on
+        this normals-as-color fixture — the gap this flag closes)."""
+        import dataclasses
+
+        import optax
+
+        from clpathtracer_tpu.parallel.mesh import default_mesh
+        from clpathtracer_tpu.parallel.train import make_train_step
+        cam = Camera.create(position=[0.011, 0.007, -1.0],
+                            forward=[0.0, 0.0, 1.0])
+        mesh = default_mesh(jax.devices()[:1])
+        scene0 = self._scene(0.0)
+        base = RenderOptions(width=32, height=32, mode="normal",
+                             use_tree=False, background=1.0)
+        # lr small enough that the multi-vertex dynamics stay in the
+        # descent regime (larger steps tilt the quad and oscillate)
+        lr = 0.02
+        zmove = {}
+        losses = {}
+        for ea in (True, False):
+            opts = dataclasses.replace(base, differentiable=True,
+                                       edge_aware=ea)
+            target = np.asarray(render_image(self._scene(0.35), cam,
+                                             opts))
+            step, init = make_train_step(
+                scene0, opts, mesh, optax.sgd(lr), tree=None,
+                param_fields=("verts",))
+            state = init()
+            key = jax.random.PRNGKey(0)
+            ls = []
+            for i in range(4):
+                state, loss = step(state, cam, jnp.asarray(target), key)
+                ls.append(float(loss))
+            losses[ea] = ls
+            dz = (np.asarray(state.params["verts"])[4:, 2]
+                  - np.asarray(scene0.verts)[4:, 2])
+            zmove[ea] = np.abs(dz).max()
+        # (a) silhouette gradient moves the occluder along z
+        assert zmove[True] > 5e-5, zmove
+        # (b) small steps strictly decrease the edge-aware loss
+        la = losses[True]
+        assert all(b < a for a, b in zip(la, la[1:])), la
+        # (c) without edge_aware the z-gradient is ~zero
+        assert zmove[False] < 0.02 * zmove[True], zmove
 
 
 class TestGridForwardGrad:

@@ -239,16 +239,10 @@ def test_plist_sorted_break_is_conservative(supers):
     cadence larger than any list)."""
     tv, orig, dirs = _scene("terrain")
     mwin = pls.build_morton_windows(tv)
-    import clpathtracer_tpu.ops.plist as mod
-    old = mod.TUP_EVERY
-    try:
-        rec = pls.traverse_plist(mwin, orig, dirs, (64, 64),
-                                 supers=supers)
-        mod.TUP_EVERY = 10 ** 9  # never refresh -> no break, full sweep
-        full = pls.traverse_plist(mwin, orig, dirs, (64, 64),
-                                  supers=supers)
-    finally:
-        mod.TUP_EVERY = old
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=supers)
+    # cadence larger than any list -> never refresh -> no break
+    full = pls.traverse_plist(mwin, orig, dirs, (64, 64), supers=supers,
+                              tup_every=10 ** 9)
     np.testing.assert_array_equal(np.asarray(rec["hit"]),
                                   np.asarray(full["hit"]))
     h = np.asarray(rec["hit"])
@@ -257,6 +251,31 @@ def test_plist_sorted_break_is_conservative(supers):
     # ...and the break must actually cut work on an occluded scene
     assert (np.asarray(rec["tile_stats"])[:, 1].sum()
             <= np.asarray(full["tile_stats"])[:, 1].sum())
+
+
+@pytest.mark.parametrize("knobs", [
+    {"gate_h": 8}, {"gate_h": 32}, {"tup_every": 2},
+    {"nobits": True}, {"supers": False, "tup_every": 4},
+])
+def test_plist_kernel_knobs_parity(knobs):
+    """The schedule knobs (gate aspect, t_upper cadence, unconditional
+    window math) change only WHEN work happens, never the nearest hit:
+    hit/t must match the default schedule exactly (tri may differ at
+    exact-t ties — gate regrouping changes tie winners)."""
+    tv, orig, dirs = _scene("terrain")
+    mwin = pls.build_morton_windows(tv)
+    base = pls.traverse_plist(mwin, orig, dirs, (64, 64))
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64), **knobs)
+    np.testing.assert_array_equal(np.asarray(rec["hit"]),
+                                  np.asarray(base["hit"]))
+    h = np.asarray(base["hit"])
+    # a tie winner flips under regrouping -> re-resolved t moves a ulp
+    np.testing.assert_allclose(np.asarray(rec["t"])[h],
+                               np.asarray(base["t"])[h],
+                               rtol=1e-6, atol=1e-6)
+    same = h & (np.asarray(rec["tri"]) == np.asarray(base["tri"]))
+    np.testing.assert_array_equal(np.asarray(rec["t"])[same],
+                                  np.asarray(base["t"])[same])
 
 
 def test_plist_empty_gates():
