@@ -101,6 +101,12 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
     max_depth = int(os.environ.get(
         "BENCH_DEPTH",
         tuning.get("depth", 14) if intersector == "packet" else 22))
+    if "BENCH_DEPTH" not in os.environ and scene_tris > 1_500_000:
+        # the per-scene depth tunings assume ~1M tris; larger meshes need
+        # proportionally deeper trees or leaves blow past the stream
+        # engine's SMEM packing limit (observed: leaf of 19.7k tris at
+        # 10M with the 1M terrain tuning's depth 11)
+        max_depth += max(0, int(np.ceil(np.log2(scene_tris / 1e6)))) + 1
     packet_tile = int(os.environ.get("BENCH_TILE",
                                      tuning.get("tile", 512)))
     # user-provided CLPT_* env wins; otherwise apply (and overwrite any

@@ -105,6 +105,13 @@ class RenderOptions:
     #   "reparameterized/edge-aware pixel gradients"). Costs one extra
     #   traversal + shading pass. Forward image changes only inside the
     #   band. Ignored in mirror mode.
+    resolve_chunk: int = None  # plist winner-resolve chunking (lanes per
+    #   chunk; 0 = unchunked). None resolves from CLPT_RESOLVE_CHUNK at
+    #   CONSTRUCTION time: the chunked resolve has documented
+    #   conditioning-bounded u/v drift vs the unchunked one
+    #   (tests/test_plist.py::test_plist_resolve_chunk_parity), so the
+    #   choice must live in the jit cache key, never in a trace-time env
+    #   read (docs/KNOBS.md).
     nee_light_stride: int = 1  # NEE: one light sample shared by each
     #   run of this many consecutive rays (1 = independent per-lane
     #   sampling, the reference estimator). Strides of a plist-bundle
@@ -123,6 +130,10 @@ class RenderOptions:
             object.__setattr__(
                 self, "bounce_walk",
                 os.environ.get("CLPT_BOUNCE_WALK", "1") == "1")
+        if self.resolve_chunk is None:
+            object.__setattr__(
+                self, "resolve_chunk",
+                int(os.environ.get("CLPT_RESOLVE_CHUNK", "0")))
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +223,8 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                 rec = traverse_plist(tree.mwin, orig, dir, shape_full,
                                      grid=getattr(tree, "grid", None),
                                      dilate_px=(0.0 if grid_dirs
-                                                else jitter_px))
+                                                else jitter_px),
+                                     resolve_chunk=opts.resolve_chunk)
             elif (opts.intersector == "packet"
                     and (coherent or not opts.sort_bounces)
                     and packet_supported(tree, orig.shape[0],

@@ -178,3 +178,45 @@ class TestTreeletRing:
         moved = np.abs(np.asarray(state2.params["verts"])
                        - np.asarray(state.params["verts"])).max()
         assert moved > 0.0
+
+
+def test_ring_rotation_is_compute_independent_in_hlo():
+    """Evidence for the "rotation issued ahead of compute" claim
+    (intersect_ring docstring): in the OPTIMIZED HLO of the 8-device
+    ring, every treelet collective-permute consumes only a parameter or
+    the previous collective-permute — never a product of the traversal
+    loops. The whole rotation chain is dataflow-independent of compute,
+    which is exactly the property that lets the TPU scheduler run the
+    ICI transfer of block s+1 under block s's traversal (async
+    collective start/done pairs wrap these same ops on TPU backends)."""
+    import re
+
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from clpathtracer_tpu.parallel.treelet import intersect_ring
+    scene = random_tri_soup(2000, seed=3, extent=2.0, tri_size=0.05)
+    v0, v1, v2 = scene.tri_verts()
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    stree = build_sharded_tree(tv, n_shards=8)
+    orig, dir = _rays(scene)
+    mesh = Mesh(np.array(jax.devices()).reshape(1, 8),
+                ("rows", "scene"))
+
+    def local(stree_blk, o, d):
+        return intersect_ring(stree_blk, o, d, axis_name="scene")["t"]
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P("scene"), P(("rows", "scene")),
+                            P(("rows", "scene"))),
+                  out_specs=P(("rows", "scene")))
+    txt = jax.jit(f).lower(stree, orig, dir).compile().as_text()
+    ops = re.findall(r"(%[\w.-]+) = [^=]*collective-permute\((%[\w.-]+)\)",
+                     txt)
+    # 7 rotations x 2 arrays (node table + quads)
+    assert len(ops) == 14, len(ops)
+    names = {name for name, _ in ops}
+    for name, operand in ops:
+        assert ("param" in operand) or (operand in names), (
+            f"{name} consumes {operand}: the rotation chain depends on "
+            "compute — the overlap property is broken")
