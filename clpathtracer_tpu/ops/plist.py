@@ -566,7 +566,8 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
                    grid=None, d0cull: bool = None,
                    dilate_px: float = 0.0, resolve_chunk: int = None,
                    gate_h: int = None, tup_every: int = None,
-                   nobits: bool = None):
+                   nobits: bool = None, gathered: bool = None,
+                   kmax: int = None, cwin: int = None):
     """Trace shared-origin primary rays. Same record contract as
     traverse_packet. Requires grid_dirs-quality rays (the prepass
     frustum hulls assume it) — OR jittered pixel samples with
@@ -625,6 +626,50 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
     else:
         rows128 = mwin.tris128
 
+    if gathered is None:
+        gathered = _os.environ.get("CLPT_PLIST_GATHER", "0") == "1"
+    gathered = bool(gathered and so)
+    if gathered:
+        wr = mwin.win_rows
+        kmax_v = int(kmax) if kmax else max(1024 // wr, 8)
+        cwin_v = int(cwin) if cwin else max(32 // wr, 1)
+        table, ids8, ten8, overflow = _gate_lists_gathered(
+            mwin.win_bnd, dir_b, orig[0], wr, kmax_v, rows128,
+            dilate_px=float(dilate_px), gh=gh)
+        orig_t = orig_b.T.astype(jnp.float32)
+        dir_t = dir_b.T
+
+        def gath_path(_):
+            return _plist_gath_call(ids8, ten8, table, orig_t, dir_t,
+                                    interpret=interpret, win_rows=wr,
+                                    kmax=kmax_v, cwin=cwin_v,
+                                    tup_every=tup_every)
+
+        def super_path(_):
+            # a gate needs more than kmax windows: whole-frame fallback
+            # to the super-list engine (identical intersector; only the
+            # stream schedule differs). Recomputes its lists — rare.
+            key, sid, bits = gate_lists_super(
+                mwin.win_bnd, dir_b, orig[0], wr,
+                dilate_px=float(dilate_px), gh=gh)
+            tris_w = rows128.reshape(-1, wr, 128)
+            t0 = jnp.full((1, n), BIG, jnp.float32)
+            return _plist_super_call(
+                key, sid, bits, tris_w, orig_t, dir_t, t0,
+                interpret=interpret, so=so, win_rows=wr, d0cull=d0cull,
+                tup_every=tup_every, nobits=nobits)
+
+        if mwin.num_windows % SUPER == 0:
+            out_t, out_s, tile_stats = jax.lax.cond(
+                overflow, super_path, gath_path, None)
+        else:  # no super fallback possible; gathered alone (callers
+            # must size kmax; parity tests cover the overflow path)
+            out_t, out_s, tile_stats = gath_path(None)
+        best_t = _unblockify(out_t[0], h, w, gh, gw)
+        best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, gh, gw)
+        return _resolve_winners(mwin, best_slot, orig, dir,
+                                tile_stats[::8, :5],
+                                resolve_chunk=resolve_chunk)
     if supers:
         key, sid, bits = _gate_lists_super(mwin.win_bnd, dir_b, orig[0],
                                            mwin.win_rows,
@@ -1133,6 +1178,182 @@ def traverse_plist_bundle(mwin: MortonWindows, orig, dir, active=None,
     best_slot = out_s[0].astype(jnp.int32)
     return _resolve_winners(mwin, best_slot, orig, dir,
                             tile_stats[::8, :5])
+
+
+# ---------------------------------------------------------------------------
+# gathered-stream variant: branch-free private per-gate window tables
+#
+# Round-5 schedule sweep (probes/probe_r5_sched.py, chip, min-separated
+# timing): the super kernel runs its NEEDED windows at ~59.5G tests/s
+# while the same kernel with unconditional window math streams at ~84G —
+# the VPU ceiling. The ~3.5 ms gap on the terrain frame is pure schedule:
+# 16 bit-gated pl.when branches per super (~69 per gate) plus the
+# per-super scan/DMA-wait scalar work, all serializing with the vector
+# pipe (the round-2 finding, again). This variant removes the branches
+# entirely: the PREPASS gathers each gate's sorted windows into a
+# private contiguous [KMAX*wr, 128] table (one big-block take — window
+# blocks are 4-8 KB, so the gather is bandwidth-bound, unlike the
+# 512-byte scattered row gathers the gather-cost model priced at
+# 45 GB/s), and the kernel is a pure sequential consumer: Pallas
+# auto-pipelines whole gate blocks into VMEM, the loop tests CHUNK
+# windows per iteration with ONE sorted-break decision each (~7 scalar
+# branches per gate), and winner slots come from a parallel window-id
+# table in SMEM. Windows past a gate's need (pad entries) carry t_en
+# = +inf, which the sorted break never reaches.
+#
+# Soundness: KMAX is static; a gate needing more than KMAX windows
+# would lose geometry, so traverse_plist guards the whole frame with a
+# lax.cond on max(needed) > KMAX that falls back to the super-list
+# engine (identical results; the fallback recomputes its lists from the
+# same per-window keys).
+# ---------------------------------------------------------------------------
+
+
+def gate_lists_gathered(win_bnd, dir_g, origin, win_rows: int,
+                        kmax: int, rows128, dilate_px: float = 0.0,
+                        gh: int = None):
+    """Prepass for the gathered-stream kernel. Returns (table, ids8,
+    ten8, overflow): table [G, kmax*win_rows, 128] — each gate's first
+    kmax sorted-by-t_en windows' triangle rows, gathered contiguous
+    (pad windows repeat window 0's rows; their +inf keys keep the
+    kernel from ever testing them); ids8/ten8 [G, 8, 128] — window ids
+    and entry distances, entry k at [k % 8, k // 8] (SMEM layout,
+    lane-padded to 128); overflow — scalar bool, any gate needs more
+    than kmax windows."""
+    assert kmax % 8 == 0 and kmax <= 1024, kmax
+    gh = GH if gh is None else gh
+    G = dir_g.shape[0] // GATE
+    d = dir_g.reshape(G, GATE, 3).astype(jnp.float32)
+    key = _win_keys(win_bnd, d, origin, gh, GATE // gh,
+                    dilate_px=dilate_px)                    # [G, W]
+    overflow = jnp.max(jnp.sum(jnp.isfinite(key), axis=1)) > kmax
+    wid = jnp.broadcast_to(
+        jnp.arange(key.shape[1], dtype=jnp.float32)[None], key.shape)
+    ten, wid = jax.lax.sort((key, wid), dimension=1, num_keys=1)
+    ten, wid = ten[:, :kmax], wid[:, :kmax]
+    widx = jnp.where(jnp.isfinite(ten), wid, 0.0).astype(jnp.int32)
+    wr = win_rows
+    wtab = rows128.reshape(-1, wr * 128)                    # [W, wr*128]
+    table = wtab[widx.reshape(-1)].reshape(G, kmax * wr, 128)
+
+    def pack8(x):  # [G, kmax] -> [G, 8, 128], entry k at [k%8, k//8]
+        pad = jnp.zeros((G, 1024 - kmax), x.dtype)
+        return jnp.concatenate([x, pad], axis=1) \
+            .reshape(G, 128, 8).transpose(0, 2, 1)
+
+    return table, pack8(wid), pack8(ten), overflow
+
+
+_gate_lists_gathered = jax.jit(
+    gate_lists_gathered,
+    static_argnames=("win_rows", "kmax", "dilate_px", "gh"))
+
+
+def _kernel_plist_gath(ids_ref, ten_ref, o_ref, d_ref, tris_ref, t_ref,
+                       slot_ref, stats_ref, ids_smem, ten_smem,
+                       list_sem, *, win_rows, kmax, cwin, tup_every):
+    g = pl.program_id(0)
+    rays = _ray_rows(o_ref, d_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    wr = win_rows
+    cr = cwin * wr                                 # rows per chunk
+
+    for ref, sm in ((ids_ref, ids_smem), (ten_ref, ten_smem)):
+        cp = pltpu.make_async_copy(ref.at[g], sm, list_sem)
+        cp.start()
+        cp.wait()
+
+    def ten_at(k):
+        return ten_smem[k % 8, k // 8]
+
+    def wid_at(k):
+        return ids_smem[k % 8, k // 8].astype(jnp.int32)
+
+    iota_wr = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+    nch = kmax // cwin
+    t_acc0 = jnp.full((cr, GATE), BIG, jnp.float32)
+    s_acc0 = jnp.full((cr, GATE), -1.0, jnp.float32)
+
+    def body(state):
+        c, tup, ta, sa = state
+        # absolute quad-row ids of this chunk's windows (slot space)
+        rid = jnp.concatenate(
+            [(wid_at(c * cwin + j) * wr + iota_wr).astype(jnp.float32)
+             for j in range(cwin)], axis=0)         # [cr, 1]
+        rows = tris_ref.at[:, pl.ds(c * cr, cr), :]
+        ta, sa = _mt_chunk_math_so(rows, 0, rays, GATE, None, None,
+                                   None, act_row=None, row_ids=rid,
+                                   merge=False, acc=(ta, sa))
+        tup = jax.lax.cond(
+            (c + 1) % tup_every == 0,
+            lambda: jnp.max(jnp.min(ta, axis=0)), lambda: tup)
+        return c + 1, tup, ta, sa
+
+    def cond(state):
+        c, tup, _, _ = state
+        return (c < nch) & (ten_at(c * cwin) <= tup)
+
+    c, _, t_acc, s_acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.float32(BIG), t_acc0, s_acc0))
+
+    best_t = jnp.min(t_acc, axis=0, keepdims=True)
+    cand = jnp.where(t_acc == best_t, s_acc, BIG)
+    best_s = jnp.min(cand, axis=0, keepdims=True)
+    t_ref[:] = best_t
+    slot_ref[:] = jnp.where(best_t < BIG, best_s, -1.0)
+    nw = c * cwin
+    stats_ref[:] = jnp.where(
+        lane == 0, 0.0,
+        jnp.where(lane == 1, nw.astype(jnp.float32),
+                  jnp.where(lane == 2, jnp.float32(GATE),
+                            jnp.where(lane == 4, nw.astype(jnp.float32),
+                                      0.0))))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "win_rows", "kmax",
+                                    "cwin", "tup_every"))
+def _plist_gath_call(ids8, ten8, table, orig_t, dir_t, interpret=False,
+                     win_rows=16, kmax=64, cwin=2, tup_every=1):
+    n = orig_t.shape[1]
+    grid = n // GATE
+    return pl.pallas_call(
+        functools.partial(_kernel_plist_gath, win_rows=win_rows,
+                          kmax=kmax, cwin=cwin, tup_every=tup_every),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # ids8 (HBM -> SMEM)
+            pl.BlockSpec(memory_space=pl.ANY),      # ten8 (HBM -> SMEM)
+            pl.BlockSpec((3, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            # the gate's private window table, auto-pipelined: Pallas
+            # double-buffers consecutive gate blocks so the HBM read of
+            # gate g+1 rides under gate g's dense math
+            pl.BlockSpec((1, kmax * win_rows, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((8 * grid, 128), jnp.float32),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GATE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, 128), jnp.float32),      # window ids
+            pltpu.SMEM((8, 128), jnp.float32),      # entry distances
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(ids8, ten8, orig_t, dir_t, table)
 
 
 # ---------------------------------------------------------------------------

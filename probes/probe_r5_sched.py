@@ -86,6 +86,14 @@ def main():
         ("tup4", {"tup_every": 4}),
         ("nobits", {"nobits": True}),
         ("plain", {"supers": False}),
+        # round-5 gathered-stream engine (branch-free private tables)
+        ("gath", {"gathered": True}),
+        ("gathc4", {"gathered": True, "cwin": 4}),
+        ("gathk2", {"gathered": True, "kmax": 128}),
+        # kmax=80 just covers the bench camera's max needed (75); the
+        # chunked break + sparse tup cadence minimize per-gate syncs
+        ("gath80", {"gathered": True, "kmax": 80, "cwin": 4,
+                    "tup_every": 2}),
     ]
     sel = os.environ.get("PROBE_CFGS")
     if sel:
@@ -153,6 +161,8 @@ def main():
             "best_ms": round(best * 1e3, 3),
             "rays_per_s": n_rays / best,
             "windows_per_gate": float(ns.mean()),
+            "supers_per_gate": float(stats[name][:, 3].mean()),
+            "consumed_per_gate": float(stats[name][:, 4].mean()),
             "tests_per_s": float(ns.sum()) * span * pls.GATE / best,
         }
         log(f"# {name:7s}: frame {best*1e3:.2f}ms "

@@ -278,6 +278,42 @@ def test_plist_kernel_knobs_parity(knobs):
                                   np.asarray(base["t"])[same])
 
 
+@pytest.mark.parametrize("kind", ["terrain", "soup"])
+def test_plist_gathered_parity(kind):
+    """The gathered-stream variant (branch-free private per-gate window
+    tables, round 5) is the same intersector with a different stream
+    schedule: hit/t parity with the wavefront reference, and the
+    kmax-overflow lax.cond fallback to the super engine must produce
+    the same answers (tiny kmax forces it)."""
+    tv, orig, dirs = _scene(kind)
+    mwin = pls.attach_so(pls.build_morton_windows(tv))
+    tree = build_kd_tree(tv, max_depth=12, leaf_size=64, tri_block=4)
+    ref = traverse_fast(tree, tree.quads, orig, dirs)
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64), gathered=True)
+    _assert_parity(rec, ref)
+    rec2 = pls.traverse_plist(mwin, orig, dirs, (64, 64), gathered=True,
+                              kmax=8)  # forces the overflow fallback
+    _assert_parity(rec2, ref)
+
+
+def test_plist_gathered_break_is_conservative():
+    """The gathered kernel's per-chunk sorted break must never drop a
+    real hit: equal hits/t with the break disabled, and fewer windows
+    consumed on an occluded scene."""
+    tv, orig, dirs = _scene("terrain")
+    mwin = pls.attach_so(pls.build_morton_windows(tv))
+    rec = pls.traverse_plist(mwin, orig, dirs, (64, 64), gathered=True)
+    full = pls.traverse_plist(mwin, orig, dirs, (64, 64), gathered=True,
+                              tup_every=10 ** 9)
+    np.testing.assert_array_equal(np.asarray(rec["hit"]),
+                                  np.asarray(full["hit"]))
+    h = np.asarray(rec["hit"])
+    np.testing.assert_array_equal(np.asarray(rec["t"])[h],
+                                  np.asarray(full["t"])[h])
+    assert (np.asarray(rec["tile_stats"])[:, 1].sum()
+            <= np.asarray(full["tile_stats"])[:, 1].sum())
+
+
 def test_plist_empty_gates():
     """Gates whose frustum misses the whole scene stream nothing and
     report misses (the all-inf list head must not start a DMA)."""
