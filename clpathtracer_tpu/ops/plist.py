@@ -1251,7 +1251,8 @@ _gate_lists_gathered = jax.jit(
 
 def _kernel_plist_gath(ids_ref, ten_ref, o_ref, d_ref, tris_ref, t_ref,
                        slot_ref, stats_ref, ids_smem, ten_smem,
-                       list_sem, *, win_rows, kmax, cwin, tup_every):
+                       list_sem, acc_t, acc_s, *, win_rows, kmax, cwin,
+                       tup_every):
     g = pl.program_id(0)
     rays = _ray_rows(o_ref, d_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -1271,11 +1272,15 @@ def _kernel_plist_gath(ids_ref, ten_ref, o_ref, d_ref, tris_ref, t_ref,
 
     iota_wr = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
     nch = kmax // cwin
-    t_acc0 = jnp.full((cr, GATE), BIG, jnp.float32)
-    s_acc0 = jnp.full((cr, GATE), -1.0, jnp.float32)
+    # accumulators in VMEM scratch, not loop carries: [cr, GATE] carries
+    # are copied per iteration by the lowering (the super kernel's
+    # lesson; a carried-acc first cut of THIS kernel measured ~52G
+    # where the scratch super kernel streams 96G unconditional)
+    acc_t[...] = jnp.full((cr, GATE), BIG, jnp.float32)
+    acc_s[...] = jnp.full((cr, GATE), -1.0, jnp.float32)
 
     def body(state):
-        c, tup, ta, sa = state
+        c, tup = state
         # absolute quad-row ids of this chunk's windows (slot space)
         rid = jnp.concatenate(
             [(wid_at(c * cwin + j) * wr + iota_wr).astype(jnp.float32)
@@ -1283,19 +1288,24 @@ def _kernel_plist_gath(ids_ref, ten_ref, o_ref, d_ref, tris_ref, t_ref,
         rows = tris_ref.at[:, pl.ds(c * cr, cr), :]
         ta, sa = _mt_chunk_math_so(rows, 0, rays, GATE, None, None,
                                    None, act_row=None, row_ids=rid,
-                                   merge=False, acc=(ta, sa))
+                                   merge=False,
+                                   acc=(acc_t[...], acc_s[...]))
+        acc_t[...] = ta
+        acc_s[...] = sa
         tup = jax.lax.cond(
             (c + 1) % tup_every == 0,
             lambda: jnp.max(jnp.min(ta, axis=0)), lambda: tup)
-        return c + 1, tup, ta, sa
+        return c + 1, tup
 
     def cond(state):
-        c, tup, _, _ = state
+        c, tup = state
         return (c < nch) & (ten_at(c * cwin) <= tup)
 
-    c, _, t_acc, s_acc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.float32(BIG), t_acc0, s_acc0))
+    c, _ = jax.lax.while_loop(cond, body,
+                              (jnp.int32(0), jnp.float32(BIG)))
 
+    t_acc = acc_t[...]
+    s_acc = acc_s[...]
     best_t = jnp.min(t_acc, axis=0, keepdims=True)
     cand = jnp.where(t_acc == best_t, s_acc, BIG)
     best_s = jnp.min(cand, axis=0, keepdims=True)
@@ -1351,6 +1361,8 @@ def _plist_gath_call(ids8, ten8, table, orig_t, dir_t, interpret=False,
             pltpu.SMEM((8, 128), jnp.float32),      # window ids
             pltpu.SMEM((8, 128), jnp.float32),      # entry distances
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((cwin * win_rows, GATE), jnp.float32),
+            pltpu.VMEM((cwin * win_rows, GATE), jnp.float32),
         ],
         interpret=interpret,
     )(ids8, ten8, orig_t, dir_t, table)

@@ -110,7 +110,7 @@ def main():
 
         acc = jax.lax.fori_loop(0, CH, body,
                                 jnp.zeros((1,), jnp.float32))
-        out_ref[0, 0] = acc[0]
+        out_ref[:] = jnp.full((8, 128), acc[0], jnp.float32)
 
     def pallas_dma(idx8, table, depth):
         g = idx8.shape[0]
@@ -119,11 +119,11 @@ def main():
             grid=(g,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
-            out_shape=jax.ShapeDtypeStruct((g, 1), jnp.float32),
-            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((g * 8, 128), jnp.float32),
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.SMEM((8, CH // 8), jnp.float32),
+                pltpu.SMEM((8, 128), jnp.float32),
                 pltpu.VMEM((depth, 1, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((depth,)),
                 pltpu.SemaphoreType.DMA,
@@ -131,20 +131,28 @@ def main():
             interpret=interp,
         )(idx8, table)
 
+    def pack_idx(ix):
+        # [.., CH] -> [g, 8, 128]: entry j at [j % 8, j // 8], lane-
+        # padded to 128 (DMAs need 128-wide last dims)
+        g = ix.shape[0] // CH
+        x = ix.astype(jnp.float32).reshape(g, CH // 8, 8) \
+            .transpose(0, 2, 1)
+        pad = jnp.zeros((g, 8, 128 - CH // 8), jnp.float32)
+        return jnp.concatenate([x, pad], axis=2)
+
     def dma_chain(k, table, idx, depth):
-        idx8 = (idx.astype(jnp.float32)
-                .reshape(-1, CH // 8, 8).transpose(0, 2, 1))
+        idx8 = pack_idx(idx)
 
         def body(i, c):
             s, ix8 = c
-            out = pallas_dma(ix8, table, depth)
+            out = pallas_dma(ix8, table, depth)[::8, :1]   # [g, 1]
             s = s + jnp.sum(out)
             ix8 = jnp.abs(ix8 + out.reshape(-1, 1, 1) + i) % rows
             return s, ix8
         return jax.lax.fori_loop(0, k * steps, body,
                                  (jnp.float32(0.0), idx8))[0]
 
-    # --- d) VMEM-resident table, dynamic sublane reads --------------------
+    # --- d) VMEM-resident table, dynamic sublane reads -------------------
     MV = int(os.environ.get("PROBE_MV", 16384))          # 8 MB resident
 
     def vmem_kernel(idx_ref, tab_ref, out_ref, ix_smem, sem1):
@@ -159,7 +167,7 @@ def main():
             return acc + row[0, :1]
         acc = jax.lax.fori_loop(0, CH, body,
                                 jnp.zeros((1,), jnp.float32))
-        out_ref[0, 0] = acc[0]
+        out_ref[:] = jnp.full((8, 128), acc[0], jnp.float32)
 
     def pallas_vmem(idx8, tabv):
         g = idx8.shape[0]
@@ -169,11 +177,11 @@ def main():
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(MV_BLOCK, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_shape=jax.ShapeDtypeStruct((g, 1), jnp.float32),
-            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((g * 8, 128), jnp.float32),
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.SMEM((8, CH // 8), jnp.float32),
+                pltpu.SMEM((8, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interp,
@@ -183,12 +191,11 @@ def main():
     tabv = table[:MV]
 
     def vmem_chain(k, tabv, idx):
-        idx8 = (jnp.mod(idx, MV).astype(jnp.float32)
-                .reshape(-1, CH // 8, 8).transpose(0, 2, 1))
+        idx8 = pack_idx(jnp.mod(idx, MV))
 
         def body(i, c):
             s, ix8 = c
-            out = pallas_vmem(ix8, tabv)
+            out = pallas_vmem(ix8, tabv)[::8, :1]          # [g, 1]
             s = s + jnp.sum(out)
             ix8 = jnp.abs(ix8 + out.reshape(-1, 1, 1) + i) % MV
             return s, ix8
