@@ -28,8 +28,11 @@ def init_distributed(coordinator_address: str = None,
     With no arguments, relies on the cluster environment (TPU pod metadata
     or JAX_COORDINATOR_ADDRESS etc.). Returns a topology summary dict.
     """
-    already = getattr(jax.distributed.global_state, "client", None)
-    if already is None:
+    # jax 0.9 moved global_state out of the public module; the public
+    # probe for "process group already formed" is is_initialized()
+    # (the old jax.distributed.global_state access raised
+    # AttributeError here — caught by the mocked multihost tests)
+    if not jax.distributed.is_initialized():
         kwargs = {}
         if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
             kwargs["coordinator_address"] = (
