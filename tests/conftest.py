@@ -26,3 +26,21 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-program caches after each test module.
+
+    A full-suite session accumulates hundreds of compiled CPU programs;
+    past ~275 tests the XLA CPU compiler reproducibly aborts/segfaults
+    compiling the next large while_loop program (observed at
+    test_walk_table_exact_parity, 125 GB RAM free — internal compiler
+    state, not system memory). Any two modules run together pass.
+    Clearing per module bounds the accumulation; cross-module cache
+    reuse is ~nil anyway (each module jits its own functions)."""
+    yield
+    jax.clear_caches()
