@@ -242,18 +242,26 @@ def run_scene(scene_kind, jax, jnp, mode=None, nee=None, bounces=None,
     log(f"# compile+first run: {compile_s:.1f}s  checksum={s:.6g} "
         f"hit_frac={float(hit_frac):.3f}")
 
-    t0 = time.time()
-    s1, _ = jf(1, scene, tree, cam)
-    s1 = float(s1)
-    t_1 = time.time() - t0
-    t0 = time.time()
-    sk, _ = jf(1 + reps, scene, tree, cam)
-    sk = float(sk)
-    t_k = time.time() - t0
-    best = max((t_k - t_1) / reps, 1e-9)
+    # min-separated sampling (round 5): the tunnel's fetch latency can
+    # swing hundreds of ms between calls, so a single (t_k - t_1)/reps
+    # pair inherits that noise directly (observed flipping the 10M gate
+    # across otherwise-identical runs). Collect several samples of each
+    # and difference the minima — the fetch FLOOR is stable within a
+    # session even when individual calls spike.
+    t1s, tks = [], []
+    s1 = sk = 0.0
+    for _ in range(int(os.environ.get("BENCH_ROUNDS", "3"))):
+        t0 = time.time()
+        s1 = float(jf(1, scene, tree, cam)[0])
+        t1s.append(time.time() - t0)
+        t0 = time.time()
+        sk = float(jf(1 + reps, scene, tree, cam)[0])
+        tks.append(time.time() - t0)
+    best = max((min(tks) - min(t1s)) / reps, 1e-9)
     n_rays = width * height
     rays_per_s = n_rays / best
-    log(f"# t(1)={t_1:.2f}s t({1+reps})={t_k:.2f}s -> frame {best*1e3:.1f}ms"
+    log(f"# t(1)={min(t1s):.2f}s t({1+reps})={min(tks):.2f}s "
+        f"({len(t1s)} samples) -> frame {best*1e3:.1f}ms"
         f"  checksums {s1:.6g}/{sk:.6g}")
 
     # perf denominators from the packet kernel's tile_stats (one extra
@@ -413,7 +421,7 @@ def main():
             and os.environ.get("BENCH_10M", "1") != "0"):
         log("# === large-scene leg (terrain, 10M tris) ===")
         try:
-            v, d = run_scene("terrain", jax, jnp, reps=5,
+            v, d = run_scene("terrain", jax, jnp, reps=8,
                              ntris=10_000_000)
             detail["terrain_10m"] = {"rays_per_s": v, **d}
         except Exception as e:
