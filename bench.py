@@ -60,8 +60,14 @@ SCENE_TUNING = {
     # probes/probe_plist.py: wr16/8/4 -> 12.3/13.9/17.0 ms — tighter
     # hulls cut the per-window fixed-cost pressure); soup stays wr8
     # (25.0 vs 27.9 ms).
+    # CLPT_PLIST_TUP=4: sparser t_upper refreshes (each is a
+    # vector->scalar sync, ~0.5us). Chip-measured r5, checksum-identical
+    # everywhere, never negative: terrain 1M 12.18 vs 12.43 ms, terrain
+    # 10M 55.6 vs 56.7 ms (+2.0% -- meaningful against the 5e6 gate),
+    # soup 24.84 vs 24.96 ms (probes/probe_r5_sched.py).
     "terrain": {"tile": 2048, "leaf": 3072, "depth": 11,
-                "CLPT_STRIPS": "1", "CLPT_PLIST": "1", "plist_rows": 16},
+                "CLPT_STRIPS": "1", "CLPT_PLIST": "1", "plist_rows": 16,
+                "CLPT_PLIST_TUP": "4"},
     # soup: single-phase. The two-phase straggler engine (CLPT_PLIST_KCAP
     # + attached grid, ops/plist.py::_plist_two_phase) is a MEASURED
     # NEGATIVE despite the fog's 3.62x per-lane/per-gate need ratio:
@@ -71,7 +77,8 @@ SCENE_TUNING = {
     # enough to matter is cheaper to finish densely. Kept off.
     "soup": {"tile": 512, "leaf": 512, "depth": 14,
              "CLPT_STRIPS": "0", "CLPT_FRUSTUM": "0",
-             "CLPT_PLIST": "1", "plist_rows": 8},
+             "CLPT_PLIST": "1", "plist_rows": 8,
+             "CLPT_PLIST_TUP": "4"},
 }
 
 
