@@ -442,13 +442,26 @@ def main():
     # #8): terrain 3e7, soup 1e7, path 1e6 paths/s, 10M-tri 5e6
     gates = {}
     if mode == "normal" and not forced:
-        gates["terrain_3e7"] = bool(rays_per_s >= 3e7)
-        soup = detail.get("adversarial_soup", {})
-        gates["soup_1e7"] = bool(soup.get("rays_per_s", 0) >= 1e7)
-        pm = detail.get("path_mode", {})
-        gates["path_1e6"] = bool(pm.get("paths_per_s", 0) >= 1e6)
-        tm = detail.get("terrain_10m", {})
-        gates["tris10m_5e6"] = bool(tm.get("rays_per_s", 0) >= 5e6)
+        def gate(leg, key_, threshold):
+            # tri-state: True/False only when the leg actually ran —
+            # a skipped (kill-switch) or failed leg must not read as a
+            # regression
+            if leg is None:
+                return "skipped"
+            if "error" in leg:
+                return "error"
+            if key_ not in leg:
+                return "skipped"
+            return bool(leg[key_] >= threshold)
+
+        if scene_tris == 1_000_000:
+            gates["terrain_3e7"] = bool(rays_per_s >= 3e7)
+        gates["soup_1e7"] = gate(detail.get("adversarial_soup"),
+                                 "rays_per_s", 1e7)
+        gates["path_1e6"] = gate(detail.get("path_mode"),
+                                 "paths_per_s", 1e6)
+        gates["tris10m_5e6"] = gate(detail.get("terrain_10m"),
+                                    "rays_per_s", 5e6)
         detail["gates"] = gates
         log(f"# gates: {gates}")
     print(json.dumps({

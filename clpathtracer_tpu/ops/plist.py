@@ -630,9 +630,14 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
         gathered = _os.environ.get("CLPT_PLIST_GATHER", "0") == "1"
     gathered = bool(gathered and so)
     if gathered:
+        import math as _math
         wr = mwin.win_rows
         kmax_v = int(kmax) if kmax else max(1024 // wr, 8)
         cwin_v = int(cwin) if cwin else max(32 // wr, 1)
+        # kmax must be a multiple of both 8 (SMEM packing) and cwin
+        # (chunk count truncation would silently drop tail windows)
+        q = _math.lcm(8, cwin_v)
+        kmax_v = min(-(-kmax_v // q) * q, 1024)
         table, ids8, ten8, overflow = _gate_lists_gathered(
             mwin.win_bnd, dir_b, orig[0], wr, kmax_v, rows128,
             dilate_px=float(dilate_px), gh=gh)
@@ -659,12 +664,21 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
                 interpret=interpret, so=so, win_rows=wr, d0cull=d0cull,
                 tup_every=tup_every, nobits=nobits)
 
-        if mwin.num_windows % SUPER == 0:
-            out_t, out_s, tile_stats = jax.lax.cond(
-                overflow, super_path, gath_path, None)
-        else:  # no super fallback possible; gathered alone (callers
-            # must size kmax; parity tests cover the overflow path)
-            out_t, out_s, tile_stats = gath_path(None)
+        def plain_path(_):
+            # overflow fallback for window counts that are not
+            # SUPER-granular (the super kernel can't run): the plain
+            # per-window kernel is always valid. NEVER silently drop —
+            # a gate beyond kmax would otherwise lose geometry.
+            row0, ten = gate_lists(mwin.win_bnd, dir_b, orig[0], wr,
+                                   dilate_px=float(dilate_px), gh=gh)
+            return _plist_call(
+                row0, ten, rows128, orig_t, dir_t, interpret=interpret,
+                so=so, win_rows=wr, d0cull=d0cull, tup_every=tup_every)
+
+        fallback = (super_path if mwin.num_windows % SUPER == 0
+                    else plain_path)
+        out_t, out_s, tile_stats = jax.lax.cond(
+            overflow, fallback, gath_path, None)
         best_t = _unblockify(out_t[0], h, w, gh, gw)
         best_slot = _unblockify(out_s[0].astype(jnp.int32), h, w, gh, gw)
         return _resolve_winners(mwin, best_slot, orig, dir,
@@ -683,7 +697,8 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
                 and mwin.slot_of_tri is not None):
             out_t, out_s, tile_stats = _plist_two_phase(
                 mwin, grid, key, sid, bits, tris_w, orig, orig_b, dir_b,
-                t0, kcap, interpret=interpret, so=so, d0cull=d0cull)
+                t0, kcap, interpret=interpret, so=so, d0cull=d0cull,
+                tup_every=tup_every, nobits=nobits)
         else:
             out_t, out_s, tile_stats = _plist_super_call(
                 key, sid, bits, tris_w, orig_b.T.astype(jnp.float32),
@@ -707,7 +722,8 @@ def traverse_plist(mwin: MortonWindows, orig, dir, image_shape,
 
 
 def _plist_two_phase(mwin, grid, key, sid, bits, tris_w, orig, orig_b,
-                     dir_b, t0, kcap, *, interpret, so, d0cull=False):
+                     dir_b, t0, kcap, *, interpret, so, d0cull=False,
+                     tup_every=None, nobits=None):
     """Two-phase straggler engine: per-gate break -> per-RAY finish.
 
     The super-list kernel BREAKs per gate — one deep or missing lane
@@ -741,7 +757,7 @@ def _plist_two_phase(mwin, grid, key, sid, bits, tris_w, orig, orig_b,
     out_t, out_s, ts1 = _plist_super_call(
         key, sid, bits, tris_w, orig_b.T.astype(jnp.float32), dir_b.T,
         t0, interpret=interpret, so=so, win_rows=wr, kcap=kcap,
-        d0cull=d0cull)
+        d0cull=d0cull, tup_every=tup_every, nobits=nobits)
     # sorted key entry e of gate g lives at [g, e//1024, e%8,
     # (e%1024)//8]; pad/culled entries carry +inf, so every lane of an
     # exhausted gate settles (BIG*(1+1e-4) stays finite, and x <= inf).
@@ -1138,7 +1154,8 @@ def plist_bundle_supported(mwin, n_rays: int) -> bool:
 
 
 def traverse_plist_bundle(mwin: MortonWindows, orig, dir, active=None,
-                          t_max=None, interpret: bool = None):
+                          t_max=None, interpret: bool = None,
+                          resolve_chunk: int = None):
     """Trace an ARBITRARY wavefront (scattered bounce/shadow rays)
     through the Morton windows: consecutive 512-ray bundles get
     conservative interval-slab keys (_bundle_keys — no shared origin,
@@ -1177,7 +1194,8 @@ def traverse_plist_bundle(mwin: MortonWindows, orig, dir, active=None,
         interpret=interpret, so=False, win_rows=mwin.win_rows)
     best_slot = out_s[0].astype(jnp.int32)
     return _resolve_winners(mwin, best_slot, orig, dir,
-                            tile_stats[::8, :5])
+                            tile_stats[::8, :5],
+                            resolve_chunk=resolve_chunk)
 
 
 # ---------------------------------------------------------------------------
@@ -1265,12 +1283,19 @@ def _kernel_plist_gath(ids_ref, ten_ref, o_ref, d_ref, tris_ref, t_ref,
         cp.wait()
 
     def ten_at(k):
+        # clamp: the non-short-circuit while cond evaluates
+        # ten_at(nch * cwin) once at the exit boundary, which at
+        # kmax=1024 would index [0, 128] — one past the SMEM pad. The
+        # clamped value is never USED (the c < nch conjunct is false).
+        k = jnp.minimum(k, 1023)
         return ten_smem[k % 8, k // 8]
 
     def wid_at(k):
+        k = jnp.minimum(k, 1023)
         return ids_smem[k % 8, k // 8].astype(jnp.int32)
 
     iota_wr = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+    assert kmax % cwin == 0, (kmax, cwin)  # else the tail windows drop
     nch = kmax // cwin
     # accumulators in VMEM scratch, not loop carries: [cr, GATE] carries
     # are copied per iteration by the lowering (the super kernel's

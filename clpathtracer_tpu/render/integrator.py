@@ -296,8 +296,9 @@ def intersect_scene(scene, tree, orig, dir, opts: RenderOptions,
                 act_p = active[perm] if active is not None else None
                 if plist_bundle_supported(getattr(tree, "mwin", None),
                                           orig.shape[0]):
-                    rec = traverse_plist_bundle(tree.mwin, orig[perm],
-                                                dir[perm], active=act_p)
+                    rec = traverse_plist_bundle(
+                        tree.mwin, orig[perm], dir[perm], active=act_p,
+                        resolve_chunk=opts.resolve_chunk)
                 else:
                     rec = traverse_packet(tree, quads, orig[perm],
                                           dir[perm],
@@ -504,7 +505,8 @@ def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions,
             # across runs and destroy the converging-direction cones).
             if opts.nee_light_stride >= 512:
                 rec = traverse_plist_bundle(tree.mwin, o, d, active=act,
-                                            t_max=dd)
+                                            t_max=dd,
+                                            resolve_chunk=opts.resolve_chunk)
                 occ = rec["hit"] & (rec["t"] < dd - 1e-3)
             else:
                 from clpathtracer_tpu.ops.sort import sort_rays
@@ -512,7 +514,8 @@ def _occluded(scene, tree, orig, dir, dist, opts: RenderOptions,
                 rec = traverse_plist_bundle(
                     tree.mwin, o[perm], d[perm],
                     active=None if act is None else act[perm],
-                    t_max=dd[perm])
+                    t_max=dd[perm],
+                    resolve_chunk=opts.resolve_chunk)
                 occ = (rec["hit"] & (rec["t"] < dd[perm] - 1e-3))[inv]
         elif getattr(tree, "grid", None) is not None:
             # uniform-grid DDA occlusion (accel/grid.py, attach_grid):

@@ -69,17 +69,19 @@ def main():
     # like this; real meshes would use a pose/deformation basis). The
     # silhouette band is ~1 px of 48^2 pixels, so per-vertex gradients
     # are ~1e-4 -- hence the large lr on the masked direction.
-    mask = np.zeros((8, 3), np.float32)
-    mask[4:, 2] = 1.0
-    mask = {"verts": jnp.asarray(mask)}
-
+    # the mask is BUILT inside the traced update from the gradient
+    # itself (zeros_like + .at[].set) rather than closure-captured as a
+    # jnp constant — the repo's constant-free-jaxpr rule (CLAUDE.md:
+    # jax 0.9 drops hoisted constants when re-executing cached
+    # multi-device grad computations)
     def masked_sgd(lr):
         def init_fn(params):
             return optax.EmptyState()
 
         def update_fn(updates, state, params=None):
-            return (jax.tree.map(lambda g, m: -lr * g * m, updates,
-                                 mask), state)
+            def rigid_z(g):
+                return jnp.zeros_like(g).at[4:, 2].set(-lr * g[4:, 2])
+            return jax.tree.map(rigid_z, updates), state
         return optax.GradientTransformation(init_fn, update_fn)
 
     step, init = make_train_step(scene0, opts, mesh, masked_sgd(150.0),
