@@ -438,3 +438,29 @@ class TestGridForwardGrad:
                      np.array([alb0[i, 0]]), eps=1e-3)[0]
         np.testing.assert_allclose(float(g[i, 0]), fd, rtol=0.05,
                                    atol=2e-4)
+
+
+def test_edge_aware_composes_with_spp_path():
+    """RenderOptions.edge_aware under the spp>1 path route: each
+    jittered sample runs the silhouette blend (render_image ->
+    one_sample -> shade_edgeaware with jitter_px) — the render must be
+    finite and its vertex gradient must carry silhouette signal."""
+    import dataclasses
+
+    t = TestSilhouetteGrad()
+    opts = dataclasses.replace(
+        RenderOptions(width=32, height=32, mode="path", bounces=1,
+                      spp=2, use_tree=False, background=1.0),
+        differentiable=True, edge_aware=True)
+    cam = Camera.create(position=[0.011, 0.007, -1.0],
+                        forward=[0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(5)
+
+    def loss_fn(dz):
+        img = render_image(t._scene(dz), cam, opts, key=key)
+        return jnp.mean(img[8:24, 12:28, :])
+
+    img = render_image(t._scene(0.0), cam, opts, key=key)
+    assert np.isfinite(np.asarray(img)).all()
+    g = float(jax.grad(loss_fn)(jnp.float32(0.0)))
+    assert np.isfinite(g) and abs(g) > 1e-4, g
