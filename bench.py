@@ -387,13 +387,21 @@ def main():
     results = {}
     for kind in scenes:
         log(f"# === scene {kind} ===")
-        results[kind] = run_scene(kind, jax, jnp)
+        if kind == scenes[0]:
+            results[kind] = run_scene(kind, jax, jnp)  # headline: raise
+        else:
+            try:  # secondary legs must never sink the headline
+                results[kind] = run_scene(kind, jax, jnp)
+            except Exception as e:
+                log(f"# scene {kind} failed: {e}")
+                results[kind] = (0.0, {"error": str(e)})
 
     head_kind = scenes[0]
     rays_per_s, detail = results[head_kind]
     for kind in scenes[1:]:
         v, d = results[kind]
-        detail[f"adversarial_{kind}"] = {"rays_per_s": v, **d}
+        detail[f"adversarial_{kind}"] = ({"rays_per_s": v, **d}
+                                         if "error" not in d else d)
 
     # gated path-mode metric (VERDICT r2 #3): 2-bounce sorted NEE path
     # tracing on the EMISSIVE soup (the only bench scene with lights).
